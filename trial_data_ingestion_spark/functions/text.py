@@ -1,0 +1,110 @@
+"""String/projection operators P1-P16 as native Column expressions.
+
+Each function reproduces the semantics of the reference (file:line
+cited per function, paths relative to /root/reference) but compiles to
+Catalyst expressions — whole-stage-codegen'd JVM code, never a Python
+UDF — so predicate pushdown and column pruning survive around them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Zero-width space that the reference strips out of DOIs
+# (src/ingestion_pipeline/preprocessing/doi_utils.py:16).
+_ZWSP = "​"
+
+# DOI regex (src/ingestion_pipeline/preprocessing/doi_utils.py:9).
+DOI_PATTERN = r"10\.\d{4,9}/\S+"
+
+
+def normalize_doi(c: Column) -> Column:
+    """P1 — canonical DOI form.
+
+    Mirrors ``_norm_doi`` (preprocessing/doi_utils.py:11-17): strip an
+    ``http(s)://(dx.)doi.org/`` prefix, remove zero-width spaces, trim,
+    lowercase; empty string -> null.
+    """
+    stripped = F.regexp_replace(c, r"^https?://(dx\.)?doi\.org/", "")
+    no_zwsp = F.regexp_replace(stripped, _ZWSP, "")
+    normed = F.lower(F.trim(no_zwsp))
+    return F.nullif(normed, F.lit(""))
+
+
+def extract_doi(c: Column) -> Column:
+    """P2 — mine a DOI out of an arbitrary string (doi_utils.py:25-28).
+
+    Returns null when no DOI-shaped token is present (regexp_extract
+    yields '' on no-match; nullif restores the reference's None).
+    """
+    return F.nullif(F.regexp_extract(c, DOI_PATTERN, 0), F.lit(""))
+
+
+def clean_title(c: Column) -> Column:
+    """P3 — strip braces, collapse whitespace, trim; empty -> null
+    (doi_utils.py:19-23, used on bib titles)."""
+    no_braces = F.regexp_replace(c, r"[{}]", "")
+    collapsed = F.regexp_replace(no_braces, r"\s+", " ")
+    return F.nullif(F.trim(collapsed), F.lit(""))
+
+
+def normalize_whitespace(c: Column) -> Column:
+    """P12 — ``re.sub(r"\\s+", " ", text).strip()``
+    (chunking/chunkers.py:52), applied before windowed chunking."""
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def coalesce_fields(*cols: Column) -> Column:
+    """P8 — field coalescing (normalize.py:40-46, bib_parser.py:10-13):
+    ``id or pmcid or pmid``, ``full_text or text or body``, ...
+
+    Empty strings count as missing, like Python's ``or``."""
+    return F.coalesce(*[F.nullif(c, F.lit("")) for c in cols])
+
+
+def stable_doc_id(doi_norm: Column, title: Column, journal: Column) -> Column:
+    """P9 — deterministic document id (pipelines/ingest_and_embed.py:20-26):
+    the normalized DOI when present, else ``"hash:" + sha256(title|journal)[:16]``.
+    """
+    fallback = F.concat(
+        F.lit("hash:"),
+        F.substring(
+            F.sha2(F.concat_ws("|", F.coalesce(title, F.lit("")),
+                               F.coalesce(journal, F.lit(""))), 256),
+            1, 16),
+    )
+    return F.coalesce(doi_norm, fallback)
+
+
+def chunk_id(doc_id: Column, chunk_index: Column) -> Column:
+    """P10 — deterministic chunk id ``f"{doc_id}::c{chunk_index}"``
+    (pipelines/ingest_and_embed.py:104)."""
+    return F.concat(doc_id, F.lit("::c"), chunk_index.cast("string"))
+
+
+def pmcid_digits(c: Column) -> Column:
+    """P16 — strip non-digits from a PMCID (sources/pmc.py:162)."""
+    return F.regexp_replace(c, r"\D", "")
+
+
+def sections_to_text(sections: Column) -> Column:
+    """X5 — flatten normalized sections to one body string
+    (preprocessing/xml_cleaning.py:57-70): join non-empty section texts
+    with blank lines, in document order.
+
+    ``sections`` is ``array<struct<section_path:string, text:string>>``
+    (the engine-wide normalized form of the reference's recursive
+    sections dict — SURVEY.md §1.3)."""
+    texts = F.filter(
+        F.transform(sections, lambda s: s.getField("text")),
+        lambda t: t.isNotNull() & (F.trim(t) != ""),
+    )
+    return F.array_join(texts, "\n\n")
+
+
+def body_length(sections: Column) -> Column:
+    """A4 — ``len(sections_to_text(...))`` per record
+    (preprocessing/fulltext_enricher.py:67-68), used by the
+    min-fulltext-chars gate P6."""
+    return F.length(sections_to_text(sections))

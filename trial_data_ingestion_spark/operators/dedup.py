@@ -1,0 +1,240 @@
+"""Deduplication operators (reference P5/A5 + north-star extensions).
+
+Reference surface: exact keep-first dedup by key
+(``preprocessing/doi_utils.py:47,59`` — ``drop_duplicates`` on
+``doi_norm``).  North-star extensions for training-data pipelines:
+content-hash dedup, MinHash+LSH near-dup, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design notes (100 TB):
+  * Exact dedup is one hash-partitioned shuffle on the key; with AQE
+    the partial aggregation happens map-side first.
+  * MinHash signatures are computed with *native* higher-order
+    functions (shingle -> md5 -> min), entirely inside whole-stage
+    codegen — no Python worker in the signature path.  The LSH
+    band-bucket join turns the O(n^2) pair problem into a shuffle on
+    band buckets; candidate verification is a self-join on bucket keys
+    only.  Banding keys are low-cardinality-safe: bucket =
+    (band_index, band_signature) so no single reducer sees more than
+    one band's collisions.
+  * md5 (not xxhash64) is used for signature hashing so results are
+    engine-portable and the DuckDB oracle can reproduce them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(df: DataFrame, keys: list[str],
+                order_col: str | None = None) -> DataFrame:
+    """P5 — keep-first dedup by key.
+
+    With ``order_col`` the "first" row is deterministic under any
+    partitioning (reference keeps pandas row order, which Spark cannot
+    reproduce without an explicit order column — SURVEY.md §7 hard
+    parts).  Without it, falls back to ``dropDuplicates``.
+    """
+    if order_col is None:
+        return df.dropDuplicates(keys)
+    w = Window.partitionBy(*keys).orderBy(F.col(order_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1).drop("__rn"))
+
+
+def dedup_by_content_hash(df: DataFrame, text_col: str,
+                          id_col: str) -> DataFrame:
+    """Content-hash exact dedup: sha256 over whitespace-normalized
+    text, keep the row with the minimal id per hash group."""
+    norm = F.sha2(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), 256)
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (df.withColumn("__h", norm)
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") == 1)
+              .drop("__h", "__rn"))
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-duplicate detection
+# --------------------------------------------------------------------------
+
+def _hash64(c: Column) -> Column:
+    """Portable 60-bit integer hash of a string: first 15 hex chars of
+    md5, base-16 -> decimal.  Identical in Spark and DuckDB."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def _hash_hex(c: Column) -> Column:
+    """Portable hash as a fixed-width lowercase hex string (first 15
+    md5 chars).  Lexicographic order on fixed-width hex == numeric
+    order, so ``min`` over these is a valid MinHash — and any engine
+    with md5 reproduces it exactly (the DuckDB oracle relies on this;
+    no base-16 integer conversion needed anywhere)."""
+    return F.substring(F.md5(c), 1, 15)
+
+
+def char_shingles(text: Column, k: int = 8) -> Column:
+    """Distinct k-char shingles of the whitespace-normalized text,
+    computed natively: sequence(1, n-k+1) -> substring."""
+    norm = F.trim(F.regexp_replace(text, r"\s+", " "))
+    idx = F.sequence(F.lit(1),
+                     F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature as ``array<string>`` (fixed-width hex) of
+    length ``num_hashes``.
+
+    Hash family i is ``md5(i || ':' || shingle)`` — independent enough
+    for LSH and reproducible in any engine with md5.  Entirely native
+    (transform + array_min), no shuffle, no UDF.
+    """
+    def seeded(i: int):
+        # Unary lambda via closure: pyspark dispatches on lambda arity,
+        # so a defaulted second parameter would capture the array-index
+        # Column, not the seed.
+        return lambda s: _hash_hex(F.concat(F.lit(f"{i}:"), s))
+
+    sigs = [F.array_min(F.transform(shingles, seeded(i)))
+            for i in range(num_hashes)]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
+                           k: int = 8, num_hashes: int = 32,
+                           bands: int = 8) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Pipeline: shingle -> signature -> split into ``bands`` bands ->
+    bucket key = (band_index, band signature) -> self-join on bucket ->
+    distinct (a < b) pairs.  The self-join shuffles on bucket keys
+    only; at 100 TB this is the standard scalable near-dup plan
+    (signatures are ~256 bytes/doc regardless of doc size).
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("doc"),
+        minhash_signature(char_shingles(F.col(text_col), k),
+                          num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws(",", *[
+                         F.element_at("sig", b * rows_per_band + r + 1)
+                         for r in range(rows_per_band)
+                     ]).alias("bucket"))
+            for b in range(bands)
+        ])).alias("bb"),
+    ).select("doc", "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+         .distinct()
+    )
+
+
+def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
+                   text_col: str, k: int = 8,
+                   threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs.
+
+    Joins the (tiny) candidate set back to per-doc shingle arrays and
+    computes |A ∩ B| / |A ∪ B| natively.  Only candidate pairs pay the
+    set-intersection cost — the whole point of LSH prefiltering.
+    """
+    sh = df.select(F.col(id_col).alias("doc"),
+                   char_shingles(F.col(text_col), k).alias("sh"))
+    out = (
+        candidates
+        .join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
+        .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 8, num_hashes: int = 32, bands: int = 8,
+                  threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup removal: LSH candidates -> Jaccard verify ->
+    drop the higher id of each confirmed pair (connected via min-id
+    representative, one hop — adequate for near-dup clusters where
+    similarity is near-transitive)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands)
+    dups = (jaccard_verify(df, cands, id_col, text_col, k, threshold)
+            .select(F.col("doc_b").alias(id_col)).distinct())
+    return df.join(dups, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+def simhash(text: Column, bits: int = 60) -> Column:
+    """SimHash of the token stream, fully native.
+
+    Tokens -> 60-bit md5-derived hashes -> per-bit +1/-1 vote fold ->
+    sign vector -> integer.  The fold is a per-row ``aggregate`` HOF
+    (shuffle-free); only ``bits`` <= 60 supported with the portable
+    hash.
+    """
+    assert bits <= 60
+    tokens = F.split(F.trim(F.regexp_replace(text, r"\s+", " ")), " ")
+    hashes = F.transform(tokens, lambda t: _hash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+
+    def bit_votes(h):
+        # shift amounts must be Python ints (pyspark's shiftright does
+        # not take a Column), so the bit vector is a literal-indexed
+        # array comprehension, not a transform over sequence().
+        return F.array(*[
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+             .otherwise(-1).cast("long")
+            for i in range(bits)
+        ])
+
+    votes = F.aggregate(
+        hashes, zero,
+        lambda acc, h: F.zip_with(acc, bit_votes(h), lambda a, b: a + b))
+    powers = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    weighted = F.zip_with(
+        votes, powers,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")))
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda a, b: a + b)
+
+
+def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
+                      max_hamming: int = 3, prefix_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
+    the hash (cheap LSH for small Hamming radii), then exact
+    ``bit_count(a ^ b)`` filter within blocks."""
+    h = df.select(F.col(id_col).alias("doc"),
+                  simhash(F.col(text_col)).alias("sh"))
+    blocked = h.withColumn("blk", F.shiftright("sh", 60 - prefix_bits))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(b, on=[F.col("a.blk") == F.col("b.blk"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .withColumn("hamming",
+                     F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))))
+         .where(F.col("hamming") <= max_hamming)
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"), "hamming")
+    )

@@ -1,0 +1,145 @@
+"""Similarity search over embedding columns (E6/E7 + north star).
+
+The reference writes vectors into Chroma with a cosine/l2/ip HNSW
+space (``vectorstores/chroma_store.py:13,28-31``) but never queries it;
+the query capability is the store's purpose, so this module provides:
+
+* ``topk_bruteforce`` — exact top-k: broadcast the (small) query set,
+  score natively, per-partition top-k then global top-k.  The
+  per-query ``row_number`` window partitions by query id, so the
+  shuffle moves only (query, candidate, score) triples — never the
+  vectors themselves.
+* ``topk_lsh`` — scale path: sign-random-projection bucketing
+  (deterministic hyperplanes derived from md5, so tests are
+  reproducible) with multi-probe; candidates re-scored exactly.
+  At 100 TB this turns a full scan per query into a bucket-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trial_data_ingestion_spark.functions.vector import (
+    cosine_similarity, dot, l2_distance,
+)
+
+_METRICS = {
+    "cosine": (cosine_similarity, F.desc),
+    "ip": (dot, F.desc),
+    "l2": (l2_distance, F.asc),
+}
+
+
+def topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    query_id_col: str = "query_id",
+                    query_vec_col: str = "query_vec",
+                    k: int = 10, metric: str = "cosine",
+                    exclude_self: bool = True) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    Result: (query_id, neighbor id, score, rank).  Ties broken by
+    neighbor id for determinism under any partitioning.
+    """
+    score_fn, order = _METRICS[metric]
+    scored = (
+        embeddings.crossJoin(F.broadcast(queries))
+        .withColumn("score", score_fn(F.col(vec_col), F.col(query_vec_col)))
+    )
+    if exclude_self:
+        scored = scored.where(F.col(id_col) != F.col(query_id_col))
+    w = Window.partitionBy(query_id_col).orderBy(order("score"),
+                                                F.col(id_col).asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k)
+              .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                      "score", "rank")
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane: component j is
+    derived from md5(f"{plane_idx}:{j}") mapped to [-1, 1).  Pure
+    Python at plan time (tiny), shipped as a literal array."""
+    import hashlib
+    comps = []
+    for j in range(dim):
+        h = hashlib.md5(f"{plane_idx}:{j}".encode()).hexdigest()
+        comps.append((int(h[:15], 16) / float(1 << 60)) * 2.0 - 1.0)
+    return comps
+
+
+def srp_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+    """Sign-random-projection bucket id (0 .. 2^num_planes - 1),
+    computed natively from literal hyperplane arrays."""
+    bucket = F.lit(0)
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        proj = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0), lambda a, b: a + b)
+        bucket = bucket + F.when(proj >= 0,
+                                 F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             k: int = 10, num_planes: int = 8,
+             multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate cosine top-k: join on SRP bucket (with multi-probe
+    expansion of the query buckets within the given Hamming radius),
+    then exact re-scoring of candidates only.
+
+    The embeddings side is bucketed once (a narrow map) and can be
+    written bucketed-by-``bucket`` for repeated query workloads; the
+    join shuffles candidates, not the full corpus.
+    """
+    emb = embeddings.withColumn("bucket",
+                                srp_bucket(F.col(vec_col), dim, num_planes))
+    probe_sets = [F.lit(0)]
+    if multiprobe_hamming >= 1:
+        probe_sets += [F.lit(1 << p) for p in range(num_planes)]
+    q = (queries
+         .withColumn("q_bucket", srp_bucket(F.col(query_vec_col), dim,
+                                            num_planes))
+         .withColumn("probe", F.explode(F.array(*probe_sets)))
+         .withColumn("bucket",
+                     F.col("q_bucket").bitwiseXOR(F.col("probe")))
+         .drop("q_bucket", "probe"))
+    cand = emb.join(F.broadcast(q), "bucket")
+    scored = (cand
+              .withColumn("score", cosine_similarity(F.col(vec_col),
+                                                     F.col(query_vec_col)))
+              .where(F.col(id_col) != F.col(query_id_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                          "score", "rank"))
+
+
+def embedding_near_dups(embeddings: DataFrame, dim: int,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        threshold: float = 0.95,
+                        num_planes: int = 8) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: SRP-bucket self-join
+    (same-bucket candidates only) + exact cosine threshold."""
+    emb = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        srp_bucket(F.col(vec_col), dim, num_planes).alias("bucket"))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
+         .where(F.col("cos") >= threshold)
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"), F.col("cos"))
+    )

@@ -1,0 +1,107 @@
+"""Text-analysis operators (north-star: language-ID, quality scoring,
+token counting, document fingerprinting).
+
+All operators are native Column expressions — the hot path of a
+100 TB text pipeline must stay inside whole-stage codegen.  Regex
+character classes are written portably (explicit classes, no
+Java-only escapes) so the DuckDB oracle can evaluate the same logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language identifier.  Chosen to be disjoint enough on the synthetic
+# corpus; a production deployment would swap in real profiles.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "por"],
+    "de": ["der", "die", "und", "das", "nicht", "ist", "ein", "mit"],
+    "fr": ["le", "la", "les", "des", "est", "une", "dans", "pour"],
+}
+
+PUNCT_CLASS = r"[.,;:!?'\"()\[\]{}-]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text; empty text -> empty
+    array (split of '' yields [''], which we filter)."""
+    return F.filter(
+        F.split(F.trim(text), r"\s+"),
+        lambda t: t != "",
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    punct = F.length(text) - F.length(
+        F.regexp_replace(text, PUNCT_CLASS, ""))
+    return F.when(F.length(text) > 0,
+                  punct.cast("double") / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of ``lang``."""
+    sw = STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*sw)))
+    return F.when(F.size(toks) > 0,
+                  hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def avg_token_length(text: Column) -> Column:
+    toks = tokens(text)
+    total = F.aggregate(toks, F.lit(0),
+                        lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0,
+                  total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality heuristic in [0, 1]: rewards reasonable
+    length, English stopword presence, and sane punctuation density.
+    Deliberately simple and fully declarative."""
+    len_score = F.least(F.length(text).cast("double") / F.lit(500.0),
+                        F.lit(1.0))
+    sw_score = F.least(stopword_ratio(text, "en") * F.lit(4.0), F.lit(1.0))
+    punct_penalty = F.greatest(
+        F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(5.0))
+    return (len_score + sw_score + punct_penalty) / F.lit(3.0)
+
+
+def detect_language(text: Column) -> Column:
+    """Stopword-vote language ID over {en, es, de, fr}; ties and
+    no-hits -> 'und'.  One pass over the token array per language —
+    four filtered size() expressions, all codegen'd."""
+    toks = tokens(F.lower(text))
+
+    def hits(sw):
+        # NB: the lambda must be unary — pyspark dispatches on lambda
+        # arity, and a second (default) parameter would receive the
+        # array-index Column instead of the intended closure value.
+        return F.size(F.filter(toks, lambda t: t.isin(*sw)))
+
+    scores = [(lang, hits(sw)) for lang, sw in STOPWORDS.items()]
+    best = F.greatest(*[s for _, s in scores])
+    result = F.lit("und")
+    # first language reaching the max wins (deterministic order)
+    for lang, s in reversed(scores):
+        result = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the whitespace-normalized,
+    lowercased text.  Stable across engines; used for exact-content
+    dedup and incremental-resume keys."""
+    return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))

@@ -1,0 +1,741 @@
+"""Named queries + DuckDB oracle SQL — the engine's correctness corpus.
+
+Every operator claimed in SURVEY.md §2 is exercised by at least one
+entry here; the driver runs the Spark side and the oracle SQL
+side-by-side at sf0.01 and compares row count + schema + value hash.
+
+Portability rules observed throughout (hard-won, keep them):
+  * DuckDB ``regexp_replace`` needs the ``'g'`` flag; Spark's is
+    global by default.
+  * Spark int32 producers (``size``, ``posexplode``, ``row_number``)
+    are cast to ``long`` to match DuckDB's BIGINT.
+  * Float aggregates are rounded identically on both sides (money 2dp,
+    averages/ratios 4-6dp) so parallel-summation ulp noise can't flip
+    the value hash.
+  * MinHash uses fixed-width md5-hex-prefix strings; lexicographic min
+    == numeric min, identical in both engines.
+  * All computed columns aliased to the same name on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trial_data_ingestion_spark.functions.text import (
+    normalize_doi, stable_doc_id,
+)
+from trial_data_ingestion_spark.functions.vector import cosine_similarity
+from trial_data_ingestion_spark.operators import chunking, dedup, textstats
+from trial_data_ingestion_spark.operators.similarity import topk_bruteforce
+
+QUERIES: dict = {}
+ORACLE: dict = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events loader: the driver parquet stores ``ts`` as
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects.  Read
+    nanos as long (legacy conf, runtime-settable) and truncate to
+    microseconds — the same floor conversion DuckDB applies — so both
+    engines see identical timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+        raw = raw.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)
+                                     .cast("long")))
+    return raw
+
+
+# ===========================================================================
+# Relational core (SURVEY.md §2.5-2.6 "not in reference but required")
+# ===========================================================================
+
+@_register("q01_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                   AS sum_qty,
+       round(sum(l_extendedprice), 2)                              AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4)                                   AS avg_qty,
+       round(avg(l_extendedprice), 4)                              AS avg_price,
+       round(avg(l_discount), 6)                                   AS avg_disc,
+       count(*)                                                    AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: scan -> pushed filter -> partial+final hash agg."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+               F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+               F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+               F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2)
+                .alias("sum_charge"),
+               F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+               F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+               F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+               F.count(F.lit(1)).alias("count_order"))
+    )
+
+
+@_register("q02_revenue_by_segment", """
+SELECT c_mktsegment,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(DISTINCT o_orderkey)                        AS n_orders
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY c_mktsegment
+""")
+def q02_revenue_by_segment(spark, sf_dir):
+    """3-way join: customer broadcast, orders/lineitem shuffle on key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o.where(F.col("o_orderdate") <
+                        F.lit("1997-01-01").cast("timestamp")),
+                li.l_orderkey == o.o_orderkey)
+          .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+          .groupBy("c_mktsegment")
+          .agg(F.round(F.sum(F.col("l_extendedprice")
+                             * (1 - F.col("l_discount"))), 2).alias("revenue"),
+               F.countDistinct("o_orderkey").alias("n_orders"))
+    )
+
+
+@_register("q03_region_rollup", """
+SELECT r_name, n_name,
+       count(*)                  AS n_customers,
+       round(sum(c_acctbal), 2)  AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""")
+def q03_region_rollup(spark, sf_dir):
+    """ROLLUP over the dimension hierarchy; dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+         .rollup("r_name", "n_name")
+         .agg(F.count(F.lit(1)).alias("n_customers"),
+              F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"))
+    )
+
+
+@_register("q04_priority_semijoin", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q04_priority_semijoin(spark, sf_dir):
+    """Left-semi join (EXISTS) then count per priority."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li.where(F.col("l_quantity") > 45),
+               o.o_orderkey == li.l_orderkey, "left_semi")
+         .groupBy("o_orderpriority")
+         .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@_register("q05_top_orders_per_customer", """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM orders)
+WHERE rnk <= 3
+""")
+def q05_top_orders_per_customer(spark, sf_dir):
+    """Top-k per group via ranking window (deterministic tiebreak)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
+                                                F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("long"))
+         .where(F.col("rnk") <= 3)
+         .select("o_custkey", "o_orderkey",
+                 F.round("o_totalprice", 2).alias("totalprice"), "rnk")
+    )
+
+
+@_register("q06_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q06_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: every predicate pushed to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+                 & (F.col("l_discount") >= 0.05)
+                 & (F.col("l_discount") <= 0.07)
+                 & (F.col("l_quantity") < 24))
+          .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                       2).alias("revenue"),
+               F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@_register("q07_set_ops", """
+SELECT custkey FROM (
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  INTERSECT
+  SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 50000
+) UNION
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def q07_set_ops(spark, sf_dir):
+    """INTERSECT / UNION / EXCEPT (distinct set semantics)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    building = (c.where(F.col("c_mktsegment") == "BUILDING")
+                 .select(F.col("c_custkey").alias("custkey")))
+    big = (o.where(F.col("o_totalprice") > 50000)
+            .select(F.col("o_custkey").alias("custkey")))
+    negative = (c.where(F.col("c_acctbal") < 0)
+                 .select(F.col("c_custkey").alias("custkey")))
+    finished = (o.where(F.col("o_orderstatus") == "F")
+                 .select(F.col("o_custkey").alias("custkey")))
+    return (building.intersect(big).union(negative).distinct()
+            .exceptAll(finished.distinct()))
+
+
+@_register("q08_distinct_agg", """
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS n_customers,
+       count(*)                  AS n_orders,
+       round(avg(o_totalprice), 4) AS avg_price
+FROM orders GROUP BY o_orderstatus
+""")
+def q08_distinct_agg(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+             .agg(F.countDistinct("o_custkey").alias("n_customers"),
+                  F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+
+
+@_register("q09_customers_without_orders", """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""")
+def q09_customers_without_orders(spark, sf_dir):
+    """Left-anti join (J4 resume shape / NOT EXISTS)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+             .select("c_custkey", "c_name"))
+
+
+@_register("q10_events_cube", """
+SELECT event_type, date_trunc('day', ts) AS day,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY CUBE (event_type, date_trunc('day', ts))
+""")
+def q10_events_cube(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (ev.withColumn("day", F.date_trunc("day", "ts"))
+              .cube("event_type", "day")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("total_value")))
+
+
+@_register("q11_json_props", """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT))           AS max_k,
+       count(*) AS n
+FROM events GROUP BY event_type
+""")
+def q11_json_props(spark, sf_dir):
+    """X10 — JSON-in-string extraction (events.props)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.avg(k), 4).alias("avg_k"),
+                   F.max(k).alias("max_k"),
+                   F.count(F.lit(1)).alias("n")))
+
+
+@_register("q12_running_window", """
+SELECT event_id, user_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+         AS running_value,
+       round(coalesce(lag(value) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id), 0), 2) AS prev_value
+FROM events
+""")
+def q12_running_window(spark, sf_dir):
+    """Analytic windows: running sum frame + lag."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.sum("value").over(frame), 2).alias("running_value"),
+        F.round(F.coalesce(F.lag("value").over(w), F.lit(0.0)), 2)
+         .alias("prev_value"))
+
+
+@_register("q13_hourly_events", """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+""")
+def q13_hourly_events(spark, sf_dir):
+    """Tumbling-window agg via F.window (batch twin of the streaming
+    query in streaming/events.py); 1h windows align with date_trunc."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.avg("value"), 4).alias("avg_value"))
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events", "avg_value"))
+
+
+@_register("q22_sessionize", """
+WITH g AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 2) AS session_value
+FROM (SELECT user_id, value,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM g)
+GROUP BY user_id, session_id
+""")
+def q22_sessionize(spark, sf_dir):
+    """Batch sessionization (30-min gap), the DataFrame analog of
+    session_window streaming (§2.10)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    return (ev.withColumn("is_new", is_new)
+              .withColumn("session_id",
+                          F.sum("is_new").over(frame).cast("long"))
+              .groupBy("user_id", "session_id")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   F.round(F.sum("value"), 2).alias("session_value")))
+
+
+@_register("q23_asof_last_purchase", """
+SELECT event_id, user_id,
+       round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END
+                                 IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1), 2)
+         AS last_purchase_value
+FROM events
+""")
+def q23_asof_last_purchase(spark, sf_dir):
+    """As-of (most recent prior value) via last_value IGNORE NULLS —
+    the union+window trick for as-of joins Spark lacks natively."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pv = F.last(F.when(F.col("event_type") == "purchase", F.col("value")),
+                ignorenulls=True).over(w)
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.coalesce(pv, F.lit(-1.0)), 2).alias("last_purchase_value"))
+
+
+# ===========================================================================
+# Ingestion-shaped operators on the documents table (SURVEY.md §2.3, §2.7)
+# ===========================================================================
+
+_TOKS = "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+_LTOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+
+
+def _sw_pred(words):
+    return " OR ".join(f"x = '{w}'" for w in words)
+
+
+@_register("q14_doc_stats_by_source", f"""
+SELECT source, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+       round(avg(CAST(len({_TOKS}) AS DOUBLE)), 4) AS avg_tokens
+FROM documents GROUP BY source
+""")
+def q14_doc_stats_by_source(spark, sf_dir):
+    """Flagship shape: text scan -> native token stats -> group agg."""
+    d = _t(spark, sf_dir, "documents")
+    tc = textstats.token_count(F.col("text")).cast("long")
+    return (d.withColumn("tc", tc)
+             .groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+                  F.sum("tc").alias("total_tokens"),
+                  F.round(F.avg(F.col("tc").cast("double")), 4)
+                   .alias("avg_tokens")))
+
+
+@_register("q15_fingerprint_dedup", """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+       min(doc_id) AS doc_id
+FROM documents GROUP BY 1
+""")
+def q15_fingerprint_dedup(spark, sf_dir):
+    """Exact content dedup: fingerprint group -> keep min id (P5/A5)."""
+    d = _t(spark, sf_dir, "documents")
+    return (d.withColumn("fp", textstats.fingerprint(F.col("text")))
+             .groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
+
+
+@_register("q16_stable_doc_id", """
+WITH d AS (
+  SELECT doc_id, text, lang,
+         CASE WHEN doc_id % 3 = 0 THEN NULL
+              ELSE 'https://doi.org/10.1000/DOC.' || CAST(doc_id AS VARCHAR)
+         END AS doi_raw
+  FROM documents)
+SELECT doc_id,
+       nullif(lower(trim(regexp_replace(doi_raw,
+              '^https?://(dx\\.)?doi\\.org/', '', 'g'))), '') AS doi_norm,
+       coalesce(nullif(lower(trim(regexp_replace(doi_raw,
+                '^https?://(dx\\.)?doi\\.org/', '', 'g'))), ''),
+                'hash:' || substr(sha256(text || '|' || lang), 1, 16))
+         AS doc_uid
+FROM d
+""")
+def q16_stable_doc_id(spark, sf_dir):
+    """P1 DOI normalize + P9 stable hash id with sha256 fallback."""
+    d = _t(spark, sf_dir, "documents")
+    doi_raw = F.when(F.col("doc_id") % 3 == 0, F.lit(None)).otherwise(
+        F.concat(F.lit("https://doi.org/10.1000/DOC."),
+                 F.col("doc_id").cast("string")))
+    dn = normalize_doi(doi_raw)
+    return d.select(
+        "doc_id", dn.alias("doi_norm"),
+        stable_doc_id(dn, F.col("text"), F.col("lang")).alias("doc_uid"))
+
+
+@_register("q17_chunk_fixed", """
+WITH RECURSIVE t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents),
+st AS (
+  SELECT doc_id, txt, length(txt) AS n,
+         CAST(0 AS BIGINT) AS s, CAST(0 AS BIGINT) AS ci
+  FROM t WHERE length(txt) > 0
+  UNION ALL
+  SELECT doc_id, txt, n,
+         (CASE WHEN e0 < n AND ws > 0 THEN e0 + ws - 1 ELSE e0 END) - 40 AS s,
+         ci + 1
+  FROM (SELECT doc_id, txt, n, s, ci,
+               least(n, s + 200) AS e0,
+               position(' ' IN substr(txt,
+                        CAST(least(n, s + 200) AS INTEGER) + 1, 40)) AS ws
+        FROM st)
+  WHERE (CASE WHEN e0 < n AND ws > 0 THEN e0 + ws - 1 ELSE e0 END) < n),
+ch AS (
+  SELECT doc_id, ci,
+         trim(substr(txt, CAST(s AS INTEGER) + 1,
+              CAST((CASE WHEN e0 < n AND ws > 0 THEN e0 + ws - 1 ELSE e0 END)
+                   - s AS INTEGER))) AS chunk_text
+  FROM (SELECT doc_id, txt, n, s, ci,
+               least(n, s + 200) AS e0,
+               position(' ' IN substr(txt,
+                        CAST(least(n, s + 200) AS INTEGER) + 1, 40)) AS ws
+        FROM st))
+SELECT doc_id,
+       row_number() OVER (PARTITION BY doc_id ORDER BY ci) - 1 AS chunk_index,
+       chunk_text,
+       CAST(doc_id AS VARCHAR) || '::c' ||
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ci) - 1
+              AS VARCHAR) AS chunk_id
+FROM ch WHERE chunk_text <> ''
+""")
+def q17_chunk_fixed(spark, sf_dir):
+    """C1/C3 char-window chunker (size 200, overlap 40, whitespace
+    bump <=40) — oracle reproduces the iterative recurrence with a
+    recursive CTE."""
+    d = _t(spark, sf_dir, "documents")
+    ch = chunking.chunk_fixed(d, "text", "doc_id", 200, 40)
+    return ch.select("doc_id", F.col("chunk_index").cast("long")
+                     .alias("chunk_index"), "chunk_text", "chunk_id")
+
+
+@_register("q18_chunk_tokens", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM documents),
+n AS (SELECT doc_id, toks, len(toks) AS ntok FROM t WHERE len(toks) > 0)
+SELECT CAST(doc_id AS VARCHAR) AS article_id,
+       CAST(doc_id AS VARCHAR) || '::chunk_' || CAST(i AS VARCHAR) AS chunk_id,
+       array_to_string(list_slice(toks, i * 40 + 1,
+                                  least(i * 40 + 50, ntok)), ' ') AS text,
+       CAST(least(i * 40 + 50, ntok) - i * 40 AS INTEGER) AS n_tokens
+FROM n CROSS JOIN generate_series(0, 1000) g(i)
+WHERE i = 0 OR (i - 1) * 40 + 50 < ntok
+""")
+def q18_chunk_tokens(spark, sf_dir):
+    """C4 token-window chunker (50-token windows, 10 overlap) in the
+    v1 output shape (article_id, chunk_id, text, n_tokens)."""
+    d = _t(spark, sf_dir, "documents")
+    return chunking.chunk_by_tokens(d, "text", "doc_id",
+                                    max_tokens=50, overlap=10)
+
+
+# ===========================================================================
+# Dedup / similarity (north-star extensions)
+# ===========================================================================
+
+@_register("q19_minhash_dedup", """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, substr(txt, CAST(i AS INTEGER), 8) AS s
+  FROM t CROSS JOIN generate_series(1, 2000) g(i)
+  WHERE i <= greatest(1, length(txt) - 7)),
+mh AS (
+  SELECT doc_id, j AS seed,
+         min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS mv
+  FROM sh CROSS JOIN generate_series(0, 15) g2(j)
+  GROUP BY doc_id, j),
+bd AS (
+  SELECT doc_id, band, string_agg(mv, ',' ORDER BY seed) AS bucket
+  FROM (SELECT doc_id, seed, mv, seed // 4 AS band FROM mh)
+  GROUP BY doc_id, band),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bd a JOIN bd b ON a.band = b.band AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS ninter
+  FROM cand c
+  JOIN sh x ON x.doc_id = c.doc_a
+  JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
+  GROUP BY c.doc_a, c.doc_b),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
+dup AS (
+  SELECT DISTINCT i.doc_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.8)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+""")
+def q19_minhash_dedup(spark, sf_dir):
+    """MinHash(16 hashes, 4 bands)+LSH near-dup removal with exact
+    Jaccard(>=0.8) verification on 8-char shingles; survivors only."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.dedup_minhash(d, "doc_id", "text", k=8,
+                              num_hashes=16, bands=4, threshold=0.8)
+    return out.select("doc_id")
+
+
+@_register("q20_knn_cosine", """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+             list_dot_product(e.v, q.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(q.qv, q.qv))) AS c
+      FROM e CROSS JOIN q WHERE e.vec_id <> q.query_id)
+SELECT query_id, neighbor_id, round(c, 6) AS score, rnk AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+""")
+def q20_knn_cosine(spark, sf_dir):
+    """E7 exact top-k cosine for 3 query vectors (k=5, self excluded)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id").isin(0, 1, 2))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    out = topk_bruteforce(emb, qs, k=5, metric="cosine")
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@_register("q24_resume_antijoin", """
+WITH f AS (SELECT doc_id, source,
+                  md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           FROM documents)
+SELECT source, count(*) AS n_new
+FROM f
+WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id % 10 = 0)
+GROUP BY source
+""")
+def q24_resume_antijoin(spark, sf_dir):
+    """J4/F8 incremental-resume anti-join on content fingerprints."""
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "fp", textstats.fingerprint(F.col("text")))
+    existing = d.where(F.col("doc_id") % 10 == 0).select("fp")
+    return (d.join(existing, "fp", "left_anti")
+             .groupBy("source").agg(F.count(F.lit(1)).alias("n_new")))
+
+
+@_register("q25_failure_taxonomy", """
+SELECT CASE WHEN text IS NULL OR length(text) = 0 THEN 'no_text'
+            WHEN length(text) < 200 THEN 'abstract_only'
+            ELSE 'ok' END AS reason,
+       count(*) AS n
+FROM documents GROUP BY 1
+""")
+def q25_failure_taxonomy(spark, sf_dir):
+    """P6 min-length gate + A2 failure breakdown (the reference's
+    skip-reason taxonomy, fulltext_enricher.py:199-232)."""
+    d = _t(spark, sf_dir, "documents")
+    reason = (F.when(F.col("text").isNull() | (F.length("text") == 0),
+                     "no_text")
+               .when(F.length("text") < 200, "abstract_only")
+               .otherwise("ok"))
+    return (d.select(reason.alias("reason"))
+             .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))
+
+
+# ----- rows-only checks (no SQL-expressible oracle) -----------------------
+
+@_register("q26_simhash_pairs")
+def q26_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (blocked Hamming search). Rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.simhash_near_dups(d, "doc_id", "text",
+                                  max_hamming=12, prefix_bits=8)
+    return out.select("doc_a", "doc_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+@_register("q27_lsh_topk")
+def q27_lsh_topk(spark, sf_dir):
+    """Approximate ANN via SRP-LSH buckets + exact rescoring. Rows-only."""
+    from trial_data_ingestion_spark.operators.similarity import topk_lsh
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id").isin(0, 1, 2))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    out = topk_lsh(emb, qs, dim=64, k=5, num_planes=8, multiprobe_hamming=1)
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+# ===========================================================================
+# Per-doc text analytics (north-star text analysis)
+# ===========================================================================
+
+_SW = textstats.STOPWORDS
+
+
+def _lang_sql() -> str:
+    hits = ",\n         ".join(
+        f"len(list_filter(ltoks, x -> {_sw_pred(ws)})) AS h_{lang}"
+        for lang, ws in _SW.items())
+    langs = list(_SW)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = " ".join(
+        f"WHEN {best} > 0 AND h_{l} = {best} THEN '{l}'" for l in langs)
+    return f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks, {_LTOKS} AS ltoks FROM documents),
+h AS (
+  SELECT doc_id, toks, ltoks,
+         {hits}
+  FROM t)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       round(CASE WHEN len(toks) > 0
+             THEN CAST(list_sum(list_transform(toks, x -> length(x)))
+                       AS DOUBLE) / len(toks) ELSE 0.0 END, 6)
+         AS avg_token_len,
+       round(CASE WHEN len(ltoks) > 0
+             THEN CAST(len(list_filter(ltoks, x -> {_sw_pred(_SW['en'])}))
+                       AS DOUBLE) / len(ltoks) ELSE 0.0 END, 6)
+         AS stopword_ratio_en,
+       CASE {case} ELSE 'und' END AS lang_pred
+FROM h
+"""
+
+
+@_register("q21_text_analysis", _lang_sql())
+def q21_text_analysis(spark, sf_dir):
+    """Token count, avg token length, stopword ratio, stopword-vote
+    language ID — all native expressions (no UDF)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        F.round(textstats.avg_token_length(F.col("text")), 6)
+         .alias("avg_token_len"),
+        F.round(textstats.stopword_ratio(F.col("text"), "en"), 6)
+         .alias("stopword_ratio_en"),
+        textstats.detect_language(F.col("text")).alias("lang_pred"))
+
+
+# ===========================================================================
+# Entry flagship
+# ===========================================================================
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> whitespace-normalize -> C1 chunk -> posexplode ->
+    per-source aggregate.  Exercises scan, Arrow UDF, explode, and
+    hash aggregation in one lazy DAG (SURVEY.md §7 step 1)."""
+    d = _t(spark, sf_dir, "documents")
+    ch = chunking.chunk_fixed(d, "text", "doc_id", 200, 40,
+                              keep_cols=["source"])
+    return (ch.groupBy("source")
+              .agg(F.count(F.lit(1)).alias("n_chunks"),
+                   F.round(F.avg(F.length("chunk_text")), 4)
+                    .alias("avg_chunk_chars"),
+                   F.countDistinct("doc_id").alias("n_docs")))

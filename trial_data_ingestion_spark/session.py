@@ -1,0 +1,66 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[32]``; the same config block is what we
+would ship to a 1000-executor cluster (AQE, skew-join handling,
+partition coalescing, Arrow batching for the Pandas-UDF kernels).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Tuning constants mirrored from the reference's operating point
+# (BASELINE.md): Arrow batch ~ embed batch, shuffle partitions sized
+# for the local harness; on a real cluster AQE coalesces upward.
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "trial-data-ingestion-spark",
+              master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's defaults.
+
+    All settings are plain public Spark configs:
+      * AQE on: runtime coalescing, skew-join splitting, dynamic
+        join-strategy switch — our substitute for hand-tuning at SF.
+      * Arrow enabled: every mapInPandas kernel (JATS parse, chunker,
+        embedder) moves batches, not rows.
+      * Broadcast threshold left at default (10 MB) — dimension
+        tables (region/nation/supplier) broadcast automatically;
+        query code additionally hints ``broadcast()`` where the
+        statistics wouldn't be known at plan time.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                tables: tuple[str, ...] = (
+                    "region", "nation", "customer", "supplier", "part",
+                    "orders", "lineitem", "events", "documents",
+                    "embeddings",
+                )) -> dict:
+    """Load the driver parquet tables from ``sf_dir`` as DataFrames.
+
+    Parquet scans keep Catalyst's predicate pushdown / column pruning
+    available to every downstream query.
+    """
+    return {t: spark.read.parquet(f"{sf_dir}/{t}.parquet") for t in tables}
