@@ -1,0 +1,66 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count over the result (no
+driver-side collect of payload rows).  Queries span the engine's
+main physical shapes: scan+agg, shuffle join, window, Arrow-UDF
+chunking, LSH dedup, vector top-k.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_revenue_by_segment",
+    "q05_top_orders_per_customer",
+    "q12_running_window",
+    "q14_doc_stats_by_source",
+    "q17_chunk_fixed",
+    "q19_minhash_dedup",
+    "q20_knn_cosine",
+    "q22_sessionize",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from trial_data_ingestion_spark.plans import QUERIES
+    from trial_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JIT/IO warm-up on a cheap query so steady-state numbers are
+    # representative of a long-lived cluster.
+    QUERIES["q01_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline-query wall time, local[" +
+                  os.environ.get("SPARK_GRAFT_CPUS", "32") + "]",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

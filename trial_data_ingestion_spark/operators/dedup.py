@@ -80,31 +80,54 @@ def _hash_hex(c: Column) -> Column:
 
 
 def char_shingles(text: Column, k: int = 8) -> Column:
-    """Distinct k-char shingles of the whitespace-normalized text,
-    computed natively: sequence(1, n-k+1) -> substring."""
+    """Distinct k-char shingles of the whitespace-normalized text as an
+    array column (sequence -> substring).  Convenient for small inputs;
+    the scalable path is :func:`shingle_table` (exploded, codegen'd)."""
     norm = F.trim(F.regexp_replace(text, r"\s+", " "))
     idx = F.sequence(F.lit(1),
                      F.greatest(F.lit(1), F.length(norm) - F.lit(k - 1)))
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature as ``array<string>`` (fixed-width hex) of
-    length ``num_hashes``.
+def shingle_table(df: DataFrame, id_col: str, text_col: str,
+                  k: int = 8) -> DataFrame:
+    """Exploded (doc, shingle) table — the scale-path representation.
 
-    Hash family i is ``md5(i || ':' || shingle)`` — independent enough
-    for LSH and reproducible in any engine with md5.  Entirely native
-    (transform + array_min), no shuffle, no UDF.
+    Higher-order array functions are *interpreted* in Spark (no
+    whole-stage codegen), which made an array-based MinHash ~100x
+    slower per doc.  Exploding shingle positions keeps every
+    expression (substring, md5, min) inside codegen, and the follow-up
+    ``groupBy(doc)`` aggregation gets map-side partial combine.
+
+    NOT deduplicated: min-over-multiset == min-over-set, so MinHash
+    signatures don't need a distinct; Jaccard verification applies
+    ``.distinct()`` itself.
     """
-    def seeded(i: int):
-        # Unary lambda via closure: pyspark dispatches on lambda arity,
-        # so a defaulted second parameter would capture the array-index
-        # Column, not the seed.
-        return lambda s: _hash_hex(F.concat(F.lit(f"{i}:"), s))
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return (
+        df.select(F.col(id_col).alias("doc"), norm.alias("__txt"))
+          .where(F.length("__txt") > 0)
+          .select("doc", F.explode(F.sequence(
+              F.lit(1),
+              F.greatest(F.lit(1), F.length("__txt") - F.lit(k - 1))))
+              .alias("__i"), "__txt")
+          .select("doc", F.col("__txt").substr(F.col("__i"), F.lit(k))
+                  .alias("s"))
+    )
 
-    sigs = [F.array_min(F.transform(shingles, seeded(i)))
-            for i in range(num_hashes)]
-    return F.array(*sigs)
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       k: int = 8, num_hashes: int = 32) -> DataFrame:
+    """One row per doc with columns ``h0..h{n-1}`` (15-char md5-hex
+    MinHash values).  Single shuffle: groupBy(doc) with ``num_hashes``
+    partial-min aggregates; everything codegen'd."""
+    sh = shingle_table(df, id_col, text_col, k)
+    aggs = [
+        F.min(_hash_hex(F.concat(F.lit(f"{i}:"), F.col("s"))))
+         .alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -112,24 +135,20 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            bands: int = 8) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Pipeline: shingle -> signature -> split into ``bands`` bands ->
-    bucket key = (band_index, band signature) -> self-join on bucket ->
-    distinct (a < b) pairs.  The self-join shuffles on bucket keys
-    only; at 100 TB this is the standard scalable near-dup plan
-    (signatures are ~256 bytes/doc regardless of doc size).
+    signatures -> per-band bucket key (concat of the band's hashes) ->
+    explode to (doc, band, bucket) -> self-join on bucket -> distinct
+    (a < b) pairs.  The self-join shuffles on band buckets only; at
+    100 TB this is the standard scalable near-dup plan (signatures are
+    a few hundred bytes/doc regardless of doc size).
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("doc"),
-        minhash_signature(char_shingles(F.col(text_col), k),
-                          num_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, k, num_hashes)
     banded = sig.select(
         "doc",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.concat_ws(",", *[
-                         F.element_at("sig", b * rows_per_band + r + 1)
+                         F.col(f"h{b * rows_per_band + r}")
                          for r in range(rows_per_band)
                      ]).alias("bucket"))
             for b in range(bands)
@@ -149,35 +168,44 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
                    text_col: str, k: int = 8,
                    threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard on candidate pairs.
-
-    Joins the (tiny) candidate set back to per-doc shingle arrays and
-    computes |A ∩ B| / |A ∪ B| natively.  Only candidate pairs pay the
-    set-intersection cost — the whole point of LSH prefiltering.
-    """
-    sh = df.select(F.col(id_col).alias("doc"),
-                   char_shingles(F.col(text_col), k).alias("sh"))
-    out = (
+    """Exact n-gram Jaccard on candidate pairs via the exploded
+    shingle table: |A ∩ B| from a shingle equi-join restricted to
+    candidate pairs, |A ∪ B| = |A| + |B| - |A ∩ B|.  Only candidate
+    pairs pay the set-intersection cost — the point of LSH
+    prefiltering."""
+    shd = shingle_table(df, id_col, text_col, k).distinct()
+    sizes = shd.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    inter = (
         candidates
-        .join(sh.withColumnsRenamed({"doc": "doc_a", "sh": "sh_a"}), "doc_a")
-        .join(sh.withColumnsRenamed({"doc": "doc_b", "sh": "sh_b"}), "doc_b")
-        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
-        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .join(shd.withColumnsRenamed({"doc": "doc_a"}), "doc_a")
+        .join(shd.withColumnsRenamed({"doc": "doc_b", "s": "s_b"}), "doc_b")
+        .where(F.col("s") == F.col("s_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("ninter"))
+    )
+    return (
+        inter
+        .join(sizes.withColumnsRenamed({"doc": "doc_a", "nsh": "nsh_a"}),
+              "doc_a")
+        .join(sizes.withColumnsRenamed({"doc": "doc_b", "nsh": "nsh_b"}),
+              "doc_b")
+        .withColumn("jaccard",
+                    F.col("ninter") /
+                    (F.col("nsh_a") + F.col("nsh_b") - F.col("ninter")))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
-    return out
 
 
 def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.8) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> Jaccard verify ->
-    drop the higher id of each confirmed pair (connected via min-id
-    representative, one hop — adequate for near-dup clusters where
-    similarity is near-transitive)."""
-    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes, bands)
+    drop the higher id of each confirmed pair (min-id representative,
+    one hop — adequate for near-dup clusters where similarity is
+    near-transitive)."""
+    cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
+                                   bands)
     dups = (jaccard_verify(df, cands, id_col, text_col, k, threshold)
             .select(F.col("doc_b").alias(id_col)).distinct())
     return df.join(dups, id_col, "left_anti")
