@@ -9,9 +9,22 @@ SQL-expressible one has a DuckDB oracle twin.
 
 from __future__ import annotations
 
+import os as _os
+import sys as _sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+# Spark python workers must import trial_data_ingestion_spark (the
+# mapInPandas kernels are pickled by reference).  Workers inherit
+# PYTHONPATH at launch, so export the repo root for consumers whose
+# working directory is elsewhere.
+_REPO = _os.path.dirname(_os.path.abspath(__file__))
+if _REPO not in _sys.path:
+    _sys.path.insert(0, _REPO)
+if _REPO not in _os.environ.get("PYTHONPATH", ""):
+    _os.environ["PYTHONPATH"] = (
+        _REPO + _os.pathsep + _os.environ.get("PYTHONPATH", ""))
 
 
 def entry(spark: SparkSession) -> DataFrame:

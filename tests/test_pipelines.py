@@ -1,0 +1,119 @@
+"""End-to-end pipeline tests: fulltext enrichment (§3.1), chunk+embed+
+upsert (§3.2), upsert idempotency (SURVEY.md §5 items 4-5)."""
+
+from __future__ import annotations
+
+from tests import fixtures as FX
+
+
+def _fetcher_factory():
+    from trial_data_ingestion_spark.sources.http_connector import (
+        FixtureFetcher,
+    )
+    return FixtureFetcher(
+        doi_to_pmcid={
+            "10.1000/long": "PMC9999999",
+            "10.1000/short": "PMC7777777",   # abstract-only -> gate
+        },
+        pmcid_to_xml={
+            "PMC9999999": FX.long_jats(),
+            "PMC7777777": FX.JATS_ABSTRACT_ONLY,
+        },
+    )
+
+
+def _input(spark):
+    return spark.createDataFrame(
+        [("https://doi.org/10.1000/LONG", "Journal A"),
+         ("10.1000/long", "Dup Journal"),        # dup after normalize
+         ("10.1000/short", None),                 # abstract-only
+         ("10.1000/missing", "Journal B"),        # idconv miss
+         (None, "Journal C")],                    # null doi dropped
+        "doi string, journal string")
+
+
+def test_fulltext_pipeline(spark):
+    from trial_data_ingestion_spark.pipelines.fulltext import (
+        run_fulltext, summarize,
+    )
+    result = run_fulltext(_input(spark), _fetcher_factory)
+    records = result["records"].collect()
+    failures = {r["doi"]: r["reason"] for r in result["failures"].collect()}
+
+    assert len(records) == 1
+    rec = records[0]
+    assert rec["pmcid"] == "PMC9999999"
+    assert rec["source"] == "pmc"
+    assert rec["title"] == "Long Article"
+    assert rec["journal"] == "Journal A"          # keep-first dedup
+    assert len(rec["sections"]) == 1
+
+    assert failures["10.1000/short"] == "abstract_only"
+    assert failures["10.1000/missing"] == "idconv: no PMCID"
+
+    s = summarize(result)
+    assert s == {"input_unique_doi": 3, "appended": 1,
+                 "skipped_existing": 0, "failures": 2}
+
+
+def test_fulltext_resume_antijoin(spark):
+    from trial_data_ingestion_spark.pipelines.fulltext import (
+        run_fulltext, summarize,
+    )
+    existing = spark.createDataFrame([("10.1000/long",)],
+                                     "doi_norm string")
+    result = run_fulltext(_input(spark), _fetcher_factory,
+                          existing_df=existing)
+    s = summarize(result)
+    # the already-ingested doi is skipped before any fetch (F8)
+    assert s["skipped_existing"] == 1
+    assert s["appended"] == 0
+
+
+def test_ingest_embed_upsert_idempotent(spark, tmp_path):
+    from trial_data_ingestion_spark.pipelines.fulltext import run_fulltext
+    from trial_data_ingestion_spark.pipelines.ingest_embed import (
+        RunConfig, run_ingest_and_embed,
+    )
+    store = str(tmp_path / "vectors")
+    records = run_fulltext(_input(spark), _fetcher_factory)["records"]
+    cfg = RunConfig(chunker="by_section", chunk_size=300, chunk_overlap=30)
+
+    out1 = run_ingest_and_embed(spark, records, store, cfg)
+    rows1 = sorted([(r["chunk_id"], tuple(r["embedding"]))
+                    for r in out1.collect()])
+    assert rows1, "pipeline produced no chunks"
+    # metadata P15 attached
+    sample = out1.limit(1).collect()[0]
+    assert sample["chunker"] == "by_section"
+    assert sample["embed_backend"] == "hash"
+    assert sample["embedding_dim"] == 64
+
+    # run twice -> identical store (deterministic-id upsert contract)
+    out2 = run_ingest_and_embed(spark, records, store, cfg)
+    rows2 = sorted([(r["chunk_id"], tuple(r["embedding"]))
+                    for r in out2.collect()])
+    assert rows1 == rows2
+
+
+def test_upsert_replaces_by_key(spark, tmp_path):
+    from trial_data_ingestion_spark.sinks import (
+        read_upsert_table, upsert_parquet,
+    )
+    path = str(tmp_path / "store")
+    v1 = spark.createDataFrame([("a", 1), ("b", 1)], "id string, v int")
+    v2 = spark.createDataFrame([("b", 2), ("c", 2)], "id string, v int")
+    upsert_parquet(spark, v1, path, key="id", n_buckets=4)
+    upsert_parquet(spark, v2, path, key="id", n_buckets=4)
+    rows = {r["id"]: r["v"] for r in read_upsert_table(spark, path).collect()}
+    assert rows == {"a": 1, "b": 2, "c": 2}
+
+
+def test_fixture_fetcher_batches():
+    f = _fetcher_factory()
+    out, fails = f.idconv_batch(["10.1000/long", "nope"])
+    assert out == {"10.1000/long": "PMC9999999"}
+    assert fails == [("nope", "idconv: no PMCID")]
+    parsed, fails2 = f.efetch_batch(["PMC9999999", "PMCMISSING"])
+    assert "PMC9999999" in parsed
+    assert fails2[0][1] == "EFetch: article not found in response"

@@ -1,0 +1,97 @@
+"""Structured Streaming tests (§2.10): tumbling/session windows,
+streaming dedup, foreachBatch upsert — driven through real streams
+with availableNow triggers against the events fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    """events table (ts converted to micros) staged as a stream source."""
+    path = str(tmp_path_factory.mktemp("events_src"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    (raw.withColumn("ts", F.timestamp_micros(
+        F.floor(F.col("ts") / 1000).cast("long")))
+        .coalesce(2).write.mode("overwrite").parquet(path))
+    return path
+
+
+def _run_stream(df, tmp_path, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_match_batch(spark, event_dir, tmp_path):
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, tumbling_counts,
+    )
+    stream = read_event_stream(spark, event_dir)
+    _run_stream(tumbling_counts(stream, "1 hour", "2 hours"),
+                tmp_path, "tumbling")
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM tumbling").collect()}
+    batch = (spark.read.parquet(event_dir)
+             .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r["w"]["start"], r["event_type"]): r["n"]
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_session_windows(spark, event_dir, tmp_path):
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, session_counts,
+    )
+    stream = read_event_stream(spark, event_dir)
+    _run_stream(session_counts(stream, "30 minutes", "2 hours"),
+                tmp_path, "sessions")
+    rows = spark.sql("SELECT * FROM sessions").collect()
+    assert rows
+    total = sum(r["n_events"] for r in rows)
+    assert total == spark.read.parquet(event_dir).count()
+    # the streaming session count matches the batch sessionization (q22)
+    from trial_data_ingestion_spark.plans import QUERIES
+    batch_sessions = QUERIES["q22_sessionize"](
+        spark, "/root/testdata/sf0.001").count()
+    assert len(rows) == batch_sessions
+
+
+def test_streaming_dedup(spark, event_dir, tmp_path):
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, streaming_dedup,
+    )
+    stream = read_event_stream(spark, event_dir)
+    deduped = streaming_dedup(stream, ["user_id"], "10 hours")
+    q = (deduped.writeStream.format("memory").queryName("dedup")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    n = spark.sql("SELECT count(DISTINCT user_id) c FROM dedup").collect()
+    total = spark.sql("SELECT count(*) c FROM dedup").collect()
+    assert n[0]["c"] == total[0]["c"]  # one row per user survived
+
+
+def test_foreach_batch_upsert(spark, event_dir, tmp_path):
+    from trial_data_ingestion_spark.sinks import read_upsert_table
+    from trial_data_ingestion_spark.streaming.events import (
+        foreach_batch_upsert, read_event_stream,
+    )
+    store = str(tmp_path / "event_store")
+    stream = read_event_stream(spark, event_dir).select(
+        "event_id", "event_type", "value")
+    writer = foreach_batch_upsert(stream, spark, store, key="event_id",
+                                  checkpoint=str(tmp_path / "ckpt_up"))
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    n = read_upsert_table(spark, store).count()
+    assert n == spark.read.parquet(event_dir).count()

@@ -1,0 +1,116 @@
+"""Multimodal column conventions (north star): image/audio/video as
+opaque binary columns + typed metadata, processed by Arrow-batched
+kernels.
+
+The decode step itself needs media libraries that are not in this
+container, so decoding is STUBBED: ``decode_media`` raises
+``NotImplementedError`` unless handed a decoder, and tests use the
+deterministic fake decoder below.  Everything Spark-side — schema,
+partitioning, UDF signatures, batch shapes — is real and tested.
+
+Scale notes: media bytes ride in parquet binary columns (or out-of-
+line object-store paths via ``media_path`` for >~1 MB payloads —
+keeping row groups small enough to scan); kernels are ``mapInPandas``
+so bytes move Arrow-batched, never row-at-a-time pickled.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_METADATA = T.StructType([
+    T.StructField("media_type", T.StringType()),   # image|audio|video
+    T.StructField("format", T.StringType()),       # png|wav|mp4|...
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+])
+
+MEDIA_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("media", T.BinaryType()),        # inline payload
+    T.StructField("media_path", T.StringType()),   # or out-of-line ref
+    T.StructField("metadata", MEDIA_METADATA),
+])
+
+FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType()),
+    T.StructField("features", T.ArrayType(T.FloatType())),
+    T.StructField("feature_dim", T.IntegerType()),
+])
+
+
+def attach_fake_media(df: DataFrame, id_col: str,
+                      media_type: str = "image") -> DataFrame:
+    """Deterministic synthetic media for tests: payload bytes derived
+    from the id (sha256-keyed), metadata filled in."""
+    payload = F.sha2(F.col(id_col).cast("string"), 256).cast("binary")
+    meta = F.struct(
+        F.lit(media_type).alias("media_type"),
+        F.lit("fake").alias("format"),
+        F.lit(8).alias("width"), F.lit(8).alias("height"),
+        F.lit(0).cast("long").alias("duration_ms"))
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        payload.alias("media"),
+        F.lit(None).cast("string").alias("media_path"),
+        meta.alias("metadata"))
+
+
+def fake_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
+    """Deterministic stand-in for image/audio decode + featurize:
+    a byte-histogram projection.  Real deployments replace this with
+    PIL/librosa/ffmpeg-backed decoders of the same signature."""
+    h = hashlib.sha256(payload or b"").digest()
+    return (np.frombuffer(h[:dim * 2], dtype=np.uint8)
+            .astype(np.float32).reshape(dim, 2).mean(axis=1) / 255.0)
+
+
+def extract_features(df: DataFrame,
+                     decoder: Optional[Callable] = None,
+                     dim: int = 16) -> DataFrame:
+    """Decode/featurize kernel over the media column.
+
+    ``decoder(payload: bytes) -> np.ndarray`` runs once per row inside
+    an Arrow batch; with no decoder supplied this raises
+    ``NotImplementedError`` (media libs absent here) — tests pass
+    :func:`fake_decoder`."""
+    if decoder is None:
+        raise NotImplementedError(
+            "No media decoder available in this environment; pass a "
+            "decoder callable (tests use multimodal.fake_decoder).")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(m).astype(np.float32).tolist()
+                     for m in pdf["media"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "features": feats,
+                "feature_dim": [len(f) for f in feats],
+            })
+
+    return df.select("media_id", "media").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: explodes per-media frame
+    timestamps from metadata.duration_ms — the real frame decode would
+    run inside the downstream ``extract_features`` kernel."""
+    n_frames = (F.coalesce(F.col("metadata.duration_ms"), F.lit(0))
+                / F.lit(every_ms)).cast("int")
+    return (df.withColumn(
+                "__frame_idx",
+                F.explode(F.sequence(F.lit(0),
+                                     F.greatest(n_frames - 1, F.lit(0)))))
+              .withColumn("frame_ts_ms",
+                          (F.col("__frame_idx") * every_ms).cast("long"))
+              .select("media_id", "frame_ts_ms", "media"))

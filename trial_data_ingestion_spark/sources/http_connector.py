@@ -1,0 +1,250 @@
+"""Batched remote-lookup connector pattern S6-S10 (SURVEY.md §2.1/§2.9).
+
+The reference fetches DOI->PMCID mappings (idconv, <=150/call) and
+JATS fulltext (EFetch, <=80/call) through a driver-side thread pool
+(``preprocessing/fulltext_enricher.py:144-187``).  Spark-first design:
+
+* partition parallelism replaces the thread pool (F2) — each partition
+  runs batches sequentially through one session (F3);
+* batches are formed *inside* ``mapInPandas`` (F1), so Arrow batch
+  size and HTTP batch size decouple;
+* tasks are idempotent pure reads, so Spark task retry is safe (F4);
+* global request rate ≈ #concurrent partitions x per-partition rate —
+  choose ``df.repartition(n)`` from the rate budget, not data size
+  (F5; e.g. Springer's 90 rpm cap -> n x per-partition rpm <= 90).
+
+Tests run offline: ``FixtureFetcher`` serves canned responses with the
+same result/failure contract as the live NCBI fetcher
+(``sources/pmc.py:63-107,213-256``); the live implementation is gated
+behind a requests import and mirrors the reference's retry ladder
+(3 attempts, ``1.5**attempt`` backoff — pmc.py:14-41).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from trial_data_ingestion_spark.schemas import SECTIONS
+
+IDCONV_BATCH = 150   # fulltext_enricher.py:111
+EFETCH_BATCH = 80    # fulltext_enricher.py:112
+BATCH_THROTTLE_SEC = 0.10  # fulltext_enricher.py:114
+
+
+class RateLimiter:
+    """F5 — sliding-window client-side limiter (springer.py:28-45):
+    at most ``rpm`` acquisitions per 60s window, per partition."""
+
+    def __init__(self, rpm: int):
+        self.rpm = rpm
+        self._times: List[float] = []
+
+    def acquire(self) -> None:
+        now = time.monotonic()
+        self._times = [t for t in self._times if now - t < 60.0]
+        if len(self._times) >= self.rpm:
+            time.sleep(60.0 - (now - self._times[0]) + 0.01)
+        self._times.append(time.monotonic())
+
+
+def retry_with_backoff(fn: Callable, attempts: int = 3,
+                       backoff: float = 1.5):
+    """F4 — the reference's retry ladder (pmc.py:23-41)."""
+    last_err = None
+    for attempt in range(attempts):
+        try:
+            return fn(), None
+        except Exception as exc:  # noqa: BLE001 — connector boundary
+            last_err = str(exc)
+            if attempt < attempts - 1:
+                time.sleep(backoff ** attempt)
+    return None, last_err
+
+
+class FixtureFetcher:
+    """Deterministic offline fetcher for tests: dict-served lookups
+    with the reference's failure taxonomy."""
+
+    def __init__(self, doi_to_pmcid: Dict[str, str],
+                 pmcid_to_xml: Dict[str, str]):
+        self._ids = doi_to_pmcid
+        self._xml = pmcid_to_xml
+        self.idconv_calls = 0
+        self.efetch_calls = 0
+
+    def idconv_batch(self, dois: List[str]
+                     ) -> Tuple[Dict[str, str], List[Tuple[str, str]]]:
+        self.idconv_calls += 1
+        out, fails = {}, []
+        for d in dois:
+            if d in self._ids:
+                out[d] = self._ids[d]
+            else:
+                fails.append((d, "idconv: no PMCID"))
+        return out, fails
+
+    def efetch_batch(self, pmcids: List[str]
+                     ) -> Tuple[Dict[str, dict], List[Tuple[str, str]]]:
+        from trial_data_ingestion_spark.sources.jats import parse_jats
+        self.efetch_calls += 1
+        out, fails = {}, []
+        for p in pmcids:
+            xml = self._xml.get(p)
+            if xml is None:
+                fails.append((p, "EFetch: article not found in response"))
+                continue
+            rec = parse_jats(xml)
+            if rec["error"]:
+                fails.append((p, rec["error"]))
+            else:
+                out[p] = rec
+        return out, fails
+
+
+class LiveNCBIFetcher:
+    """Live NCBI connector mirroring sources/pmc.py semantics
+    (idconv JSON API + EFetch JATS). Requires network + requests;
+    never used in tests."""
+
+    IDCONV_URL = ("https://www.ncbi.nlm.nih.gov/pmc/utils/idconv/v1.0/"
+                  "?tool=spark-graft&format=json&ids=")
+    EFETCH_URL = ("https://eutils.ncbi.nlm.nih.gov/entrez/eutils/"
+                  "efetch.fcgi?db=pmc&retmode=xml&id=")
+
+    def __init__(self, timeout: int = 45, rpm: Optional[int] = None):
+        import requests  # deferred: offline envs never import this
+        self._session = requests.Session()
+        self._timeout = timeout
+        self._limiter = RateLimiter(rpm) if rpm else None
+
+    def _get(self, url: str) -> str:
+        if self._limiter:
+            self._limiter.acquire()
+        resp = self._session.get(
+            url, timeout=self._timeout,
+            headers={"User-Agent": "spark-graft/0.1"})
+        resp.raise_for_status()
+        return resp.text
+
+    def idconv_batch(self, dois):
+        import json as _json
+        def call():
+            return self._get(self.IDCONV_URL + ",".join(dois))
+        text, err = retry_with_backoff(call)
+        if text is None:
+            return {}, [(d, f"idconv: {err}") for d in dois]
+        out, fails = {}, []
+        records = _json.loads(text).get("records", [])
+        by_doi = {(r.get("doi") or "").lower(): r.get("pmcid")
+                  for r in records}
+        for d in dois:
+            pmcid = by_doi.get(d.lower())
+            if pmcid:
+                out[d] = pmcid
+            else:
+                fails.append((d, "idconv: no PMCID"))
+        return out, fails
+
+    def efetch_batch(self, pmcids):
+        import re as _re
+        from trial_data_ingestion_spark.sources.jats import (
+            parse_jats_response,
+        )
+        nums = [_re.sub(r"\D", "", p) for p in pmcids]
+        def call():
+            return self._get(self.EFETCH_URL + ",".join(nums))
+        text, err = retry_with_backoff(call)
+        if text is None:
+            return {}, [(p, f"efetch: {err}") for p in pmcids]
+        out, fails = {}, []
+        parsed = parse_jats_response(text)
+        by_pmcid = {r["pmcid"]: r for r in parsed if r.get("pmcid")}
+        for p in pmcids:
+            rec = by_pmcid.get(p)
+            if rec is None:
+                fails.append((p, "EFetch: article not found in response"))
+            elif rec["error"]:
+                fails.append((p, rec["error"]))
+            else:
+                out[p] = rec
+        return out, fails
+
+
+# --------------------------------------------------------------------------
+# Spark operators over a fetcher
+# --------------------------------------------------------------------------
+
+_IDCONV_SCHEMA = T.StructType([
+    T.StructField("doi_norm", T.StringType()),
+    T.StructField("pmcid", T.StringType()),
+    T.StructField("fetch_error", T.StringType()),
+])
+
+_EFETCH_SCHEMA = T.StructType([
+    T.StructField("pmcid", T.StringType()),
+    T.StructField("title", T.StringType()),
+    T.StructField("sections", SECTIONS),
+    T.StructField("abstract", T.StringType()),
+    T.StructField("fetch_error", T.StringType()),
+])
+
+
+def map_idconv(df: DataFrame, fetcher_factory: Callable,
+               key_col: str = "doi_norm",
+               batch_size: int = IDCONV_BATCH,
+               throttle_sec: float = 0.0) -> DataFrame:
+    """S6/J5 — distributed DOI->PMCID resolution.
+
+    Output has one row per input key: resolved (pmcid, null error) or
+    failed (null pmcid, error) — the batch set-difference J5 happens
+    inside the connector, so downstream is a plain left join.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetcher = fetcher_factory()
+        for pdf in batches:
+            keys = [k for k in pdf[key_col] if k]
+            rows = []
+            for i in range(0, len(keys), batch_size):
+                chunk = keys[i:i + batch_size]
+                out, fails = fetcher.idconv_batch(chunk)
+                rows += [(d, p, None) for d, p in out.items()]
+                rows += [(d, None, err) for d, err in fails]
+                if throttle_sec:
+                    time.sleep(throttle_sec)
+            yield pd.DataFrame(rows,
+                               columns=["doi_norm", "pmcid", "fetch_error"])
+
+    return (df.select(key_col).where(f"{key_col} is not null")
+              .mapInPandas(run, _IDCONV_SCHEMA))
+
+
+def map_efetch(df: DataFrame, fetcher_factory: Callable,
+               key_col: str = "pmcid",
+               batch_size: int = EFETCH_BATCH,
+               throttle_sec: float = 0.0) -> DataFrame:
+    """S7/S8 — distributed PMC JATS fetch + parse."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fetcher = fetcher_factory()
+        for pdf in batches:
+            keys = [k for k in pdf[key_col] if k]
+            rows = []
+            for i in range(0, len(keys), batch_size):
+                chunk = keys[i:i + batch_size]
+                out, fails = fetcher.efetch_batch(chunk)
+                rows += [(p, r["title"], r["sections"], r["abstract"],
+                          None) for p, r in out.items()]
+                rows += [(p, None, [], None, err) for p, err in fails]
+                if throttle_sec:
+                    time.sleep(throttle_sec)
+            yield pd.DataFrame(
+                rows, columns=["pmcid", "title", "sections", "abstract",
+                               "fetch_error"])
+
+    return (df.select(key_col).where(f"{key_col} is not null").distinct()
+              .mapInPandas(run, _EFETCH_SCHEMA))

@@ -1,0 +1,99 @@
+"""Structured Streaming operators over the events stream
+(SURVEY.md §2.10).
+
+The reference has zero streaming code — its incremental resume (F8,
+append-only output + seen-key skip) is a batch approximation of
+exactly these primitives.  All built-in: file/readStream source,
+watermarks for late data, tumbling/sliding/session windows, streaming
+dedup (the streaming analog of P5), and a ``foreachBatch`` upsert
+(the streaming analog of the J6/K5 merge).
+
+Scale notes: every aggregation here is keyed-state with watermark
+eviction, so state size is bounded by (#keys x window horizon), not
+stream length; the foreachBatch upsert inherits the bucketed-merge
+cost model of ``sinks.upsert_parquet``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.schemas import SECTIONS  # noqa: F401
+
+EVENT_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      schema: str = EVENT_SCHEMA,
+                      fmt: str = "parquet",
+                      max_files_per_trigger: Optional[int] = None
+                      ) -> DataFrame:
+    """File-source event stream (the ingest-directory pattern)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(path)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour",
+                    watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window per-type aggregate with late-data watermark."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n_events", "total_value"))
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour",
+                   slide: str = "15 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window aggregate (overlapping windows)."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "n_events"))
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Session-window aggregate per user (gap-based sessions) — the
+    streaming twin of the batch q22_sessionize query."""
+    return (events.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("session_value"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "user_id", "n_events", "session_value"))
+
+
+def streaming_dedup(events: DataFrame, keys: list[str],
+                    watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup with bounded state — P5/F8's streaming
+    analog: a key is remembered until the watermark passes it."""
+    return events.withWatermark("ts", watermark).dropDuplicates(keys)
+
+
+def foreach_batch_upsert(stream: DataFrame, spark: SparkSession,
+                         path: str, key: str, checkpoint: str,
+                         n_buckets: int = 16):
+    """Stateful streaming upsert: each micro-batch merges by key into
+    the bucketed parquet table (J6 semantics, exactly-once per batch
+    via the checkpointed batch id + idempotent merge)."""
+    from trial_data_ingestion_spark.sinks import upsert_parquet
+
+    def do_merge(batch_df: DataFrame, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_parquet(spark, batch_df, path, key, n_buckets)
+
+    return (stream.writeStream.foreachBatch(do_merge)
+            .option("checkpointLocation", checkpoint))
