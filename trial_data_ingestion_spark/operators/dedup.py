@@ -89,6 +89,21 @@ def char_shingles(text: Column, k: int = 8) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition up to the cluster's default parallelism when the
+    source has fewer partitions (e.g. one small parquet file).
+
+    The shingle explode multiplies data ~k x and is CPU-bound (md5 per
+    shingle); with a single input partition the whole explode runs in
+    one task.  Shuffling the *pre-explode* doc rows is cheap relative
+    to the work it parallelizes.  On a real cluster the scan already
+    has >= parallelism partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def shingle_table(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8) -> DataFrame:
     """Exploded (doc, shingle) table — the scale-path representation.
@@ -105,8 +120,9 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str,
     """
     norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return (
-        df.select(F.col(id_col).alias("doc"), norm.alias("__txt"))
-          .where(F.length("__txt") > 0)
+        _ensure_parallelism(df.select(F.col(id_col).alias("doc"),
+                                      norm.alias("__txt"))
+                              .where(F.length("__txt") > 0))
           .select("doc", F.explode(F.sequence(
               F.lit(1),
               F.greatest(F.lit(1), F.length("__txt") - F.lit(k - 1))))
@@ -116,18 +132,55 @@ def shingle_table(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+#: Mersenne prime 2^31-1 — modulus of the Carter-Wegman family.
+#: With x, c1, c2 < 2^31 every product stays under 2^62, so the
+#: arithmetic is overflow-free in any signed-64 engine (Spark longs,
+#: DuckDB BIGINT) while the ``mod`` still wraps the product many times
+#: over — full avalanche, unlike a modulus larger than the products
+#: (which would make the family order-preserving and collapse LSH
+#: selectivity: correlated mins -> every band colliding).
+MERSENNE_31 = (1 << 31) - 1
+
+
+def cw_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (c1, c2) pairs, c1 in [1, 2^31-2], c2 in
+    [0, 2^31-2], for h_i(x) = (c1*x + c2) mod 2^31-1 — from a
+    fixed-seed LCG so the DuckDB oracle can inline identical
+    constants."""
+    out, x = [], 0x9E3779B97F4A7C15
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        c1 = 1 + (x >> 32) % (MERSENNE_31 - 1)
+        c2 = (x & 0xFFFFFFFF) % MERSENNE_31
+        out.append((c1, c2))
+    return out
+
+
+def _cw_hashes(a: Column, num_hashes: int) -> list[Column]:
+    """``num_hashes`` independent hashes of a 60-bit value:
+    x = a mod 2^31-1, then h_i = (c1_i*x + c2_i) mod 2^31-1 (the
+    classic universal family over Z_p).
+
+    One md5 per input feeds the whole family — versus one md5 per
+    (input, hash function) this cuts the dominant signature cost by
+    ~num_hashes x, and every derivation is two codegen'd long ops."""
+    x = a % F.lit(MERSENNE_31)
+    return [
+        ((F.lit(c1) * x + F.lit(c2)) % F.lit(MERSENNE_31))
+        for (c1, c2) in cw_constants(num_hashes)
+    ]
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
                        k: int = 8, num_hashes: int = 32) -> DataFrame:
-    """One row per doc with columns ``h0..h{n-1}`` (15-char md5-hex
+    """One row per doc with long columns ``h0..h{n-1}`` (Carter-Wegman
     MinHash values).  Single shuffle: groupBy(doc) with ``num_hashes``
-    partial-min aggregates; everything codegen'd."""
+    partial-min aggregates; one md5 per shingle; everything codegen'd."""
     sh = shingle_table(df, id_col, text_col, k)
-    aggs = [
-        F.min(_hash_hex(F.concat(F.lit(f"{i}:"), F.col("s"))))
-         .alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc").agg(*aggs)
+    hashed = sh.select("doc", _hash64(F.col("s")).alias("__a"))
+    aggs = [F.min(h).alias(f"h{i}")
+            for i, h in enumerate(_cw_hashes(F.col("__a"), num_hashes))]
+    return hashed.groupBy("doc").agg(*aggs)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
@@ -172,8 +225,21 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
     shingle table: |A ∩ B| from a shingle equi-join restricted to
     candidate pairs, |A ∪ B| = |A| + |B| - |A ∩ B|.  Only candidate
     pairs pay the set-intersection cost — the point of LSH
-    prefiltering."""
-    shd = shingle_table(df, id_col, text_col, k).distinct()
+    prefiltering.
+
+    Scale note: shingles are built ONLY for docs that appear in a
+    candidate pair (left-semi prefilter).  At 100 TB the candidate set
+    is orders of magnitude smaller than the corpus, so verification
+    cost is bounded by LSH recall, not corpus size."""
+    in_cands = (candidates.select(F.col("doc_a").alias(id_col))
+                .union(candidates.select(F.col("doc_b").alias(id_col)))
+                .distinct())
+    df = df.join(in_cands, id_col, "left_semi")
+    # Persisted: the distinct shingle set of candidate docs feeds three
+    # consumers (sizes, doc_a side, doc_b side) — without pinning it the
+    # explode+distinct subtree would run three times.  Size is bounded
+    # by the candidate set, not the corpus.
+    shd = shingle_table(df, id_col, text_col, k).distinct().persist()
     sizes = shd.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (
         candidates
@@ -203,9 +269,14 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
     """End-to-end near-dup removal: LSH candidates -> Jaccard verify ->
     drop the higher id of each confirmed pair (min-id representative,
     one hop — adequate for near-dup clusters where similarity is
-    near-transitive)."""
+    near-transitive).
+
+    The candidate-pair table is persisted: it is tiny (pairs, not
+    docs) but feeds three downstream consumers (semi-filter, doc_a
+    join, doc_b join) — without pinning it, Spark would re-run the
+    whole signature+LSH subtree once per consumer."""
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
-                                   bands)
+                                   bands).persist()
     dups = (jaccard_verify(df, cands, id_col, text_col, k, threshold)
             .select(F.col("doc_b").alias(id_col)).distinct())
     return df.join(dups, id_col, "left_anti")
@@ -253,8 +324,9 @@ def simhash_near_dups(df: DataFrame, id_col: str, text_col: str,
     """Near-dup pairs by SimHash: block on the top ``prefix_bits`` of
     the hash (cheap LSH for small Hamming radii), then exact
     ``bit_count(a ^ b)`` filter within blocks."""
-    h = df.select(F.col(id_col).alias("doc"),
-                  simhash(F.col(text_col)).alias("sh"))
+    h = _ensure_parallelism(df.select(F.col(id_col).alias("doc"),
+                                      F.col(text_col).alias("__t"))) \
+        .select("doc", simhash(F.col("__t")).alias("sh"))
     blocked = h.withColumn("blk", F.shiftright("sh", 60 - prefix_bits))
     a, b = blocked.alias("a"), blocked.alias("b")
     return (

@@ -536,7 +536,14 @@ def q18_chunk_tokens(spark, sf_dir):
 # Dedup / similarity (north-star extensions)
 # ===========================================================================
 
-@_register("q19_minhash_dedup", """
+def _q19_sql() -> str:
+    """Oracle for q19 — inlines the engine's Carter-Wegman constants
+    (dedup.cw_constants) so DuckDB reproduces the MinHash bit-for-bit:
+    a = first 60 md5 bits of the shingle, x = a mod 2^31-1,
+    h_j = (c1_j*x + c2_j) mod 2^31-1."""
+    consts = ", ".join(f"({j}, {c1}, {c2})" for j, (c1, c2)
+                       in enumerate(dedup.cw_constants(16)))
+    return f"""
 WITH t AS (
   SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
   FROM documents),
@@ -544,13 +551,17 @@ sh AS (
   SELECT DISTINCT doc_id, substr(txt, CAST(i AS INTEGER), 8) AS s
   FROM t CROSS JOIN generate_series(1, 2000) g(i)
   WHERE i <= greatest(1, length(txt) - 7)),
+ah AS (
+  SELECT doc_id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS a
+  FROM sh),
 mh AS (
-  SELECT doc_id, j AS seed,
-         min(substr(md5(CAST(j AS VARCHAR) || ':' || s), 1, 15)) AS mv
-  FROM sh CROSS JOIN generate_series(0, 15) g2(j)
-  GROUP BY doc_id, j),
+  SELECT doc_id, c.j AS seed,
+         min((c.c1 * (a % 2147483647) + c.c2) % 2147483647) AS mv
+  FROM ah CROSS JOIN (VALUES {consts}) c(j, c1, c2)
+  GROUP BY doc_id, c.j),""" + """
 bd AS (
-  SELECT doc_id, band, string_agg(mv, ',' ORDER BY seed) AS bucket
+  SELECT doc_id, band,
+         string_agg(CAST(mv AS VARCHAR), ',' ORDER BY seed) AS bucket
   FROM (SELECT doc_id, seed, mv, seed // 4 AS band FROM mh)
   GROUP BY doc_id, band),
 cand AS (
@@ -571,7 +582,10 @@ dup AS (
   JOIN sizes sb ON sb.doc_id = i.doc_b
   WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.8)
 SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dup)
-""")
+"""
+
+
+@_register("q19_minhash_dedup", _q19_sql())
 def q19_minhash_dedup(spark, sf_dir):
     """MinHash(16 hashes, 4 bands)+LSH near-dup removal with exact
     Jaccard(>=0.8) verification on 8-char shingles; survivors only."""
