@@ -1,0 +1,111 @@
+"""Semantic unit tests for dedup + similarity operators (beyond the
+oracle parity gate): known-answer fixtures and cross-checks between
+the exact and approximate paths."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators import dedup
+from trial_data_ingestion_spark.operators.similarity import (
+    embedding_near_dups_exact, topk_bruteforce, topk_ivf,
+)
+
+
+@pytest.fixture(scope="module")
+def embeddings_df(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+def test_ngram_jaccard_known_answer(spark):
+    # docs 1 and 2 share 2 of their 4 distinct 3-grams -> J = 1/2;
+    # doc 3 is disjoint.
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d x"), (3, "p q r s t")],
+        ["doc_id", "text"])
+    pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                      threshold=0.1).collect()
+    assert len(pairs) == 1
+    row = pairs[0]
+    assert (row.doc_a, row.doc_b) == (1, 2)
+    # grams(1) = {abc, bcd, cde}, grams(2) = {abc, bcd, cdx}
+    assert row.jaccard == pytest.approx(2 / 4)
+
+
+def test_ngram_jaccard_max_doc_freq_drops_hot_grams(spark):
+    # every doc shares the hot gram "x y z"; only 1&2 share more
+    df = spark.createDataFrame(
+        [(1, "x y z a b"), (2, "x y z a b"), (3, "x y z q r")],
+        ["doc_id", "text"])
+    all_pairs = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                          threshold=0.01)
+    assert all_pairs.count() == 3
+    capped = dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                       threshold=0.01, max_doc_freq=2)
+    got = {(r.doc_a, r.doc_b) for r in capped.collect()}
+    assert got == {(1, 2)}  # pairs sharing only the hot gram vanish
+
+
+def test_dedup_ngram_jaccard_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "p q r s t")],
+        ["doc_id", "text"])
+    kept = {r.doc_id for r in
+            dedup.dedup_ngram_jaccard(df, "doc_id", "text", n=3,
+                                      threshold=0.9).collect()}
+    assert kept == {1, 3}
+
+
+def test_minhash_candidates_find_identical_docs(spark):
+    rows = [(i, f"totally unrelated document number {i} " * 5)
+            for i in range(10)]
+    rows.append((99, rows[0][1]))  # exact copy of doc 0
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    cands = dedup.minhash_lsh_candidates(df, "doc_id", "text",
+                                         k=8, num_hashes=16, bands=4)
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    assert (0, 99) in got
+
+
+def test_cw_hash_family_is_selective(spark):
+    """Regression for the order-correlated family bug: distinct docs
+    must not all collide into the same LSH buckets."""
+    rows = [(i, f"doc {i} has words alpha{i} beta{i} gamma{i} " * 8)
+            for i in range(50)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n = dedup.minhash_lsh_candidates(df, "doc_id", "text",
+                                     k=8, num_hashes=16, bands=4).count()
+    assert n < 50, f"candidate explosion: {n} pairs from 50 distinct docs"
+
+
+def test_ivf_matches_bruteforce_when_probing_all_cells(spark, embeddings_df):
+    qs = (embeddings_df.where(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    exact = topk_bruteforce(embeddings_df, qs, k=3, metric="cosine")
+    ivf = topk_ivf(embeddings_df, qs, k=3, num_cells=4, nprobe=4)
+    key = lambda df: {(r.query_id, r.rank): r.neighbor_id
+                      for r in df.collect()}
+    assert key(exact) == key(ivf)
+
+
+def test_ivf_probes_subset_of_corpus(spark, embeddings_df):
+    qs = (embeddings_df.where(F.col("vec_id") == 0)
+          .select(F.col("vec_id").alias("query_id"),
+                  F.col("embedding").alias("query_vec")))
+    out = topk_ivf(embeddings_df, qs, k=5, num_cells=8, nprobe=1)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.neighbor_id != 0 for r in rows)
+
+
+def test_embedding_near_dups_exact_finds_duplicate_vector(spark):
+    base = [float(i) for i in range(8)]
+    near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]
+    far = [1.0 if i == 7 else 0.0 for i in range(8)]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)],
+        "vec_id long, embedding array<float>")
+    pairs = embedding_near_dups_exact(df, threshold=0.99).collect()
+    assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}

@@ -283,6 +283,77 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
 
 
 # --------------------------------------------------------------------------
+# Word n-gram Jaccard (exact, inverted-index join)
+# --------------------------------------------------------------------------
+
+def ngram_table(df: DataFrame, id_col: str, text_col: str,
+                n: int = 3) -> DataFrame:
+    """Exploded (doc, word-n-gram) table, codegen'd end to end (split
+    once, explode start positions, slice+join — no higher-order
+    aggregate in the hot path)."""
+    toks = F.split(F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")),
+                   " ")
+    base = _ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), toks.alias("__w"))
+          .where(F.size("__w") >= n))
+    return (base
+            .select("doc",
+                    F.explode(F.sequence(F.lit(1), F.size("__w") - (n - 1)))
+                     .alias("__i"), "__w")
+            .select("doc",
+                    F.array_join(F.slice("__w", F.col("__i"), n), " ")
+                     .alias("g")))
+
+
+def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Exact all-pairs word-n-gram Jaccard via inverted-index
+    self-join: pairs sharing >= 1 gram are the only ones scored, so
+    cost is driven by shared-gram volume, not |corpus|^2.
+
+    ``max_doc_freq`` drops grams appearing in more than that many docs
+    before the self-join — the standard guard against hot-gram blowup
+    at scale (a gram in 1M docs would otherwise produce 10^12 pairs).
+    It changes results (pairs sharing ONLY hot grams are missed), so
+    it is opt-in and off for oracle-checked runs."""
+    g = ngram_table(df, id_col, text_col, n).distinct()
+    if max_doc_freq is not None:
+        hot = (g.groupBy("g").agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") > max_doc_freq).select("g"))
+        g = g.join(hot, "g", "left_anti")
+    g = g.persist()
+    sizes = g.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (a.join(b, on=[F.col("a.g") == F.col("b.g"),
+                           F.col("a.doc") < F.col("b.doc")])
+              .groupBy(F.col("a.doc").alias("doc_a"),
+                       F.col("b.doc").alias("doc_b"))
+              .agg(F.count(F.lit(1)).alias("ninter")))
+    return (inter
+            .join(sizes.withColumnsRenamed({"doc": "doc_a",
+                                            "nsh": "nsh_a"}), "doc_a")
+            .join(sizes.withColumnsRenamed({"doc": "doc_b",
+                                            "nsh": "nsh_b"}), "doc_b")
+            .withColumn("jaccard",
+                        F.col("ninter") /
+                        (F.col("nsh_a") + F.col("nsh_b") - F.col("ninter")))
+            .where(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def dedup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
+                        n: int = 3, threshold: float = 0.5,
+                        max_doc_freq: int | None = None) -> DataFrame:
+    """Near-dup removal by exact word-n-gram Jaccard: drop the higher
+    id of each pair over the threshold."""
+    dups = (ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                max_doc_freq)
+            .select(F.col("doc_b").alias(id_col)).distinct())
+    return df.join(dups, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
 

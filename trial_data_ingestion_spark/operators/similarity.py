@@ -124,6 +124,76 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
                           "score", "rank"))
 
 
+def topk_ivf(embeddings: DataFrame, queries: DataFrame,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             query_id_col: str = "query_id", query_vec_col: str = "query_vec",
+             k: int = 10, num_cells: int = 16, nprobe: int = 4,
+             centroids: DataFrame | None = None) -> DataFrame:
+    """IVF-flat approximate top-k: partition vectors into inverted
+    cells by nearest centroid, probe only the ``nprobe`` cells nearest
+    each query, re-score candidates exactly (cosine).
+
+    ``centroids`` defaults to the first ``num_cells`` vectors by id —
+    deterministic (oracle-reproducible) and adequate for testing the
+    plan shape; production would plug in k-means centroids (same
+    DataFrame contract: (cell_id, centroid vector)).
+
+    Scale shape: assignment is a broadcast crossJoin against
+    ``num_cells`` rows (narrow, codegen'd), the cell table can be
+    written partitioned-by-cell once and reused across query batches,
+    and each query scans ~nprobe/num_cells of the corpus instead of
+    all of it.
+    """
+    if centroids is None:
+        centroids = (embeddings.orderBy(F.col(id_col).asc())
+                     .limit(num_cells)
+                     .select(F.col(id_col).alias("cell_id"),
+                             F.col(vec_col).alias("centroid")))
+
+    def nearest_cells(df, vcol, idcol, n_keep):
+        d = (df.crossJoin(F.broadcast(centroids))
+               .withColumn("__d", l2_distance(F.col(vcol),
+                                              F.col("centroid"))))
+        w = Window.partitionBy(idcol).orderBy(F.col("__d").asc(),
+                                              F.col("cell_id").asc())
+        return (d.withColumn("__rn", F.row_number().over(w))
+                 .where(F.col("__rn") <= n_keep)
+                 .drop("__d", "__rn", "centroid"))
+
+    cells = nearest_cells(embeddings, vec_col, id_col, 1)
+    probed = nearest_cells(queries, query_vec_col, query_id_col, nprobe)
+    cand = (cells.join(probed.select(query_id_col, query_vec_col, "cell_id"),
+                       "cell_id")
+                 .where(F.col(id_col) != F.col(query_id_col)))
+    scored = cand.withColumn("score",
+                             cosine_similarity(F.col(vec_col),
+                                               F.col(query_vec_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                          "score", "rank"))
+
+
+def embedding_near_dups_exact(embeddings: DataFrame,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.9) -> DataFrame:
+    """Exact embedding-cosine near-dup pairs: full (a < b) pair join +
+    cosine threshold.  The correctness baseline for
+    :func:`embedding_near_dups` (the SRP-blocked scale path)."""
+    emb = embeddings.select(F.col(id_col).alias("doc"),
+                            F.col(vec_col).alias("v"))
+    a, b = emb.alias("a"), emb.alias("b")
+    return (a.join(b, F.col("a.doc") < F.col("b.doc"))
+             .withColumn("cos", cosine_similarity(F.col("a.v"),
+                                                  F.col("b.v")))
+             .where(F.col("cos") >= threshold)
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"), F.col("cos")))
+
+
 def embedding_near_dups(embeddings: DataFrame, dim: int,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95,

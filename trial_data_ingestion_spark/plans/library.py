@@ -12,8 +12,9 @@ Portability rules observed throughout (hard-won, keep them):
   * Float aggregates are rounded identically on both sides (money 2dp,
     averages/ratios 4-6dp) so parallel-summation ulp noise can't flip
     the value hash.
-  * MinHash uses fixed-width md5-hex-prefix strings; lexicographic min
-    == numeric min, identical in both engines.
+  * MinHash derives all hash functions from one md5 via a
+    Carter-Wegman family mod 2^31-1 with constants inlined into the
+    oracle SQL, identical in both engines.
   * All computed columns aliased to the same name on both sides.
 """
 
@@ -680,6 +681,135 @@ def q27_lsh_topk(spark, sf_dir):
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("query_vec")))
     out = topk_lsh(emb, qs, dim=64, k=5, num_planes=8, multiprobe_hamming=1)
+    return out.select("query_id", "neighbor_id",
+                      F.round("score", 6).alias("score"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@_register("q28_ngram_jaccard", f"""
+WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 1, 1)),
+        i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS g
+      FROM w WHERE len(w) >= 3),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ninter AS DOUBLE) /
+             (sa.nsh + sb.nsh - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.5
+""")
+def q28_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
+    inverted-index self-join — the exact counterpart of q19's
+    MinHash approximation."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3,
+                                    threshold=0.5)
+    return out.select("doc_a", "doc_b",
+                      F.round("jaccard", 6).alias("jaccard"))
+
+
+@_register("q29_embedding_dups", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings)
+SELECT doc_a, doc_b, round(c, 6) AS cos
+FROM (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WHERE c >= 0.4
+""")
+def q29_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact pair join (threshold
+    0.4 — the synthetic corpus has no true near-dups, so the gate is
+    set where real pairs exist).  The SRP-blocked approximate variant
+    is `similarity.embedding_near_dups` (scale path)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups_exact(emb, threshold=0.4)
+    return out.select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+
+
+@_register("q30_quality_score", f"""
+WITH t AS (SELECT doc_id, text, {_LTOKS} AS ltoks FROM documents),
+m AS (SELECT doc_id,
+        CASE WHEN length(text) > 0 THEN
+          CAST(length(text) - length(regexp_replace(text,
+               '[.,;:!?''"()\\[\\]{{}}-]', '', 'g')) AS DOUBLE)
+            / length(text) ELSE 0.0 END AS pr,
+        CASE WHEN len(ltoks) > 0 THEN
+          CAST(len(list_filter(ltoks, x -> {_sw_pred(textstats.STOPWORDS['en'])}))
+               AS DOUBLE) / len(ltoks) ELSE 0.0 END AS sr,
+        least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS ls
+      FROM t)
+SELECT doc_id, round(pr, 6) AS punct_ratio, round(sr, 6) AS stopword_ratio,
+       round((ls + least(sr * 4.0, 1.0) +
+              greatest(0.0, 1.0 - pr * 5.0)) / 3.0, 6) AS quality
+FROM m
+""")
+def q30_quality_score(spark, sf_dir):
+    """North-star quality scoring: punctuation density, stopword
+    ratio, and the composite [0,1] quality heuristic — all native
+    expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textstats.punct_ratio(F.col("text")), 6)
+         .alias("punct_ratio"),
+        F.round(textstats.stopword_ratio(F.col("text"), "en"), 6)
+         .alias("stopword_ratio"),
+        F.round(textstats.quality_score(F.col("text")), 6)
+         .alias("quality"))
+
+
+@_register("q31_ivf_topk", """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+c AS (SELECT vec_id AS cell_id, v AS cv FROM e WHERE vec_id < 16),
+ad AS (SELECT e.vec_id, c.cell_id,
+              row_number() OVER (PARTITION BY e.vec_id
+                                 ORDER BY list_distance(e.v, c.cv),
+                                          c.cell_id) AS rn
+       FROM e CROSS JOIN c),
+cell AS (SELECT vec_id, cell_id FROM ad WHERE rn = 1),
+probe AS (SELECT vec_id AS query_id, cell_id
+          FROM ad WHERE vec_id IN (0, 1, 2) AND rn <= 4),
+qv AS (SELECT vec_id AS query_id, v AS qv FROM e
+       WHERE vec_id IN (0, 1, 2)),
+s AS (SELECT p.query_id, cell.vec_id AS neighbor_id,
+             list_dot_product(e.v, qv.qv) /
+               (sqrt(list_dot_product(e.v, e.v)) *
+                sqrt(list_dot_product(qv.qv, qv.qv))) AS c
+      FROM probe p
+      JOIN cell ON cell.cell_id = p.cell_id
+      JOIN e ON e.vec_id = cell.vec_id
+      JOIN qv ON qv.query_id = p.query_id
+      WHERE cell.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, round(c, 6) AS score, rnk AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+""")
+def q31_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN: 16 deterministic cells, probe the 4 nearest per
+    query, exact cosine rescore, top-5.  Fully oracle-checked because
+    centroid choice (first 16 ids) is deterministic."""
+    from trial_data_ingestion_spark.operators.similarity import topk_ivf
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = (emb.where(F.col("vec_id").isin(0, 1, 2))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    out = topk_ivf(emb, qs, k=5, num_cells=16, nprobe=4)
     return out.select("query_id", "neighbor_id",
                       F.round("score", 6).alias("score"),
                       F.col("rank").cast("long").alias("rank"))
