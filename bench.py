@@ -27,7 +27,10 @@ HEADLINE = [
     "q17_chunk_fixed",
     "q19_minhash_dedup",
     "q20_knn_cosine",
+    "q21_text_analysis",
     "q22_sessionize",
+    "q28_ngram_jaccard",
+    "q31_ivf_topk",
 ]
 
 

@@ -48,3 +48,46 @@ def l2_distance(a: Column, b: Column) -> Column:
 def inner_product(a: Column, b: Column) -> Column:
     """'ip' distance space of the reference's store = raw dot product."""
     return dot(a, b)
+
+
+# --------------------------------------------------------------------------
+# Fixed-dimension variants — unrolled, whole-stage-codegen'd
+# --------------------------------------------------------------------------
+# Spark's higher-order functions (aggregate/zip_with) are interpreted,
+# not codegen'd: on an all-pairs workload (near-dup detection scores
+# millions of pairs) the interpreter overhead dominates by ~50x.  When
+# the embedding dimension is known statically — it always is for a
+# given embedding column — the fold unrolls into a flat sum of
+# element_at products that runs inside whole-stage codegen, keeping
+# even all-pairs scoring JVM-side with no Python/Arrow transfer.
+
+def _e(v: Column, i: int) -> Column:
+    return F.element_at(v, i).cast("double")
+
+
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    out = _e(a, 1) * _e(b, 1)
+    for i in range(2, dim + 1):
+        out = out + _e(a, i) * _e(b, i)
+    return out
+
+
+def l2_norm_fixed(a: Column, dim: int) -> Column:
+    out = _e(a, 1) * _e(a, 1)
+    for i in range(2, dim + 1):
+        out = out + _e(a, i) * _e(a, i)
+    return F.sqrt(out)
+
+
+def cosine_similarity_fixed(a: Column, b: Column, dim: int) -> Column:
+    return dot_fixed(a, b, dim) / (l2_norm_fixed(a, dim)
+                                   * l2_norm_fixed(b, dim))
+
+
+def l2_distance_fixed(a: Column, b: Column, dim: int) -> Column:
+    d = _e(a, 1) - _e(b, 1)
+    out = d * d
+    for i in range(2, dim + 1):
+        d = _e(a, i) - _e(b, i)
+        out = out + d * d
+    return F.sqrt(out)

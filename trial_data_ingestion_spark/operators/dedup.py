@@ -89,19 +89,9 @@ def char_shingles(text: Column, k: int = 8) -> Column:
     return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
 
 
-def _ensure_parallelism(df: DataFrame) -> DataFrame:
-    """Repartition up to the cluster's default parallelism when the
-    source has fewer partitions (e.g. one small parquet file).
-
-    The shingle explode multiplies data ~k x and is CPU-bound (md5 per
-    shingle); with a single input partition the whole explode runs in
-    one task.  Shuffling the *pre-explode* doc rows is cheap relative
-    to the work it parallelizes.  On a real cluster the scan already
-    has >= parallelism partitions and this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from trial_data_ingestion_spark.session import (
+    ensure_parallelism as _ensure_parallelism,
+)
 
 
 def shingle_table(df: DataFrame, id_col: str, text_col: str,

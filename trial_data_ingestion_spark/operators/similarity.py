@@ -22,13 +22,21 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from trial_data_ingestion_spark.functions.vector import (
-    cosine_similarity, dot, l2_distance,
+    cosine_similarity, cosine_similarity_fixed, dot, dot_fixed,
+    l2_distance, l2_distance_fixed, l2_norm_fixed,
 )
+from trial_data_ingestion_spark.session import ensure_parallelism
 
 _METRICS = {
     "cosine": (cosine_similarity, F.desc),
     "ip": (dot, F.desc),
     "l2": (l2_distance, F.asc),
+}
+
+_METRICS_FIXED = {
+    "cosine": (cosine_similarity_fixed, F.desc),
+    "ip": (dot_fixed, F.desc),
+    "l2": (l2_distance_fixed, F.asc),
 }
 
 
@@ -37,16 +45,24 @@ def topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
                     query_id_col: str = "query_id",
                     query_vec_col: str = "query_vec",
                     k: int = 10, metric: str = "cosine",
-                    exclude_self: bool = True) -> DataFrame:
+                    exclude_self: bool = True,
+                    dim: int | None = None) -> DataFrame:
     """Exact top-k neighbors for each query vector.
 
     Result: (query_id, neighbor id, score, rank).  Ties broken by
-    neighbor id for determinism under any partitioning.
+    neighbor id for determinism under any partitioning.  Pass ``dim``
+    to use the unrolled codegen scorer (vector.py) — always worth it
+    when the dimension is known.
     """
-    score_fn, order = _METRICS[metric]
+    if dim is not None:
+        score_fn, order = _METRICS_FIXED[metric]
+        score = score_fn(F.col(vec_col), F.col(query_vec_col), dim)
+    else:
+        fn, order = _METRICS[metric]
+        score = fn(F.col(vec_col), F.col(query_vec_col))
     scored = (
         embeddings.crossJoin(F.broadcast(queries))
-        .withColumn("score", score_fn(F.col(vec_col), F.col(query_vec_col)))
+        .withColumn("score", score)
     )
     if exclude_self:
         scored = scored.where(F.col(id_col) != F.col(query_id_col))
@@ -113,8 +129,9 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
          .drop("q_bucket", "probe"))
     cand = emb.join(F.broadcast(q), "bucket")
     scored = (cand
-              .withColumn("score", cosine_similarity(F.col(vec_col),
-                                                     F.col(query_vec_col)))
+              .withColumn("score",
+                          cosine_similarity_fixed(F.col(vec_col),
+                                                  F.col(query_vec_col), dim))
               .where(F.col(id_col) != F.col(query_id_col)))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                 F.col(id_col).asc())
@@ -128,7 +145,8 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
              k: int = 10, num_cells: int = 16, nprobe: int = 4,
-             centroids: DataFrame | None = None) -> DataFrame:
+             centroids: DataFrame | None = None,
+             dim: int | None = None) -> DataFrame:
     """IVF-flat approximate top-k: partition vectors into inverted
     cells by nearest centroid, probe only the ``nprobe`` cells nearest
     each query, re-score candidates exactly (cosine).
@@ -151,9 +169,12 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
                              F.col(vec_col).alias("centroid")))
 
     def nearest_cells(df, vcol, idcol, n_keep):
+        if dim is not None:
+            dist = l2_distance_fixed(F.col(vcol), F.col("centroid"), dim)
+        else:
+            dist = l2_distance(F.col(vcol), F.col("centroid"))
         d = (df.crossJoin(F.broadcast(centroids))
-               .withColumn("__d", l2_distance(F.col(vcol),
-                                              F.col("centroid"))))
+               .withColumn("__d", dist))
         w = Window.partitionBy(idcol).orderBy(F.col("__d").asc(),
                                               F.col("cell_id").asc())
         return (d.withColumn("__rn", F.row_number().over(w))
@@ -165,9 +186,12 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
     cand = (cells.join(probed.select(query_id_col, query_vec_col, "cell_id"),
                        "cell_id")
                  .where(F.col(id_col) != F.col(query_id_col)))
-    scored = cand.withColumn("score",
-                             cosine_similarity(F.col(vec_col),
-                                               F.col(query_vec_col)))
+    if dim is not None:
+        rescore = cosine_similarity_fixed(F.col(vec_col),
+                                          F.col(query_vec_col), dim)
+    else:
+        rescore = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.withColumn("score", rescore)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                 F.col(id_col).asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -179,17 +203,36 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
 def embedding_near_dups_exact(embeddings: DataFrame,
                               id_col: str = "vec_id",
                               vec_col: str = "embedding",
-                              threshold: float = 0.9) -> DataFrame:
+                              threshold: float = 0.9,
+                              dim: int | None = None) -> DataFrame:
     """Exact embedding-cosine near-dup pairs: full (a < b) pair join +
     cosine threshold.  The correctness baseline for
-    :func:`embedding_near_dups` (the SRP-blocked scale path)."""
+    :func:`embedding_near_dups` (the SRP-blocked scale path).
+
+    Norms are computed once per vector *before* the pair join (O(n)
+    not O(n^2)); with ``dim`` the per-pair dot is the unrolled codegen
+    expression.  The cosine threshold is kept OUT of the join
+    condition on purpose: if Catalyst pushes it into the
+    BroadcastNestedLoopJoin predicate, the dot product is evaluated
+    interpreted for every (a, b) combination — measured ~10x slower
+    than scoring the surviving (a < b) pairs in a codegen'd
+    Project+Filter after the join.  The nondeterministic term in the
+    threshold (exactly 0.0 at runtime) is the pushdown barrier."""
     emb = embeddings.select(F.col(id_col).alias("doc"),
                             F.col(vec_col).alias("v"))
-    a, b = emb.alias("a"), emb.alias("b")
+    if dim is not None:
+        emb = emb.withColumn("nrm", l2_norm_fixed(F.col("v"), dim))
+        pair_cos = (dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+                    / (F.col("a.nrm") * F.col("b.nrm")))
+    else:
+        pair_cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
+    # the (a < b) nested-loop join streams side a: parallelize it, or
+    # a single-split source serializes the whole O(n^2) scoring pass
+    a, b = ensure_parallelism(emb).alias("a"), emb.alias("b")
+    barrier_threshold = F.lit(threshold) + F.rand(seed=0) * F.lit(0.0)
     return (a.join(b, F.col("a.doc") < F.col("b.doc"))
-             .withColumn("cos", cosine_similarity(F.col("a.v"),
-                                                  F.col("b.v")))
-             .where(F.col("cos") >= threshold)
+             .withColumn("cos", pair_cos)
+             .where(F.col("cos") >= barrier_threshold)
              .select(F.col("a.doc").alias("doc_a"),
                      F.col("b.doc").alias("doc_b"), F.col("cos")))
 
@@ -208,7 +251,8 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col("a.doc") < F.col("b.doc")])
-         .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
+         .withColumn("cos", cosine_similarity_fixed(F.col("a.v"),
+                                                    F.col("b.v"), dim))
          .where(F.col("cos") >= threshold)
          .select(F.col("a.doc").alias("doc_a"),
                  F.col("b.doc").alias("doc_b"), F.col("cos"))

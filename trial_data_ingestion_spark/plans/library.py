@@ -735,7 +735,7 @@ def q29_embedding_dups(spark, sf_dir):
         embedding_near_dups_exact,
     )
     emb = _t(spark, sf_dir, "embeddings")
-    out = embedding_near_dups_exact(emb, threshold=0.4)
+    out = embedding_near_dups_exact(emb, threshold=0.4, dim=64)
     return out.select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
 
 

@@ -52,6 +52,23 @@ def get_spark(app_name: str = "trial-data-ingestion-spark",
     return builder.getOrCreate()
 
 
+def ensure_parallelism(df):
+    """Repartition up to the cluster's default parallelism when the
+    source has fewer partitions (e.g. one small parquet file read as a
+    single split).
+
+    Used in front of CPU-heavy row-multiplying operators (shingle
+    explode, all-pairs joins): with a single input partition the whole
+    downstream computation would run in one task.  Shuffling the
+    *pre-explosion* rows is cheap relative to the work it parallelizes.
+    On a real cluster the scan already has >= parallelism splits and
+    this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 tables: tuple[str, ...] = (
                     "region", "nation", "customer", "supplier", "part",
