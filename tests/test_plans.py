@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the scale-critical plan properties
+(pushdown, pruning, broadcast choice, Arrow batching, parallelized
+explodes) must survive refactors.  These assert on explain output, not
+timings, so they are stable on any machine."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_DIR_ORACLE
+
+
+def _plan(spark, name, mode="simple"):
+    from trial_data_ingestion_spark.plans import QUERIES
+    df = QUERIES[name](spark, SF_DIR_ORACLE)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_q01_filter_pushed_and_columns_pruned(spark):
+    plan = _plan(spark, "q01_pricing_summary", "formatted")
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan \
+        or "LessThanOrEqual(l_shipdate" in plan
+    # projection must reach the scan: no unused wide columns read
+    assert "l_comment" not in plan
+    assert "l_shipinstruct" not in plan
+
+
+def test_q02_dimension_joins_broadcast(spark):
+    plan = _plan(spark, "q02_revenue_by_segment")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # all sides below threshold here
+
+
+def test_q04_semijoin_stays_semi(spark):
+    plan = _plan(spark, "q04_priority_semijoin")
+    assert "LeftSemi" in plan
+
+
+def test_q09_antijoin_stays_anti(spark):
+    plan = _plan(spark, "q09_customers_without_orders")
+    assert "LeftAnti" in plan
+
+
+def test_q17_chunker_is_arrow_batched(spark):
+    plan = _plan(spark, "q17_chunk_fixed")
+    assert "ArrowEvalPython" in plan       # pandas_udf, not BatchEvalPython
+    assert "BatchEvalPython" not in plan   # row-at-a-time Python banned
+    assert "Generate posexplode" in plan
+
+
+def test_q19_no_python_in_dedup(spark):
+    """MinHash dedup must stay fully JVM-side."""
+    plan = _plan(spark, "q19_minhash_dedup")
+    assert "EvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_shingle_explode_parallelized_on_single_split(spark):
+    """A single-file scan must be repartitioned before the CPU-heavy
+    shingle explode (REPARTITION_BY_NUM survives AQE coalescing)."""
+    plan = _plan(spark, "q19_minhash_dedup")
+    assert "REPARTITION_BY_NUM" in plan
+
+
+def test_q20_queries_broadcast_not_shuffled(spark):
+    plan = _plan(spark, "q20_knn_cosine")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q29_cosine_not_in_join_condition(spark):
+    """The pair join must test only (doc_a < doc_b); the 64-term dot
+    product belongs in the post-join codegen'd filter, not the
+    interpreted BNLJ predicate (10x regression if it moves back)."""
+    plan = _plan(spark, "q29_embedding_dups")
+    join_line = next(l for l in plan.splitlines()
+                     if "BroadcastNestedLoopJoin" in l)
+    assert "element_at" not in join_line

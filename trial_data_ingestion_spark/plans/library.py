@@ -815,6 +815,98 @@ def q31_ivf_topk(spark, sf_dir):
                       F.col("rank").cast("long").alias("rank"))
 
 
+@_register("q33_window_analytics", """
+SELECT o_custkey, o_orderkey,
+       ntile(4) OVER (PARTITION BY o_custkey
+                      ORDER BY o_totalprice, o_orderkey)       AS price_quartile,
+       dense_rank() OVER (PARTITION BY o_custkey
+                          ORDER BY round(o_totalprice, 0) DESC) AS price_rank,
+       round(coalesce(lead(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           -1.0), 2)                                           AS next_price,
+       round(sum(o_totalprice) OVER (
+           PARTITION BY o_custkey
+           ORDER BY date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE))
+           RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2)     AS trailing_30d
+FROM orders
+""")
+def q33_window_analytics(spark, sf_dir):
+    """Analytic-window coverage: ntile, dense_rank, lead, and a
+    RANGE frame (trailing 30 days by order date) in one pass — all
+    four windows share the o_custkey partitioning, so Spark computes
+    them over a single shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    by_price = (Window.partitionBy("o_custkey")
+                .orderBy(F.col("o_totalprice").asc(),
+                         F.col("o_orderkey").asc()))
+    by_price_r = (Window.partitionBy("o_custkey")
+                  .orderBy(F.round("o_totalprice", 0).desc()))
+    by_date = (Window.partitionBy("o_custkey")
+               .orderBy(F.col("o_orderdate").asc(),
+                        F.col("o_orderkey").asc()))
+    trailing = (Window.partitionBy("o_custkey")
+                .orderBy(day.asc()).rangeBetween(-29, 0))
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.ntile(4).over(by_price).cast("long").alias("price_quartile"),
+        F.dense_rank().over(by_price_r).cast("long").alias("price_rank"),
+        F.round(F.coalesce(F.lead("o_totalprice").over(by_date),
+                           F.lit(-1.0)), 2).alias("next_price"),
+        F.round(F.sum("o_totalprice").over(trailing), 2)
+         .alias("trailing_30d"))
+
+
+@_register("q34_grouping_sets", """
+SELECT r_name, c_mktsegment,
+       count(*) AS n, round(sum(c_acctbal), 2) AS bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), (r_name, c_mktsegment))
+""")
+def q34_grouping_sets(spark, sf_dir):
+    """GROUPING SETS through the engine's SQL surface (temp views +
+    spark.sql) — the declarative entry point alongside the DataFrame
+    API; dims broadcast exactly as in the DataFrame plans."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    _t(spark, sf_dir, "region").createOrReplaceTempView("region")
+    return spark.sql("""
+        SELECT r_name, c_mktsegment,
+               count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (c_mktsegment),
+                                (r_name, c_mktsegment))
+    """)
+
+
+# ----- multimodal (rows-only: mapInPandas kernel, no SQL equivalent) ------
+
+@_register("q32_multimodal_features")
+def q32_multimodal_features(spark, sf_dir):
+    """North-star multimodal plumbing end to end: documents ->
+    deterministic fake media payloads (binary column + typed metadata
+    struct) -> Arrow-batched decode/featurize kernel -> per-media
+    feature summary.  Rows-only: the kernel is a mapInPandas barrier
+    with no SQL equivalent (production swaps fake_decoder for a
+    PIL/librosa-backed one of the same signature)."""
+    from trial_data_ingestion_spark import multimodal as mm
+    d = _t(spark, sf_dir, "documents").limit(200)
+    media = mm.attach_fake_media(d, "doc_id")
+    feats = mm.extract_features(media, decoder=mm.fake_decoder, dim=16)
+    return feats.select(
+        "media_id",
+        F.col("feature_dim").cast("long").alias("feature_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.aggregate(F.col("features"), F.lit(0.0),
+                            lambda a, x: a + x.cast("double")), 6)
+         .alias("feature_sum"))
+
+
 # ===========================================================================
 # Per-doc text analytics (north-star text analysis)
 # ===========================================================================
