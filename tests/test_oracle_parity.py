@@ -26,6 +26,18 @@ def test_oracle_parity(spark, name):
     assert not problems, f"{name}: " + "; ".join(problems)
 
 
+def test_approx_distinct_within_error(spark):
+    """q36 has no SQL oracle (HLL sketches are engine-specific), but
+    the estimate must land within ~3x the configured 2% relative
+    error of the exact count it carries alongside."""
+    from trial_data_ingestion_spark.plans import QUERIES
+    rows = QUERIES["q36_approx_distinct"](spark, SF_DIR_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_users - r.exact_users) <= \
+            max(3, 0.06 * r.exact_users), r
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and be deterministic."""
     from trial_data_ingestion_spark.plans import ORACLE, QUERIES

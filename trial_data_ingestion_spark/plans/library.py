@@ -884,7 +884,49 @@ def q34_grouping_sets(spark, sf_dir):
     """)
 
 
+@_register("q35_top_revenue_orders", """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate < TIMESTAMP '1996-06-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+""")
+def q35_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: join -> agg -> global ORDER BY + LIMIT.  The
+    sort+limit compiles to TakeOrderedAndProject: per-partition top-10
+    then a 10-row driver merge — never a full global sort."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(o.where(F.col("o_orderdate") <
+                            F.lit("1996-06-01").cast("timestamp")),
+                    F.col("l_orderkey") == F.col("o_orderkey"))
+              .groupBy("o_orderkey",
+                       F.date_format("o_orderdate", "yyyy-MM-dd")
+                        .alias("orderdate"),
+                       "o_orderpriority")
+              .agg(F.round(F.sum(F.col("l_extendedprice")
+                                 * (1 - F.col("l_discount"))), 2)
+                    .alias("revenue"))
+              .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+              .limit(10))
+
+
 # ----- multimodal (rows-only: mapInPandas kernel, no SQL equivalent) ------
+
+@_register("q36_approx_distinct")
+def q36_approx_distinct(spark, sf_dir):
+    """approx_count_distinct (HyperLogLog++) per event_type with the
+    exact count alongside.  Rows-only: HLL sketches are
+    engine-specific, so DuckDB can't reproduce the approximation —
+    the test asserts the estimate lands within the configured 2%
+    relative error instead (see test_oracle_parity extension)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                    .alias("approx_users"),
+                   F.countDistinct("user_id").alias("exact_users")))
 
 @_register("q32_multimodal_features")
 def q32_multimodal_features(spark, sf_dir):
