@@ -31,6 +31,8 @@ HEADLINE = [
     "q22_sessionize",
     "q28_ngram_jaccard",
     "q31_ivf_topk",
+    "q35_top_revenue_orders",
+    "q37_brand_supplier_share",
 ]
 
 
@@ -47,19 +49,30 @@ def main() -> None:
     # representative of a long-lived cluster.
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
+    # Two passes per query: pass 1 pays whole-stage-codegen compilation
+    # and JVM JIT (one-time on a long-lived cluster), pass 2 is the
+    # steady-state cost that scales with data.  Headline value =
+    # steady-state; cold total reported alongside.
+    cold: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name in HEADLINE:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        cold[name] = round(time.perf_counter() - t0, 3)
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        steady[name] = round(time.perf_counter() - t0, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
-        "metric": "headline-query wall time, local[" +
+        "metric": "headline-query steady-state wall time, local[" +
                   os.environ.get("SPARK_GRAFT_CPUS", "32") + "]",
-        "value": round(sum(timings.values()), 3),
+        "value": round(sum(steady.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "queries": steady,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -913,6 +913,40 @@ def q35_top_revenue_orders(spark, sf_dir):
               .limit(10))
 
 
+@_register("q37_brand_supplier_share", """
+SELECT p_brand,
+       round(sum(CASE WHEN s_acctbal > 5000
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)     AS rich_share,
+       round(sum(l_extendedprice * (1 - l_discount)), -2)      AS total_rev,
+       count(DISTINCT l_suppkey)                               AS n_suppliers
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE p_size <= 25
+GROUP BY p_brand
+""")
+def q37_brand_supplier_share(spark, sf_dir):
+    """TPC-H Q14-shape conditional aggregation over the two remaining
+    dimension tables (part, supplier), both broadcast; the pushed
+    p_size filter prunes the part build side before broadcasting.
+    Output is the revenue SHARE (6dp) + totals at 100-unit grain:
+    raw 2dp sums of ~3e7 values flip on partial-sum order noise."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") <= 25)
+    s = _t(spark, sf_dir, "supplier")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+              .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+              .groupBy("p_brand")
+              .agg(F.round(F.sum(F.when(F.col("s_acctbal") > 5000, rev)
+                                  .otherwise(0.0)) / F.sum(rev), 6)
+                    .alias("rich_share"),
+                   F.round(F.sum(rev), -2).alias("total_rev"),
+                   F.countDistinct("l_suppkey").alias("n_suppliers")))
+
+
 # ----- multimodal (rows-only: mapInPandas kernel, no SQL equivalent) ------
 
 @_register("q36_approx_distinct")
