@@ -108,3 +108,25 @@ def body_length(sections: Column) -> Column:
     (preprocessing/fulltext_enricher.py:67-68), used by the
     min-fulltext-chars gate P6."""
     return F.length(sections_to_text(sections))
+
+
+def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
+    """P13 — repeated HTML entity unescape, <= ``rounds`` passes
+    (sources/springer.py:108-116: Springer payloads arrive double- or
+    triple-escaped, e.g. ``&amp;amp;lt;`` -> ``<``).
+
+    The reference calls ``html.unescape`` in a loop; here the common
+    entity set is handled natively so the hot path stays codegen'd
+    (the named entities the reference's payloads actually contain:
+    amp/lt/gt/quot/apos + decimal/hex numeric forms are left to the
+    connector kernel, which owns full-fidelity parsing anyway).
+    Each round must decode ``&amp;`` LAST or double-escaped payloads
+    decode incorrectly ("&amp;lt;" must become "&lt;", not "&lt;"
+    twice in one round).
+    """
+    out = c
+    for _ in range(rounds):
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+    return out
