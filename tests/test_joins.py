@@ -1,0 +1,67 @@
+"""Unit tests for the as-of and salted join operators."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators.joins import asof_join, salted_join
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_known_answers(spark):
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), 1.0),
+         ("A", _ts("2024-01-01T10:05:00"), 2.0),
+         ("B", _ts("2024-01-01T10:02:00"), 9.0)],
+        "sym string, qts timestamp, px double")
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T09:59:00")),   # before any quote -> null
+         (2, "A", _ts("2024-01-01T10:00:00")),   # tie -> 1.0 (<= semantics)
+         (3, "A", _ts("2024-01-01T10:04:59")),   # -> 1.0
+         (4, "A", _ts("2024-01-01T10:06:00")),   # -> 2.0
+         (5, "B", _ts("2024-01-01T11:00:00")),   # -> 9.0
+         (6, "C", _ts("2024-01-01T10:00:00"))],  # no right rows -> null
+        "tid long, sym string, tts timestamp")
+    out = {r.tid: r.px for r in
+           asof_join(trades, quotes, on=["sym"], left_ts="tts",
+                     right_ts="qts", value_cols=["px"]).collect()}
+    assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 9.0, 6: None}
+
+
+def test_asof_join_preserves_left_rowcount(spark):
+    left = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("lts"))
+    right = spark.range(10).select(
+        (F.col("id") * 7).alias("k"),
+        F.timestamp_seconds(F.col("id")).alias("rts"),
+        F.lit(1.0).alias("v"))
+    out = asof_join(left, right, on=["k"], left_ts="lts",
+                    right_ts="rts", value_cols=["v"])
+    assert out.count() == 100
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed: 90% of big rows share key 0
+    big = spark.range(1000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 10)
+         .alias("k"), F.col("id").alias("payload"))
+    small = spark.createDataFrame(
+        [(i, f"dim_{i}") for i in range(10)], "k long, name string")
+    plain = big.join(small, "k").select("payload", "name")
+    salted = salted_join(big, small, "k").select("payload", "name")
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    big = spark.createDataFrame([(1, "a"), (99, "b")], "k long, v string")
+    small = spark.createDataFrame([(1, "dim")], "k long, name string")
+    rows = {r.k: r.name for r in
+            salted_join(big, small, "k", how="left", salt=4).collect()}
+    assert rows == {1: "dim", 99: None}

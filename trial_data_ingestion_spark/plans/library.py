@@ -392,6 +392,34 @@ def q23_asof_last_purchase(spark, sf_dir):
         F.round(F.coalesce(pv, F.lit(-1.0)), 2).alias("last_purchase_value"))
 
 
+@_register("q38_asof_join", """
+WITH p AS (SELECT user_id, ts, max(value) AS pval
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY user_id, ts)
+SELECT e.event_id, e.user_id,
+       round(coalesce(p.pval, -1.0), 2) AS last_purchase_value
+FROM events e ASOF LEFT JOIN p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+""")
+def q38_asof_join(spark, sf_dir):
+    """General two-table as-of join (operators.joins.asof_join,
+    union+window plan, one shuffle) — oracle is DuckDB's NATIVE ASOF
+    JOIN, so the operator's <= tie semantics are verified against a
+    real ASOF implementation.  Right side pre-aggregated to one row
+    per (user_id, ts) for determinism."""
+    from trial_data_ingestion_spark.operators.joins import asof_join
+    ev = _events(spark, sf_dir)
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.max("value").alias("pval")))
+    joined = asof_join(ev, purchases, on=["user_id"],
+                       left_ts="ts", right_ts="ts", value_cols=["pval"])
+    return joined.select(
+        "event_id", "user_id",
+        F.round(F.coalesce(F.col("pval"), F.lit(-1.0)), 2)
+         .alias("last_purchase_value"))
+
+
 # ===========================================================================
 # Ingestion-shaped operators on the documents table (SURVEY.md §2.3, §2.7)
 # ===========================================================================
