@@ -47,6 +47,26 @@ def test_tumbling_counts_match_batch(spark, event_dir, tmp_path):
     assert got == want
 
 
+def test_sliding_counts_match_batch(spark, event_dir, tmp_path):
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, sliding_counts,
+    )
+    stream = read_event_stream(spark, event_dir)
+    _run_stream(sliding_counts(stream, "1 hour", "30 minutes", "2 hours"),
+                tmp_path, "sliding")
+    got = {(r["window_start"], r["event_type"]): r["n_events"]
+           for r in spark.sql("SELECT * FROM sliding").collect()}
+    batch = (spark.read.parquet(event_dir)
+             .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"),
+                      "event_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    want = {(r["w"]["start"], r["event_type"]): r["n"]
+            for r in batch.collect()}
+    assert got == want
+    # every event lands in exactly 2 overlapping windows
+    assert sum(got.values()) == 2 * spark.read.parquet(event_dir).count()
+
+
 def test_session_windows(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.streaming.events import (
         read_event_stream, session_counts,

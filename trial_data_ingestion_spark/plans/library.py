@@ -321,16 +321,26 @@ def q12_running_window(spark, sf_dir):
 
 @_register("q13_hourly_events", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n_events, round(avg(value), 4) AS avg_value
+       count(*) AS n_events,
+       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
 FROM events GROUP BY 1, 2
 """)
 def q13_hourly_events(spark, sf_dir):
     """Tumbling-window agg via F.window (batch twin of the streaming
-    query in streaming/events.py); 1h windows align with date_trunc."""
+    query in streaming/events.py); 1h windows align with date_trunc.
+
+    avg is rounded via floor(x*10^4 + 0.5)/10^4 on BOTH engines:
+    Spark's round() rounds the shortest decimal string (HALF_UP),
+    DuckDB's rounds the binary double — an avg landing exactly on a
+    half boundary (e.g. 51.51125) diverges between them, found by the
+    sf0.1 sweep.  The floor form is pure double arithmetic, identical
+    everywhere (values are non-negative here; floor(x+0.5) is
+    asymmetric for negatives)."""
     ev = _events(spark, sf_dir)
     return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
               .agg(F.count(F.lit(1)).alias("n_events"),
-                   F.round(F.avg("value"), 4).alias("avg_value"))
+                   (F.floor(F.avg("value") * 10000 + 0.5) / 10000)
+                   .alias("avg_value"))
               .select(F.col("w.start").alias("window_start"), "event_type",
                       "n_events", "avg_value"))
 
