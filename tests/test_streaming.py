@@ -101,6 +101,58 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert n[0]["c"] == total[0]["c"]  # one row per user survived
 
 
+def test_user_running_stats_stateful(spark, event_dir, tmp_path):
+    """applyInPandasWithState keeps per-user state across micro-batches
+    AND stream restarts: run availableNow over half the data, add the
+    rest, run again with the same checkpoint — the second run's totals
+    must be cumulative (recovered from the state store), equal to the
+    batch groupBy over everything."""
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_running_stats,
+    )
+    src = str(tmp_path / "grow_src")
+    full = spark.read.parquet(event_dir)
+    half1 = full.where(F.col("event_id") % 2 == 0)
+    half2 = full.where(F.col("event_id") % 2 == 1)
+    half1.write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_run")
+
+    def run(name):
+        out = str(tmp_path / name)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_running_stats(read_event_stream(spark, src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    n1 = {r["user_id"]: r["n_events"] for r in run("running1").collect()}
+    assert sum(n1.values()) == half1.count()
+    half2.write.mode("append").parquet(src)
+    run2_rows = run("running2").collect()
+    # run2 only emits users present in the new files, but their counts
+    # must include run1's state; merge the two for the full picture
+    got = dict(n1)
+    stats2 = {}
+    for r in run2_rows:
+        got[r["user_id"]] = r["n_events"]
+        stats2[r["user_id"]] = (round(r["total_value"], 6), r["max_value"])
+    batch = (full.groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum("value").alias("total"),
+                  F.max("value").alias("mx")))
+    want = {r["user_id"]: r["n"] for r in batch.collect()}
+    assert got == want
+    want2 = {r["user_id"]: (round(r["total"], 6), r["mx"])
+             for r in batch.collect() if r["user_id"] in stats2}
+    assert stats2 == want2
+
+
 def test_foreach_batch_upsert(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.sinks import read_upsert_table
     from trial_data_ingestion_spark.streaming.events import (

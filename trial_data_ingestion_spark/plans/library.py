@@ -430,6 +430,66 @@ def q38_asof_join(spark, sf_dir):
          .alias("last_purchase_value"))
 
 
+@_register("q39_range_join", """
+WITH tiers AS (
+  SELECT * FROM (VALUES ('small', 0.0, 10.0), ('medium', 10.0, 25.0),
+                        ('large', 25.0, 100.0)) t(tier, lo, hi))
+SELECT t.tier, count(*) AS n_items,
+       round(sum(l_extendedprice * (1 - l_discount)), -2) AS revenue
+FROM lineitem l JOIN tiers t
+  ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+GROUP BY t.tier
+""")
+def q39_range_join(spark, sf_dir):
+    """Theta/range join: fact rows banded into tiers by a non-equi
+    predicate.  The tier table is 3 rows, so Catalyst picks
+    BroadcastNestedLoopJoin — the right plan at any scale (the
+    alternative, a CASE expression, can't express overlapping or
+    data-driven bands; with a large band table you'd bucket by
+    floor(qty/step) and equi-join instead).  Revenue at 100-unit grain
+    for partial-sum stability (same rule as q37)."""
+    li = _t(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(
+        [("small", 0.0, 10.0), ("medium", 10.0, 25.0),
+         ("large", 25.0, 100.0)], "tier string, lo double, hi double")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (li.join(F.broadcast(tiers),
+                    (F.col("l_quantity") >= F.col("lo"))
+                    & (F.col("l_quantity") < F.col("hi")))
+              .groupBy("tier")
+              .agg(F.count(F.lit(1)).alias("n_items"),
+                   F.round(F.sum(rev), -2).alias("revenue")))
+
+
+@_register("q40_full_outer", """
+WITH c AS (SELECT c_nationkey AS nationkey, count(*) AS n_poor_cust
+           FROM customer WHERE c_acctbal < -900 GROUP BY 1),
+     s AS (SELECT s_nationkey AS nationkey, count(*) AS n_supp
+           FROM supplier GROUP BY 1)
+SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+       coalesce(c.n_poor_cust, 0) AS n_poor_cust,
+       coalesce(s.n_supp, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+""")
+def q40_full_outer(spark, sf_dir):
+    """Full-outer equi-join of two pre-aggregated sides with unmatched
+    rows on both (the acctbal filter makes poor-customer nations a
+    sparse set).  Pre-aggregation keeps the shuffled sides tiny — the
+    full-outer is over #distinct-keys rows, not fact rows, which is
+    the scalable shape for reconciliation-style queries."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_acctbal") < -900)
+         .groupBy(F.col("c_nationkey").alias("nationkey"))
+         .agg(F.count(F.lit(1)).alias("n_poor_cust")))
+    s = (_t(spark, sf_dir, "supplier")
+         .groupBy(F.col("s_nationkey").alias("nationkey"))
+         .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (c.join(s, "nationkey", "full_outer")
+             .select("nationkey",
+                     F.coalesce("n_poor_cust", F.lit(0)).alias("n_poor_cust"),
+                     F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
+
+
 # ===========================================================================
 # Ingestion-shaped operators on the documents table (SURVEY.md §2.3, §2.7)
 # ===========================================================================

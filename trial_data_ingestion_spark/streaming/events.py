@@ -82,6 +82,53 @@ def streaming_dedup(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+RUNNING_STATS_SCHEMA = ("user_id long, n_events long, total_value double, "
+                        "max_value double")
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (count, sum, max) maintained across micro-batches.
+
+    This is the streaming generalization of the reference's resume
+    counters (A1, ``fulltext_enricher.py:234-248``) — state the
+    built-in windowed aggregates can't express because it never closes:
+    totals accumulate for the life of the stream and each micro-batch
+    emits the updated row per key seen in that batch (update-mode
+    semantics).
+
+    Scale: state is one 3-double struct per user key, partitioned by
+    the groupBy hash — O(#users), independent of stream length; the
+    per-batch Arrow transfer carries only the keys present in the
+    batch."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total, mx = state.get if state.exists else (0, 0.0, None)
+        for pdf in pdf_iter:
+            vals = pdf["value"].dropna()
+            n += len(pdf)
+            total += float(vals.sum())
+            if len(vals):
+                batch_max = float(vals.max())
+                mx = batch_max if mx is None else max(mx, batch_max)
+        state.update((n, total, mx))
+        import pandas as pd
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total], "max_value": [mx]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=RUNNING_STATS_SCHEMA,
+        stateStructType="n long, total double, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(stream: DataFrame, spark: SparkSession,
                          path: str, key: str, checkpoint: str,
                          n_buckets: int = 16):
