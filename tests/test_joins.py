@@ -65,3 +65,32 @@ def test_salted_left_join_keeps_unmatched(spark):
     rows = {r.k: r.name for r in
             salted_join(big, small, "k", how="left", salt=4).collect()}
     assert rows == {1: "dim", 99: None}
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts
+    sort-merge-join with zero Exchange — the co-located fact-fact
+    join layout for 100 TB (sinks.write_bucketed)."""
+    from trial_data_ingestion_spark.sinks import write_bucketed
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_totalprice"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed(o, "t_orders_b", "o_orderkey", 8,
+                       path=str(tmp_path / "o"))
+        write_bucketed(li, "t_lineitem_b", "o_orderkey", 8,
+                       path=str(tmp_path / "li"))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        j = (spark.table("t_orders_b")
+             .join(spark.table("t_lineitem_b"), "o_orderkey"))
+        n = j.count()
+        assert n == li.count()  # every lineitem matches its order
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lineitem_b")

@@ -30,6 +30,29 @@ def test_decode_without_decoder_raises(spark):
         mm.extract_features(media)
 
 
+def test_resize_media(spark):
+    from trial_data_ingestion_spark import multimodal as mm
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    media = mm.attach_fake_media(docs, "doc_id")
+    resized = mm.resize_media(media, 32, 32, resizer=mm.fake_resizer)
+    # schema-preserving: composes with the featurize kernel downstream
+    # (nullability differs: lit() columns are non-null, kernel output
+    # is the canonical all-nullable MEDIA_SCHEMA)
+    assert resized.schema == mm.MEDIA_SCHEMA
+    rows = resized.collect()
+    assert len(rows) == 5
+    assert all(r["metadata"]["width"] == 32 and
+               r["metadata"]["height"] == 32 for r in rows)
+    orig = {r["media_id"]: r["media"] for r in media.collect()}
+    for r in rows:  # payload transformed, deterministically
+        assert r["media"] != orig[r["media_id"]]
+        assert r["media"] == mm.fake_resizer(orig[r["media_id"]], 32, 32)
+    feats = mm.extract_features(resized, decoder=mm.fake_decoder)
+    assert feats.count() == 5
+    with pytest.raises(NotImplementedError):
+        mm.resize_media(media, 32, 32)
+
+
 def test_frame_sampling(spark):
     from pyspark.sql import functions as F
     from trial_data_ingestion_spark import multimodal as mm

@@ -101,6 +101,45 @@ def extract_features(df: DataFrame,
     return df.select("media_id", "media").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def fake_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """Deterministic stand-in for an image resize: re-keys the payload
+    with the target box.  Real deployments replace this with a
+    PIL-backed ``Image.open(BytesIO(payload)).resize(...)`` of the
+    same signature."""
+    h = hashlib.sha256()
+    h.update(payload or b"")
+    h.update(f"{width}x{height}".encode())
+    return h.digest()
+
+
+def resize_media(df: DataFrame, width: int, height: int,
+                 resizer: Optional[Callable] = None) -> DataFrame:
+    """Resize kernel over the media column: same MEDIA_SCHEMA out,
+    payload transformed and metadata width/height rewritten.
+
+    ``resizer(payload: bytes, width, height) -> bytes`` runs per row
+    inside an Arrow batch; with no resizer supplied this raises
+    ``NotImplementedError`` (media libs absent here) — tests pass
+    :func:`fake_resizer`.  Schema-preserving, so resize composes
+    before :func:`extract_features` / :func:`frame_sample_stub`."""
+    if resizer is None:
+        raise NotImplementedError(
+            "No image library available in this environment; pass a "
+            "resizer callable (tests use multimodal.fake_resizer).")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["media"] = [resizer(m, width, height)
+                            for m in pdf["media"]]
+            out["metadata"] = [
+                {**(meta or {}), "width": width, "height": height}
+                for meta in pdf["metadata"]]
+            yield out
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plumbing: explodes per-media frame
     timestamps from metadata.duration_ms — the real frame decode would

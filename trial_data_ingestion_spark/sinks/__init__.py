@@ -86,6 +86,26 @@ def upsert_parquet(spark: SparkSession, new_df: DataFrame, path: str,
     merged.write.mode("overwrite").partitionBy("__bucket").parquet(path)
 
 
+def write_bucketed(df: DataFrame, table: str, key: str,
+                   n_buckets: int = 32, sort: bool = True,
+                   path: Optional[str] = None) -> None:
+    """Bucketed table writer — the co-located-join layout (SURVEY.md
+    §4.3 / the 100 TB join strategy).
+
+    Two tables bucketed on their join key with the SAME bucket count
+    sort-merge-join with ZERO Exchange: each task reads bucket i of
+    both sides, so a fact-fact join that would shuffle 100 TB ships
+    nothing.  Pre-sorting within buckets also drops the per-join Sort.
+    Requires ``saveAsTable`` (bucket metadata lives in the catalog —
+    plain ``.parquet(path)`` writes lose it)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
 def read_upsert_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back an upsert table without the bucketing column."""
     return spark.read.parquet(path).drop("__bucket")
