@@ -490,6 +490,57 @@ def q40_full_outer(spark, sf_dir):
                      F.coalesce("n_supp", F.lit(0)).alias("n_supp")))
 
 
+@_register("q41_percentiles", """
+SELECT o_orderpriority,
+       count(*)                                              AS n_orders,
+       round(quantile_cont(o_totalprice, 0.25), 2)           AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2)           AS median,
+       round(quantile_cont(o_totalprice, 0.90), 2)           AS p90,
+       round(max(o_totalprice) - min(o_totalprice), 2)       AS price_range
+FROM orders GROUP BY o_orderpriority
+""")
+def q41_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group: Spark ``percentile``
+    and DuckDB ``quantile_cont`` share the linear-interpolation
+    definition, and order statistics are deterministic (no partial-sum
+    noise), so 2dp rounding hash-matches.  Scale note: exact
+    percentile shuffles each group's values to one reducer — at
+    100 TB swap in ``approx_percentile`` (t-digest, partial-merge)
+    and accept the rows-only check, as q36 does for HLL."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.25)), 2)
+                   .alias("p25"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.50)), 2)
+                   .alias("median"),
+                  F.round(F.percentile("o_totalprice", F.lit(0.90)), 2)
+                   .alias("p90"),
+                  F.round(F.max("o_totalprice") - F.min("o_totalprice"), 2)
+                   .alias("price_range")))
+
+
+_Q42_SQL = """
+SELECT o_orderpriority, count(*) AS n_above
+FROM orders o
+WHERE o_totalprice > (SELECT 1.5 * avg(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+GROUP BY o_orderpriority
+"""
+
+
+@_register("q42_correlated_subquery", _Q42_SQL)
+def q42_correlated_subquery(spark, sf_dir):
+    """The IDENTICAL ANSI SQL text runs on both engines — Spark gets
+    it via ``spark.sql`` over a temp view, exercising the SQL entry
+    point and Catalyst's decorrelation (the correlated scalar
+    subquery rewrites to an aggregate + join on o_custkey; no
+    per-row subquery execution at any scale)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q42_SQL)
+
+
 # ===========================================================================
 # Ingestion-shaped operators on the documents table (SURVEY.md §2.3, §2.7)
 # ===========================================================================
