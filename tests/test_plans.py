@@ -75,3 +75,27 @@ def test_q29_cosine_not_in_join_condition(spark):
     join_line = next(l for l in plan.splitlines()
                      if "BroadcastNestedLoopJoin" in l)
     assert "element_at" not in join_line
+
+
+def test_q39_range_join_broadcasts_tiers(spark):
+    # the 3-row tier table must be the broadcast side of the non-equi
+    # join; a shuffled NLJ over lineitem would be catastrophic at scale
+    plan = _plan(spark, "q39_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q41_percentile_partial_agg(spark):
+    # percentile runs as ObjectHashAggregate with a partial pass
+    # (map-side) before the final — not a single-reducer sort
+    plan = _plan(spark, "q41_percentiles")
+    assert "percentile" in plan.lower()
+    assert plan.lower().count("aggregate") >= 2
+
+
+def test_q42_subquery_decorrelated(spark):
+    # Catalyst must rewrite the correlated scalar subquery into an
+    # aggregate + join; per-row subquery execution would be O(n^2)
+    plan = _plan(spark, "q42_correlated_subquery")
+    assert "Subquery" not in plan
+    assert "Join" in plan
