@@ -31,8 +31,10 @@ HEADLINE = [
     "q22_sessionize",
     "q28_ngram_jaccard",
     "q31_ivf_topk",
+    "q33_window_analytics",
     "q35_top_revenue_orders",
     "q37_brand_supplier_share",
+    "q41_percentiles",
 ]
 
 

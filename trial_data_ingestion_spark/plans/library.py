@@ -520,6 +520,36 @@ def q41_percentiles(spark, sf_dir):
                    .alias("price_range")))
 
 
+@_register("q43_hash_split", """
+SELECT split, count(*) AS n_docs,
+       round(avg(n_chars), 4) AS avg_chars
+FROM (
+  SELECT CASE WHEN b < 80 THEN 'train'
+              WHEN b < 90 THEN 'val' ELSE 'test' END AS split, n_chars
+  FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 AS b, n_chars
+        FROM documents))
+GROUP BY split
+""")
+def q43_hash_split(spark, sf_dir):
+    """Deterministic train/val/test split (80/10/10) by content-stable
+    hash — the training-pipeline splitter: membership depends only on
+    doc_id, so it is reproducible across runs, engines, and cluster
+    sizes (unlike ``df.sample``, whose outcome depends on partition
+    layout and seed plumbing).  Narrow projection, no shuffle beyond
+    the final 3-group aggregate; at 100 TB each split materializes as
+    a pushed-down filter on the same expression."""
+    d = _t(spark, sf_dir, "documents")
+    b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
+                16, 10).cast("long") % 100)
+    split = (F.when(b < 80, "train").when(b < 90, "val")
+             .otherwise("test"))
+    return (d.select(split.alias("split"), "n_chars")
+             .groupBy("split")
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.round(F.avg("n_chars"), 4).alias("avg_chars")))
+
+
 _Q42_SQL = """
 SELECT o_orderpriority, count(*) AS n_above
 FROM orders o
