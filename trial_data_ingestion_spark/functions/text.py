@@ -19,16 +19,32 @@ _ZWSP = "​"
 DOI_PATTERN = r"10\.\d{4,9}/\S+"
 
 
+def _pystrip(c: Column) -> Column:
+    """Python ``str.strip()`` semantics: remove ALL leading/trailing
+    whitespace.  ``F.trim`` strips only ASCII spaces — a trailing
+    ``\\n`` or ``\\t`` would survive it."""
+    return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
 def normalize_doi(c: Column) -> Column:
     """P1 — canonical DOI form.
 
-    Mirrors ``_norm_doi`` (preprocessing/doi_utils.py:11-17): strip an
-    ``http(s)://(dx.)doi.org/`` prefix, remove zero-width spaces, trim,
-    lowercase; empty string -> null.
+    Mirrors ``normalize_doi`` (preprocessing/doi_utils.py:11-17)
+    operation-for-operation: trim, strip an ``http(s)://(dx.)doi.org/``
+    prefix CASE-INSENSITIVELY (the reference passes ``flags=re.I``),
+    remove zero-width spaces, trim, lowercase; empty string -> null.
+    The case-insensitive strip also makes the function idempotent —
+    without it ``HTTPS://DOI.ORG/x`` survives pass 1 and is stripped
+    on pass 2.  "Trim" is a regex ``^\\s+|\\s+$`` strip, NOT
+    ``F.trim``: Python's ``str.strip()`` removes all whitespace while
+    Spark's ``trim`` removes only ASCII spaces, so a trailing newline
+    would survive ``F.trim`` (both divergences caught by
+    tests/test_text_properties.py).
     """
-    stripped = F.regexp_replace(c, r"^https?://(dx\.)?doi\.org/", "")
+    stripped = F.regexp_replace(_pystrip(c),
+                                r"(?i)^https?://(dx\.)?doi\.org/", "")
     no_zwsp = F.regexp_replace(stripped, _ZWSP, "")
-    normed = F.lower(F.trim(no_zwsp))
+    normed = F.lower(_pystrip(no_zwsp))
     return F.nullif(normed, F.lit(""))
 
 
@@ -95,12 +111,17 @@ def sections_to_text(sections: Column) -> Column:
 
     ``sections`` is ``array<struct<section_path:string, text:string>>``
     (the engine-wide normalized form of the reference's recursive
-    sections dict — SURVEY.md §1.3)."""
+    sections dict — SURVEY.md §1.3).
+
+    Operation-for-operation with the reference: each kept text is
+    ``strip()``-ed, the keep test is strip-truthiness (whitespace-only
+    sections drop), and the final join is stripped — all with Python
+    whitespace semantics (``_pystrip``), not space-only ``F.trim``."""
     texts = F.filter(
-        F.transform(sections, lambda s: s.getField("text")),
-        lambda t: t.isNotNull() & (F.trim(t) != ""),
+        F.transform(sections, lambda s: _pystrip(s.getField("text"))),
+        lambda t: t.isNotNull() & (t != ""),
     )
-    return F.array_join(texts, "\n\n")
+    return _pystrip(F.array_join(texts, "\n\n"))
 
 
 def body_length(sections: Column) -> Column:
