@@ -82,6 +82,12 @@ def coalesce_fields(*cols: Column) -> Column:
 def stable_doc_id(doi_norm: Column, title: Column, journal: Column) -> Column:
     """P9 — deterministic document id (pipelines/ingest_and_embed.py:20-26):
     the normalized DOI when present, else ``"hash:" + sha256(title|journal)[:16]``.
+
+    Deliberate divergence: a present-but-null title/journal hashes as
+    ``""`` here, where the reference's f-string would render the
+    Python artifact ``"None"`` (``rec.get('title','')`` only defaults
+    when the KEY is absent).  Null-as-empty is the intended semantics;
+    "None" is an accident of CPython string formatting.
     """
     fallback = F.concat(
         F.lit("hash:"),
