@@ -615,6 +615,31 @@ def q15_fingerprint_dedup(spark, sf_dir):
              .groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
 
 
+@_register("q44_keep_first_dedup", """
+SELECT lang, source, doc_id, n_chars FROM (
+  SELECT lang, source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY doc_id) AS rn
+  FROM documents) t WHERE rn = 1
+""")
+def q44_keep_first_dedup(spark, sf_dir):
+    """P5's keep-FIRST semantics made deterministic under
+    distribution: ``dropDuplicates`` keeps an arbitrary row per key
+    (whichever task wins), so the engine's keep-first is a
+    row_number window over an explicit total order (doc_id here; a
+    file+offset ordinal in ingestion) — the whole surviving row comes
+    along, not just the min of one column (contrast q15).  One
+    shuffle on the dedup key; at 100 TB identical cost to the
+    groupBy form."""
+    d = _t(spark, sf_dir, "documents")
+    w = (Window.partitionBy("lang", "source")
+         .orderBy(F.col("doc_id").asc()))
+    return (d.select("lang", "source", "doc_id", "n_chars",
+                     F.row_number().over(w).alias("rn"))
+             .where(F.col("rn") == 1)
+             .select("lang", "source", "doc_id", "n_chars"))
+
+
 @_register("q16_stable_doc_id", """
 WITH d AS (
   SELECT doc_id, text, lang,
