@@ -640,6 +640,33 @@ def q44_keep_first_dedup(spark, sf_dir):
              .select("lang", "source", "doc_id", "n_chars"))
 
 
+@_register("q45_salted_skew_join", """
+SELECT o_orderpriority,
+       count(*) AS n_items,
+       round(sum(l_quantity), 2) AS total_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def q45_salted_skew_join(spark, sf_dir):
+    """Skew-salted fact-fact join (operators.joins.salted_join): the
+    big side scatters each key over 8 sub-keys, the small side
+    replicates 8x, so a hot key's reducer input shrinks 8x.  The
+    oracle is the PLAIN join — salting is a physical strategy and
+    must not change results.  (At test scale Catalyst may broadcast
+    the replicated small side, which is also correct; the shuffle
+    path it exists for is exercised in test_joins with broadcast
+    disabled.)"""
+    from trial_data_ingestion_spark.operators.joins import salted_join
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = (_t(spark, sf_dir, "orders")
+         .select(F.col("o_orderkey").alias("l_orderkey"),
+                 "o_orderpriority"))
+    j = salted_join(li, o, on="l_orderkey", salt=8)
+    return (j.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_items"),
+                  F.round(F.sum("l_quantity"), 2).alias("total_qty")))
+
+
 @_register("q16_stable_doc_id", """
 WITH d AS (
   SELECT doc_id, text, lang,
