@@ -82,6 +82,38 @@ def streaming_dedup(events: DataFrame, keys: list[str],
     return events.withWatermark("ts", watermark).dropDuplicates(keys)
 
 
+def attribution_join(events: DataFrame, horizon: str = "1 hour",
+                     watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream interval join: each purchase attributed to the
+    same user's view events in the preceding ``horizon``.
+
+    Both sides are the SAME input stream filtered two ways — Spark
+    handles this as a true stream-stream join with buffered state on
+    both sides.  The watermark plus the time-range predicate bound
+    that state: a view can be dropped once the purchase-side watermark
+    passes view_ts + horizon, so state is O(events within horizon),
+    not stream length.  This is the streaming form of the as-of /
+    range join family (q23/q38/q39)."""
+    views = (events.where(F.col("event_type") == "view")
+             .select(F.col("user_id").alias("v_user"),
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("buy_ts"),
+                         F.col("value").alias("buy_value"))
+                 .withWatermark("buy_ts", watermark))
+    cond = (
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("buy_ts") >= F.col("view_ts"))
+        & (F.col("buy_ts") <= F.col("view_ts") + F.expr(
+            f"INTERVAL {horizon}"))
+    )
+    return (views.join(purchases, cond)
+            .select(F.col("p_user").alias("user_id"),
+                    "view_ts", "buy_ts", "buy_value"))
+
+
 RUNNING_STATS_SCHEMA = ("user_id long, n_events long, total_value double, "
                         "max_value double")
 
