@@ -99,3 +99,10 @@ def test_q42_subquery_decorrelated(spark):
     plan = _plan(spark, "q42_correlated_subquery")
     assert "Subquery" not in plan
     assert "Join" in plan
+
+
+def test_q46_exists_rewrites_to_semi_anti(spark):
+    # EXISTS / NOT EXISTS must decorrelate to left-semi + left-anti
+    plan = _plan(spark, "q46_exists_subqueries")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -667,6 +667,31 @@ def q45_salted_skew_join(spark, sf_dir):
                   F.round(F.sum("l_quantity"), 2).alias("total_qty")))
 
 
+_Q46_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 100000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+@_register("q46_exists_subqueries", _Q46_SQL)
+def q46_exists_subqueries(spark, sf_dir):
+    """EXISTS / NOT EXISTS through the SQL entry point — the
+    identical ANSI text runs on both engines (like q42).  Catalyst
+    rewrites the pair into a left-semi + left-anti join on
+    o_custkey, the same physical shapes q04/q09 build via the
+    DataFrame API; no per-row subquery execution at any scale."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q46_SQL)
+
+
 @_register("q16_stable_doc_id", """
 WITH d AS (
   SELECT doc_id, text, lang,
