@@ -692,6 +692,38 @@ def q46_exists_subqueries(spark, sf_dir):
     return spark.sql(_Q46_SQL)
 
 
+@_register("q47_pivot_daily_values", """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       floor(coalesce(sum(CASE WHEN event_type = 'click'
+                               THEN value END), 0) * 100 + 0.5) / 100
+         AS click,
+       floor(coalesce(sum(CASE WHEN event_type = 'view'
+                               THEN value END), 0) * 100 + 0.5) / 100
+         AS view,
+       floor(coalesce(sum(CASE WHEN event_type = 'purchase'
+                               THEN value END), 0) * 100 + 0.5) / 100
+         AS purchase
+FROM events GROUP BY 1
+""")
+def q47_pivot_daily_values(spark, sf_dir):
+    """Pivot (long -> wide): daily value totals per event type as
+    columns.  Spark's ``pivot`` with an EXPLICIT value list compiles
+    to one pass of conditional aggregates — same single shuffle as a
+    plain groupBy; never use implicit pivot at scale (it runs an
+    extra distinct job to discover values and the column set becomes
+    data-dependent).  The oracle is the equivalent conditional
+    aggregation.  Rounding via floor(x*100+0.5)/100 on both sides
+    (values non-negative; see q13 note on round() divergence)."""
+    ev = _events(spark, sf_dir)
+    piv = (ev.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                    "yyyy-MM-dd").alias("day"))
+             .pivot("event_type", ["click", "view", "purchase"])
+             .agg(F.sum("value")))
+    cols = [(F.floor(F.coalesce(F.col(c), F.lit(0.0)) * 100 + 0.5) / 100)
+            .alias(c) for c in ["click", "view", "purchase"]]
+    return piv.select("day", *cols)
+
+
 @_register("q16_stable_doc_id", """
 WITH d AS (
   SELECT doc_id, text, lang,
