@@ -118,3 +118,22 @@ def test_chunk_by_tokens_spark(spark):
     assert [r["n_tokens"] for r in out] == [4, 4, 4]
     assert out[0]["text"] == "one two three four"
     assert out[1]["text"] == "four five six seven"  # 1-token overlap
+
+
+def test_token_overlap_ge_max_tokens_terminates():
+    # overlap >= max_tokens must clamp, not spin forever (the start
+    # index would never advance); coverage of all tokens is preserved
+    text = "one two three four five six seven eight nine ten"
+    out = split_by_tokens(text, max_tokens=3, overlap=3)
+    assert out and out[0] == "one two three"
+    joined = " ".join(out)
+    for w in text.split():
+        assert w in joined
+    out2 = split_by_tokens(text, max_tokens=3, overlap=99)
+    assert out == out2  # any over-clamp value behaves like max-1
+
+
+def test_token_nonpositive_max_tokens_raises():
+    import pytest
+    with pytest.raises(ValueError):
+        split_by_tokens("some text", max_tokens=0, overlap=0)

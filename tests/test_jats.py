@@ -94,3 +94,20 @@ def test_kernel_distributed(spark):
     assert len(out["a"]["sections"]) == 3
     assert out["c"]["error"] is None and out["c"]["sections"] == []
     assert out["d"]["error"].startswith("XML parse error")
+
+
+def test_pmcid_lowercase_prefix_normalized():
+    xml = ("<article><front><article-meta>"
+           "<article-id pub-id-type='pmcid'>pmc123</article-id>"
+           "</article-meta></front></article>")
+    assert parse_jats(xml)["pmcid"] == "PMC123"
+
+
+def test_nested_section_title_found_recursively():
+    # the reference's BeautifulSoup find('title') descends: a title
+    # wrapped in an intermediate element still names the section
+    xml = ("<article><body><sec><label><title>Wrapped Title</title>"
+           "</label><p>Body text.</p></sec></body></article>")
+    rec = parse_jats(xml)
+    assert rec["error"] is None
+    assert [s["section_path"] for s in rec["sections"]] == ["Wrapped Title"]

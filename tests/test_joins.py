@@ -94,3 +94,13 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salted_join_rejects_right_and_full_outer(spark):
+    # unmatched small-side rows would be emitted once per salt replica
+    import pytest
+    big = spark.createDataFrame([(1, "a")], "k long, v string")
+    small = spark.createDataFrame([(1, "d"), (2, "e")], "k long, name string")
+    for how in ("right", "full_outer", "full", "right_outer"):
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how=how)

@@ -117,3 +117,23 @@ def test_fixture_fetcher_batches():
     parsed, fails2 = f.efetch_batch(["PMC9999999", "PMCMISSING"])
     assert "PMC9999999" in parsed
     assert fails2[0][1] == "EFetch: article not found in response"
+
+
+def test_build_chunks_normalizes_doi_for_doc_id(spark):
+    # ids must be input-format-independent: the reference normalizes
+    # the DOI before _doc_id_from_record, so a re-ingest of the same
+    # article with 'https://doi.org/10.1000/LONG' replaces, not
+    # duplicates, the rows keyed '10.1000/long'
+    from trial_data_ingestion_spark.pipelines.ingest_embed import (
+        RunConfig, build_chunks,
+    )
+    secs = [{"section_path": "Intro", "text": "hello world " * 30}]
+    records = spark.createDataFrame(
+        [("https://doi.org/10.1000/LONG", "T", "J", "pmc", "PMC1", secs),
+         ("10.1000/long", "T", "J", "pmc", "PMC1", secs)],
+        "doi string, title string, journal string, source string, "
+        "pmcid string, sections array<struct<section_path:string,"
+        "text:string>>")
+    cfg = RunConfig(chunker="by_section", chunk_size=100, chunk_overlap=10)
+    ids = {r["doc_id"] for r in build_chunks(records, cfg).collect()}
+    assert ids == {"10.1000/long"}

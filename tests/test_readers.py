@@ -88,3 +88,18 @@ def test_read_input_dispatch(spark, tmp):
     assert read_input(spark, str(p)).count() == 1
     with pytest.raises(ValueError):
         read_input(spark, "nope.xyz")
+
+
+def test_bib_cross_file_keep_first_deterministic(spark, tmp):
+    # duplicate DOI across two files: the lexicographically-first
+    # file's entry must win, regardless of partitioning (the per-file
+    # ordinal alone collides across files)
+    (tmp / "a_first.bib").write_text(
+        "@article{a1, doi={10.9/dup}, journal={From A}, title={T}}\n")
+    (tmp / "b_second.bib").write_text(
+        "@article{b1, doi={10.9/dup}, journal={From B}, title={T}}\n")
+    from trial_data_ingestion_spark.sources.bibtex import read_bib
+    for _ in range(3):
+        rows = read_bib(spark, str(tmp)).collect()
+        assert len(rows) == 1
+        assert rows[0]["journal"] == "From A"

@@ -172,9 +172,17 @@ def regex_decode(tokens: List[str]) -> str:
 def split_by_tokens(text: str, max_tokens: int, overlap: int,
                     encode=regex_encode, decode=regex_decode) -> List[str]:
     """Token windowing per chunker_archived.py:8-22: windows of
-    ``max_tokens`` token ids, next start at ``end - overlap``."""
+    ``max_tokens`` token ids, next start at ``end - overlap``.
+
+    Overlap is clamped to ``[0, max_tokens - 1]`` (the C1 splitter's
+    clamp, which the reference's archived chunker lacks): with
+    ``overlap >= max_tokens`` the start index would never advance and
+    the loop would spin forever inside a mapInPandas task."""
     if not text or not text.strip():
         return []
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    overlap = max(0, min(overlap, max_tokens - 1))
     tokens = encode(text)
     out: List[str] = []
     start = 0

@@ -77,9 +77,17 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     known to exist: big-side rows spread across ``salt`` sub-keys
     (round-robin via monotonically_increasing_id, NOT a hash of the
     key — same-key rows must scatter); small side replicated
-    ``salt`` x.  Result identical to ``big.join(small, on, how)``;
-    reducer input bounded by |hot key| / salt.
+    ``salt`` x.  Result identical to ``big.join(small, on, how)``
+    ONLY for join types where unmatched small-side rows are never
+    emitted: a replicated small row that matches nothing would appear
+    once per salt replica under ``right``/``full_outer``, so those
+    modes raise; reducer input bounded by |hot key| / salt.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports {sorted(allowed)} only: '{how}' would "
+            "emit unmatched small-side rows once per salt replica")
     bs = big.withColumn(
         "__salt",
         F.pmod(F.monotonically_increasing_id(), F.lit(salt)).cast("int"))

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from trial_data_ingestion_spark.functions.text import (
-    sections_to_text, stable_doc_id,
+    normalize_doi, sections_to_text, stable_doc_id,
 )
 from trial_data_ingestion_spark.operators.chunking import (
     chunk_by_section, chunk_fixed,
@@ -56,8 +56,13 @@ def build_chunks(records: DataFrame, cfg: RunConfig) -> DataFrame:
     if cfg.chunker not in CHUNKERS:
         raise ValueError(f"Unknown chunker: {cfg.chunker}. "
                          f"Choose from {CHUNKERS}")
+    # P1 before P9: the reference's _doc_id_from_record normalizes the
+    # DOI first (ingest_and_embed.py:20-26), so 'https://doi.org/10.1/X'
+    # and '10.1/x' yield ONE doc_id — without this the "deterministic
+    # id" upsert contract would be input-format-dependent and re-ingests
+    # with a differently formatted DOI would duplicate rows.
     docs = records.withColumn(
-        "doc_id", stable_doc_id(F.col("doi"), F.col("title"),
+        "doc_id", stable_doc_id(normalize_doi(F.col("doi")), F.col("title"),
                                 F.col("journal")))
     if cfg.chunker == "by_section":
         chunks = chunk_by_section(docs, "sections", "doc_id",

@@ -126,26 +126,40 @@ _BIB_SCHEMA = T.StructType([
     T.StructField("doi", T.StringType()),
     T.StructField("journal", T.StringType()),
     T.StructField("title", T.StringType()),
+    T.StructField("__file", T.StringType()),
     T.StructField("__ord", T.LongType()),
 ])
 
 
 def read_bib(spark: SparkSession, path: str) -> DataFrame:
     """Distributed .bib reader: one wholetext row per file ->
-    mapInPandas parse -> normalize/dedup (doi_utils.py:46-48)."""
-    files = spark.read.text(path, wholetext=True)
+    mapInPandas parse -> normalize/dedup (doi_utils.py:46-48).
+
+    The keep-first order key is (source file, in-file ordinal) — the
+    in-file ordinal alone collides across files when ``path`` is a
+    directory, which would make keep-first nondeterministic for
+    duplicate DOIs spanning files.  File path order is lexicographic:
+    arbitrary but stable across runs and engines.
+    """
+    files = (spark.read.text(path, wholetext=True)
+             .select(F.input_file_name().alias("__file"), "value"))
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for text in pdf["value"]:
-                out.extend(_rows_from_text(text or ""))
-            yield pd.DataFrame(out, columns=["doi", "journal", "title",
-                                             "__ord"])
+            for fname, text in zip(pdf["__file"], pdf["value"]):
+                out.extend((d, j, t, fname, o)
+                           for (d, j, t, o) in _rows_from_text(text or ""))
+            yield pd.DataFrame(
+                out, columns=["doi", "journal", "title", "__file", "__ord"])
 
     parsed = files.mapInPandas(parse, _BIB_SCHEMA)
     df = (parsed.withColumn("doi_norm", normalize_doi(F.col("doi")))
-                .where(F.col("doi_norm").isNotNull()))
-    return (dedup_exact(df, ["doi_norm"], order_col="__ord")
-            .drop("__ord")
+                .where(F.col("doi_norm").isNotNull())
+                .withColumn("__gord",
+                            F.concat_ws("#", F.col("__file"),
+                                        F.lpad(F.col("__ord").cast("string"),
+                                               12, "0"))))
+    return (dedup_exact(df, ["doi_norm"], order_col="__gord")
+            .drop("__ord", "__file", "__gord")
             .select("doi", "journal", "title", "doi_norm"))

@@ -103,7 +103,11 @@ def _copy(el):
 def _section_entries(sec, parent_path: List[str]) -> List[Tuple[str, str]]:
     """<sec> subtree -> document-order (path, text) entries
     (xml_cleaning.py:12-28 flattened per chunkers.py:10-45)."""
-    title_el = next((c for c in sec if _local(c.tag) == "title"), None)
+    # Recursive first-in-document-order <title> lookup: the reference's
+    # BeautifulSoup ``sec.find('title')`` descends, so a title nested in
+    # a wrapper element still names the section (a direct-children-only
+    # scan would mislabel it "Untitled Section").
+    title_el = _find(sec, "title")
     title = (_get_text(title_el, "").title()
              if title_el is not None and _get_text(title_el, "")
              else "Untitled Section")
@@ -160,8 +164,7 @@ def extract_abstract(root) -> Optional[str]:
         secs = _children(ab, "sec")
         if secs:
             for sec in secs:
-                title_el = next(
-                    (c for c in sec if _local(c.tag) == "title"), None)
+                title_el = _find(sec, "title")  # recursive, like BS find
                 t = _get_text(title_el, "")
                 if t:
                     parts.append(t)
@@ -185,12 +188,17 @@ def extract_abstract(root) -> Optional[str]:
 
 
 def article_pmcid(article) -> Optional[str]:
-    """X7 — scan article-id[pub-id-type=pmcid] (pmc.py:111-117)."""
+    """X7 — scan article-id[pub-id-type=pmcid] (pmc.py:111-117).
+
+    A leading 'pmc' prefix is uppercased (the reference's
+    ``re.sub('^PMC', 'PMC', txt, flags=re.I)``) so lowercase ids from
+    sloppy payloads still hit EFetch result lookups keyed by 'PMC...'.
+    """
     for aid in _find_all(article, "article-id"):
         if (aid.get("pub-id-type") or "").lower() == "pmcid":
             txt = _get_text(aid, "")
             if txt:
-                return txt
+                return re.sub(r"^pmc", "PMC", txt, flags=re.I)
     return None
 
 
