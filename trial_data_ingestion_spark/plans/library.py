@@ -948,11 +948,47 @@ def q25_failure_taxonomy(spark, sf_dir):
              .groupBy("reason").agg(F.count(F.lit(1)).alias("n")))
 
 
-# ----- rows-only checks (no SQL-expressible oracle) -----------------------
+def _q26_sql() -> str:
+    """Oracle for q26 — SimHash is md5 + integer/bit arithmetic, all of
+    which DuckDB reproduces bit-for-bit (same trick as q19's inlined
+    Carter-Wegman constants): token hash = first 60 md5 bits, per-bit
+    +1/-1 votes over the token MULTISET (duplicates vote repeatedly),
+    bit set where the vote sum is positive, prefix-block on the top 8
+    bits, exact bit_count Hamming filter."""
+    return """
+WITH t AS (
+  SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
+  FROM documents),
+tok AS (
+  SELECT doc_id, unnest(string_split(txt, ' ')) AS w FROM t),
+h AS (
+  SELECT doc_id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS a
+  FROM tok),
+votes AS (
+  SELECT doc_id, g.i AS i,
+         sum(CASE WHEN (a >> CAST(g.i AS INTEGER)) & 1 = 1
+                  THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN generate_series(0, 59) g(i)
+  GROUP BY doc_id, g.i),
+sh AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN v > 0
+                       THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS sh
+  FROM votes GROUP BY doc_id),
+blk AS (SELECT doc_id, sh, sh >> 52 AS blk FROM sh)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sh, b.sh)) <= 12
+"""
 
-@_register("q26_simhash_pairs")
+
+@_register("q26_simhash_pairs", _q26_sql())
 def q26_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup pairs (blocked Hamming search). Rows-only."""
+    """SimHash near-dup pairs (prefix-blocked Hamming search),
+    hash-verified: the md5-derived 60-bit SimHash is reproduced
+    exactly by the DuckDB oracle."""
     d = _t(spark, sf_dir, "documents")
     out = dedup.simhash_near_dups(d, "doc_id", "text",
                                   max_hamming=12, prefix_bits=8)
@@ -960,9 +996,59 @@ def q26_simhash_pairs(spark, sf_dir):
                       F.col("hamming").cast("long").alias("hamming"))
 
 
-@_register("q27_lsh_topk")
+def _q27_sql() -> str:
+    """Oracle for q27 — the SRP hyperplanes are md5-derived literal
+    doubles computed at plan time (similarity._hyperplane); inlining
+    the same literals into SQL reproduces the bucket ids exactly.  The
+    per-plane projection is written as a left-associated sum
+    ``0.0 + v[1]*c0 + v[2]*c1 + ...`` to match Spark's sequential
+    ``aggregate`` fold ordering bit-for-bit (sign flips at proj ~ 0
+    are the only hazard, and identical fold order removes it)."""
+    from trial_data_ingestion_spark.operators.similarity import _hyperplane
+    dim, num_planes = 64, 8
+
+    def proj(vec: str, p: int) -> str:
+        plane = _hyperplane(dim, p)
+        return "(0.0 + " + " + ".join(
+            f"{vec}[{j + 1}] * ({plane[j]!r})" for j in range(dim)) + ")"
+
+    def bucket(vec: str) -> str:
+        return "(" + " + ".join(
+            f"(CASE WHEN {proj(vec, p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(num_planes)) + ")"
+
+    probes = [0] + [1 << p for p in range(num_planes)]
+    return f"""
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+eb AS (
+  SELECT vec_id, v, {bucket('v')} AS bucket FROM e),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, {bucket('v')} AS q_bucket
+  FROM e WHERE vec_id IN (0, 1, 2)),
+qp AS (
+  SELECT query_id, qv, xor(q_bucket, p.probe) AS bucket
+  FROM q CROSS JOIN (SELECT unnest({probes}) AS probe) p),
+s AS (
+  SELECT qp.query_id, eb.vec_id AS neighbor_id,
+         list_dot_product(eb.v, qp.qv) /
+           (sqrt(list_dot_product(eb.v, eb.v)) *
+            sqrt(list_dot_product(qp.qv, qp.qv))) AS c
+  FROM eb JOIN qp ON eb.bucket = qp.bucket
+  WHERE eb.vec_id <> qp.query_id)
+SELECT query_id, neighbor_id, round(c, 6) AS score, rnk AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY c DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= 5
+"""
+
+
+@_register("q27_lsh_topk", _q27_sql())
 def q27_lsh_topk(spark, sf_dir):
-    """Approximate ANN via SRP-LSH buckets + exact rescoring. Rows-only."""
+    """Approximate ANN via SRP-LSH buckets + exact rescoring,
+    hash-verified: the md5-derived hyperplanes are inlined into the
+    DuckDB oracle so bucket membership matches exactly."""
     from trial_data_ingestion_spark.operators.similarity import topk_lsh
     emb = _t(spark, sf_dir, "embeddings")
     qs = (emb.where(F.col("vec_id").isin(0, 1, 2))
@@ -1250,16 +1336,48 @@ def q36_approx_distinct(spark, sf_dir):
                     .alias("approx_users"),
                    F.countDistinct("user_id").alias("exact_users")))
 
-@_register("q32_multimodal_features")
+def _q32_sql() -> str:
+    """Oracle for q32 — the fake media pipeline is sha256 + byte
+    arithmetic end to end, and DuckDB has sha256: payload = UTF-8
+    bytes of the hex sha256 of the doc id; features[i] = float32 of
+    (byte(2i) + byte(2i+1)) / 2 / 255 over the sha256 digest of the
+    payload (validated: DuckDB's double-division + FLOAT cast equals
+    numpy's float32 arithmetic for every possible byte pair).  The
+    feature_sum fold is left-associated to match Spark's
+    ``aggregate``."""
+    def byte(k: int) -> str:
+        return f"CAST('0x' || substr(dg, {2 * k + 1}, 2) AS BIGINT)"
+
+    feats = [
+        f"CAST(CAST(({byte(2 * i)} + {byte(2 * i + 1)}) AS DOUBLE)"
+        f" / 2.0 / 255.0 AS FLOAT)"
+        for i in range(16)
+    ]
+    sum_expr = "(0.0 + " + " + ".join(
+        f"CAST({f} AS DOUBLE)" for f in feats) + ")"
+    return f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         sha256(sha256(CAST(doc_id AS VARCHAR))) AS dg
+  FROM documents WHERE doc_id < 200)
+SELECT media_id, CAST(16 AS BIGINT) AS feature_dim,
+       round(CAST({feats[0]} AS DOUBLE), 6) AS f0,
+       round({sum_expr}, 6) AS feature_sum
+FROM m
+"""
+
+
+@_register("q32_multimodal_features", _q32_sql())
 def q32_multimodal_features(spark, sf_dir):
     """North-star multimodal plumbing end to end: documents ->
     deterministic fake media payloads (binary column + typed metadata
     struct) -> Arrow-batched decode/featurize kernel -> per-media
-    feature summary.  Rows-only: the kernel is a mapInPandas barrier
-    with no SQL equivalent (production swaps fake_decoder for a
-    PIL/librosa-backed one of the same signature)."""
+    feature summary.  Hash-verified: the fake decoder is sha256 byte
+    arithmetic, which the DuckDB oracle reproduces exactly (production
+    swaps fake_decoder for a PIL/librosa-backed one of the same
+    signature — THAT kernel would be rows-only)."""
     from trial_data_ingestion_spark import multimodal as mm
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     media = mm.attach_fake_media(d, "doc_id")
     feats = mm.extract_features(media, decoder=mm.fake_decoder, dim=16)
     return feats.select(
