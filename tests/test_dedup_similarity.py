@@ -109,3 +109,93 @@ def test_embedding_near_dups_exact_finds_duplicate_vector(spark):
         "vec_id long, embedding array<float>")
     pairs = embedding_near_dups_exact(df, threshold=0.99).collect()
     assert {(r.doc_a, r.doc_b) for r in pairs} == {(0, 1)}
+
+
+def test_connected_components_min_label_chain(spark):
+    # component 1-3, 2-3: node 2 reaches min-id 1 only THROUGH the
+    # higher-id 3 — the case pair-wise "drop doc_b" gets wrong
+    pairs = spark.createDataFrame([(1, 3), (2, 3), (10, 11)],
+                                  ["doc_a", "doc_b"])
+    labels = {r["doc"]: r["label"]
+              for r in dedup.connected_components_min_label(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_drop_non_representatives_transitive_chain(spark):
+    # pairwise drop would keep {1, 2} (2 never appears as doc_b with a
+    # smaller doc_a); cluster-correct keeps only the component min {1}
+    df = spark.createDataFrame([(1,), (2,), (3,), (7,)], ["doc_id"])
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.drop_non_representatives(df, pairs, "doc_id")
+                  .collect())
+    assert kept == [1, 7]
+
+
+def test_dedup_ngram_jaccard_cluster_correct(spark):
+    # doc 3 = doc 1's text + doc 2's text: J(1,3) ~= .5, J(2,3) ~= .5,
+    # J(1,2) = 0.  Confirmed pairs (1,3), (2,3); component min is 1,
+    # so 2 and 3 both drop even though (1,2) alone is under threshold.
+    t1 = "alpha beta gamma delta epsilon zeta"
+    t2 = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, t1), (2, t2), (3, t1 + " " + t2), (9, "unrelated words here")],
+        ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b)
+             for r in dedup.ngram_jaccard_pairs(df, "doc_id", "text", n=3,
+                                                threshold=0.35).collect()}
+    assert pairs == {(1, 3), (2, 3)}
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_ngram_jaccard(df, "doc_id", "text", n=3,
+                                            threshold=0.35).collect())
+    assert kept == [1, 9]
+
+
+def test_empty_pairs_noop(spark):
+    df = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup.drop_non_representatives(df, pairs, "doc_id")
+                  .collect())
+    assert kept == [1, 2]
+
+
+def test_blocked_embedding_dups_subset_of_exact(spark, embeddings_df):
+    # SRP blocking can only LOSE pairs (recall), never invent them
+    # (precision exact by construction): blocked ⊆ exact at the same
+    # threshold, and the high-similarity pairs survive blocking
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+    exact = {(r.doc_a, r.doc_b): r.cos
+             for r in embedding_near_dups_exact(
+                 embeddings_df, threshold=0.4, dim=64).collect()}
+    blocked = {(r.doc_a, r.doc_b): r.cos
+               for r in embedding_near_dups(
+                   embeddings_df, dim=64, threshold=0.4,
+                   num_planes=8).collect()}
+    assert set(blocked) <= set(exact)
+    for k, v in blocked.items():
+        assert v == pytest.approx(exact[k])
+
+
+def test_ngram_capped_pairs_vs_uncapped(spark):
+    # the hot-gram cap must only drop/downweight pairs whose overlap
+    # rides on hot grams — pairs sharing ONLY cold grams keep their
+    # exact jaccard ("a b c" appears in all 4 docs -> df=4 > 3 cap)
+    hot = "a b c"
+    df = spark.createDataFrame(
+        [(1, hot + " p q r s"), (2, hot + " p q r t"),
+         (3, hot + " m n o u"), (4, hot + " x y z w")],
+        ["doc_id", "text"])
+    capped = {(r.doc_a, r.doc_b): r.jaccard
+              for r in dedup.ngram_jaccard_pairs(
+                  df, "doc_id", "text", n=3, threshold=0.01,
+                  max_doc_freq=3).collect()}
+    uncapped = {(r.doc_a, r.doc_b): r.jaccard
+                for r in dedup.ngram_jaccard_pairs(
+                    df, "doc_id", "text", n=3, threshold=0.01).collect()}
+    # every doc pairs with every other via the hot gram when uncapped
+    assert len(uncapped) == 6
+    # capped: only 1-2 still share cold grams ("b c p","c p q","p q r")
+    assert set(capped) == {(1, 2)}

@@ -57,8 +57,19 @@ def test_q19_no_python_in_dedup(spark):
 
 def test_shingle_explode_parallelized_on_single_split(spark):
     """A single-file scan must be repartitioned before the CPU-heavy
-    shingle explode (REPARTITION_BY_NUM survives AQE coalescing)."""
-    plan = _plan(spark, "q19_minhash_dedup")
+    shingle explode (REPARTITION_BY_NUM survives AQE coalescing).
+
+    Asserted on the signature subtree directly: q19's final plan now
+    ends at the connected-components localCheckpoint boundary, so the
+    explode no longer shows in its explain string."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        minhash_signatures,
+    )
+    df = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sig = minhash_signatures(df, "doc_id", "text", k=8, num_hashes=16)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString("simple")
+    plan = sig._jdf.queryExecution().explainString(jmode)
     assert "REPARTITION_BY_NUM" in plan
 
 

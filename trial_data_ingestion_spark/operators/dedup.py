@@ -253,13 +253,84 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
     )
 
 
+def connected_components_min_label(pairs: DataFrame,
+                                   max_iterations: int = 25) -> DataFrame:
+    """(doc_a, doc_b) edge list -> (doc, label) where ``label`` is the
+    minimum doc id of the node's connected component.
+
+    Iterative min-label propagation: each round every node takes the
+    least of its own label and its neighbors' labels — one keyed
+    shuffle per round, converging in O(component diameter) rounds
+    (near-dup clusters are shallow: typically 2-3).  Operates on the
+    EDGE ENDPOINTS only — isolated docs never enter the loop, so at
+    100 TB the iteration cost is bounded by the duplicate set, not the
+    corpus.  ``localCheckpoint`` truncates the growing lineage each
+    round (the standard iterative-algorithm discipline; without it
+    plan size doubles per iteration).
+
+    Raises if the labels haven't converged after ``max_iterations``
+    (a component with diameter > 25 is not a near-dup cluster — it's
+    a data bug worth failing loudly on).
+    """
+    edges = (pairs.select(F.col("doc_a").alias("src"),
+                          F.col("doc_b").alias("dst"))
+             .union(pairs.select(F.col("doc_b").alias("src"),
+                                 F.col("doc_a").alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("doc")).distinct()
+              .withColumn("label", F.col("doc"))
+              .localCheckpoint())
+    for _ in range(max_iterations):
+        nbr = (edges.join(labels, edges["src"] == labels["doc"])
+               .groupBy("dst").agg(F.min("label").alias("nbr_label")))
+        new_labels = (
+            labels.join(nbr, labels["doc"] == nbr["dst"], "left")
+                  .select(labels["doc"],
+                          F.least(labels["label"],
+                                  F.coalesce(F.col("nbr_label"),
+                                             labels["label"]))
+                           .alias("label"))
+                  .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc")
+                   .where(F.col("n.label") != F.col("o.label"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components_min_label: no convergence after "
+        f"{max_iterations} iterations — pathological component")
+
+
+def drop_non_representatives(df: DataFrame, pairs: DataFrame,
+                             id_col: str) -> DataFrame:
+    """Keep one doc (the min id) per connected component of the
+    confirmed-duplicate pair graph; docs in no pair pass through.
+
+    This is the cluster-correct removal: a pair-wise "drop doc_b of
+    each pair" misses chain members reachable only through a
+    higher-id neighbor (component 1-3, 2-3: pairwise keeps {1, 2},
+    but 2 duplicates 1 transitively and must drop).
+
+    The pair list is materialized ONCE up front (localCheckpoint):
+    the confirmed-pair subtree is typically an expensive
+    verify pipeline, and the label-propagation loop would otherwise
+    re-execute it once per branch per iteration.  The materialized
+    table is tiny — pairs, not docs."""
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components_min_label(pairs)
+    drops = (labels.where(F.col("label") != F.col("doc"))
+             .select(F.col("doc").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")
+
+
 def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.8) -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> Jaccard verify ->
-    drop the higher id of each confirmed pair (min-id representative,
-    one hop — adequate for near-dup clusters where similarity is
-    near-transitive).
+    connected components over confirmed pairs -> keep the min-id doc
+    per duplicate cluster.
 
     The candidate-pair table is persisted: it is tiny (pairs, not
     docs) but feeds three downstream consumers (semi-filter, doc_a
@@ -267,9 +338,8 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
     whole signature+LSH subtree once per consumer."""
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
                                    bands).persist()
-    dups = (jaccard_verify(df, cands, id_col, text_col, k, threshold)
-            .select(F.col("doc_b").alias(id_col)).distinct())
-    return df.join(dups, id_col, "left_anti")
+    confirmed = jaccard_verify(df, cands, id_col, text_col, k, threshold)
+    return drop_non_representatives(df, confirmed, id_col)
 
 
 # --------------------------------------------------------------------------
@@ -335,12 +405,12 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str, text_col: str,
 def dedup_ngram_jaccard(df: DataFrame, id_col: str, text_col: str,
                         n: int = 3, threshold: float = 0.5,
                         max_doc_freq: int | None = None) -> DataFrame:
-    """Near-dup removal by exact word-n-gram Jaccard: drop the higher
-    id of each pair over the threshold."""
-    dups = (ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
-                                max_doc_freq)
-            .select(F.col("doc_b").alias(id_col)).distinct())
-    return df.join(dups, id_col, "left_anti")
+    """Near-dup removal by exact word-n-gram Jaccard: connected
+    components over the confirmed pairs, keep the min-id doc per
+    cluster."""
+    confirmed = ngram_jaccard_pairs(df, id_col, text_col, n, threshold,
+                                    max_doc_freq)
+    return drop_non_representatives(df, confirmed, id_col)
 
 
 # --------------------------------------------------------------------------

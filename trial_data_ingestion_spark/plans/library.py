@@ -833,7 +833,7 @@ def _q19_sql() -> str:
     consts = ", ".join(f"({j}, {c1}, {c2})" for j, (c1, c2)
                        in enumerate(dedup.cw_constants(16)))
     return f"""
-WITH t AS (
+WITH RECURSIVE t AS (
   SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g')) AS txt
   FROM documents),
 sh AS (
@@ -864,13 +864,24 @@ inter AS (
   JOIN sh y ON y.doc_id = c.doc_b AND y.s = x.s
   GROUP BY c.doc_a, c.doc_b),
 sizes AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY doc_id),
-dup AS (
-  SELECT DISTINCT i.doc_b
+pairs AS (
+  SELECT i.doc_a, i.doc_b
   FROM inter i
   JOIN sizes sa ON sa.doc_id = i.doc_a
   JOIN sizes sb ON sb.doc_id = i.doc_b
-  WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.8)
-SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc_b FROM dup)
+  WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.8),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs),
+-- transitive closure -> per-node component-min label (the engine's
+-- connected-components removal: keep only the min id per cluster)
+reach(doc, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT reach.doc, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+labels AS (SELECT doc, min(r) AS label FROM reach GROUP BY doc),
+dup AS (SELECT doc FROM labels WHERE doc <> label)
+SELECT doc_id FROM documents WHERE doc_id NOT IN (SELECT doc FROM dup)
 """
 
 
@@ -996,26 +1007,34 @@ def q26_simhash_pairs(spark, sf_dir):
                       F.col("hamming").cast("long").alias("hamming"))
 
 
-def _q27_sql() -> str:
-    """Oracle for q27 — the SRP hyperplanes are md5-derived literal
-    doubles computed at plan time (similarity._hyperplane); inlining
-    the same literals into SQL reproduces the bucket ids exactly.  The
-    per-plane projection is written as a left-associated sum
-    ``0.0 + v[1]*c0 + v[2]*c1 + ...`` to match Spark's sequential
-    ``aggregate`` fold ordering bit-for-bit (sign flips at proj ~ 0
-    are the only hazard, and identical fold order removes it)."""
+def _srp_bucket_sql(vec: str, dim: int = 64, num_planes: int = 8) -> str:
+    """SQL expression for the engine's SRP bucket id: the md5-derived
+    hyperplanes (similarity._hyperplane) are plan-time literal doubles,
+    inlined so DuckDB reproduces bucket membership exactly.  Each
+    projection is a left-associated sum ``0.0 + v[1]*c0 + ...`` to
+    match Spark's sequential ``aggregate`` fold bit-for-bit (sign
+    flips at proj ~ 0 are the only hazard, and identical fold order
+    removes it)."""
     from trial_data_ingestion_spark.operators.similarity import _hyperplane
-    dim, num_planes = 64, 8
 
-    def proj(vec: str, p: int) -> str:
+    def proj(p: int) -> str:
         plane = _hyperplane(dim, p)
         return "(0.0 + " + " + ".join(
             f"{vec}[{j + 1}] * ({plane[j]!r})" for j in range(dim)) + ")"
 
+    return "(" + " + ".join(
+        f"(CASE WHEN {proj(p)} >= 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(num_planes)) + ")"
+
+
+def _q27_sql() -> str:
+    """Oracle for q27 — SRP bucketing via the inlined-hyperplane
+    expression (see _srp_bucket_sql), multi-probe via xor, exact
+    cosine rescoring of candidates only."""
+    num_planes = 8
+
     def bucket(vec: str) -> str:
-        return "(" + " + ".join(
-            f"(CASE WHEN {proj(vec, p)} >= 0 THEN {1 << p} ELSE 0 END)"
-            for p in range(num_planes)) + ")"
+        return _srp_bucket_sql(vec, 64, num_planes)
 
     probes = [0] + [1 << p for p in range(num_planes)]
     return f"""
@@ -1111,6 +1130,71 @@ def q29_embedding_dups(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = embedding_near_dups_exact(emb, threshold=0.4, dim=64)
     return out.select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+
+
+def _q48_sql() -> str:
+    """Oracle for q48 — the SRP-blocked scale path of q29, bucket ids
+    reproduced via the inlined-hyperplane expression."""
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+eb AS (SELECT vec_id, v, {_srp_bucket_sql('v')} AS bucket FROM e)
+SELECT doc_a, doc_b, round(c, 6) AS cos
+FROM (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+             list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(b.v, b.v))) AS c
+      FROM eb a JOIN eb b ON a.bucket = b.bucket
+                         AND a.vec_id < b.vec_id)
+WHERE c >= 0.4
+"""
+
+
+@_register("q48_embedding_dups_blocked", _q48_sql())
+def q48_embedding_dups_blocked(spark, sf_dir):
+    """The 100 TB path of q29: SRP-bucket self-join (same-bucket
+    candidates only) + exact cosine threshold.  Hash-verified against
+    the inlined-hyperplane oracle; tests additionally assert its
+    output is a subset of q29's exact pairs (recall is the LSH
+    trade-off, precision is exact by construction)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    out = embedding_near_dups(emb, dim=64, threshold=0.4, num_planes=8)
+    return out.select("doc_a", "doc_b", F.round("cos", 6).alias("cos"))
+
+
+@_register("q49_ngram_jaccard_capped", f"""
+WITH w AS (SELECT doc_id, {_TOKS} AS w FROM documents),
+g0 AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, greatest(len(w) - 1, 1)),
+        i -> array_to_string(list_slice(w, i, i + 2), ' ')))) AS g
+      FROM w WHERE len(w) >= 3),
+hot AS (SELECT g FROM g0 GROUP BY g HAVING count(*) > 5),
+g AS (SELECT doc_id, g FROM g0 WHERE g NOT IN (SELECT g FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS nsh FROM g GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ninter
+          FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(CAST(i.ninter AS DOUBLE) /
+             (sa.nsh + sb.nsh - i.ninter), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.5
+""")
+def q49_ngram_jaccard_capped(spark, sf_dir):
+    """The 100 TB guard-rail variant of q28: grams appearing in more
+    than 5 docs are dropped before the inverted-index self-join (the
+    hot-gram blowup guard).  Hash-verified; the Jaccard denominator
+    uses the FILTERED gram sets on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3,
+                                    threshold=0.5, max_doc_freq=5)
+    return out.select("doc_a", "doc_b",
+                      F.round("jaccard", 6).alias("jaccard"))
 
 
 @_register("q30_quality_score", f"""
