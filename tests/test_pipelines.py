@@ -109,6 +109,59 @@ def test_upsert_replaces_by_key(spark, tmp_path):
     assert rows == {"a": 1, "b": 2, "c": 2}
 
 
+def test_single_fallback_ladder(spark):
+    # S8/S9: a doc that misses batch idconv resolves via EuropePMC
+    # search, and one missing from the batch EFetch response is
+    # recovered through the OAI-PMH / EuropePMC fullTextXML ladder
+    from trial_data_ingestion_spark.pipelines.fulltext import run_fulltext
+    from trial_data_ingestion_spark.sources.http_connector import (
+        FixtureFetcher,
+    )
+
+    def factory():
+        return FixtureFetcher(
+            doi_to_pmcid={"10.1000/long": "PMC9999999"},
+            pmcid_to_xml={},                       # batch EFetch misses all
+            oai_xml={"PMC9999999": FX.long_jats()},
+            epmc_xml={"PMC5555555": FX.long_jats()},
+            epmc_doi_to_pmcid={"10.1000/epmconly": "PMC5555555"},
+        )
+
+    df = spark.createDataFrame(
+        [("10.1000/long", "J1"),       # batch idconv ok, EFetch via OAI
+         ("10.1000/epmconly", "J2"),   # idconv miss -> EPMC search + XML
+         ("10.1000/gone", "J3")],      # fails the whole ladder
+        "doi string, journal string")
+
+    # without the fallback both fetchable docs fail
+    off = run_fulltext(df, factory)
+    assert off["records"].count() == 0
+
+    on = run_fulltext(df, factory, single_fallback=True)
+    recs = {r["doi"]: r for r in on["records"].collect()}
+    fails = {r["doi"]: r["reason"] for r in on["failures"].collect()}
+    assert set(recs) == {"10.1000/long", "10.1000/epmconly"}
+    assert recs["10.1000/epmconly"]["pmcid"] == "PMC5555555"
+    assert fails["10.1000/gone"] == "EuropePMC: no PMCID | idconv: no PMCID"
+
+
+def test_fixture_fetcher_single_ladder_order():
+    # the ladder must try EFetch, then OAI, then EuropePMC (pmc.py:169-205)
+    from trial_data_ingestion_spark.sources.http_connector import (
+        FixtureFetcher,
+    )
+    f = FixtureFetcher(
+        doi_to_pmcid={}, pmcid_to_xml={},
+        oai_xml={"PMC1": FX.long_jats()},
+        epmc_xml={"PMC1": FX.JATS_ABSTRACT_ONLY},
+    )
+    rec, err = f.jats_single("PMC1")
+    assert err is None and rec["title"] == "Long Article"
+    assert (f.efetch_calls, f.oai_calls, f.epmc_calls) == (1, 1, 0)
+    rec2, err2 = f.jats_single("PMCNOPE")
+    assert rec2 is None and err2 == "PMC/EPMC: no JATS <article> found"
+
+
 def test_fixture_fetcher_batches():
     f = _fetcher_factory()
     out, fails = f.idconv_batch(["10.1000/long", "nope"])

@@ -15,8 +15,10 @@ the only Python round-trips, and every filter/projection happens
 before them (§4.3 pre-UDF pruning).  The failure taxonomy matches the
 reference exactly ("idconv: no PMCID", "PMC fetch failed (batched
 only)", "abstract_only" — fulltext_enricher.py:199,212,222); the
-single-item fallback ladder (S8) is skipped by default, mirroring
-``skip_pmc_single_fallback=True`` (fulltext_enricher.py:117).
+single-item fallback ladder (S8/S9) is skipped by default, mirroring
+``skip_pmc_single_fallback=True`` (fulltext_enricher.py:117) — pass
+``single_fallback=True`` to enable EFetch -> OAI-PMH -> EuropePMC
+retries for batch misses (pmc.py:156-209,14-58).
 """
 
 from __future__ import annotations
@@ -56,7 +58,8 @@ def run_fulltext(input_df: DataFrame,
                  existing_df: Optional[DataFrame] = None,
                  min_fulltext_chars: int = MIN_FULLTEXT_CHARS,
                  idconv_batch: int = IDCONV_BATCH,
-                 efetch_batch: int = EFETCH_BATCH) -> dict:
+                 efetch_batch: int = EFETCH_BATCH,
+                 single_fallback: bool = False) -> dict:
     """Build the pipeline; returns lazy ``records`` / ``failures``
     DataFrames plus the deduped worklist for summary counters."""
     prepared = prepare_input(input_df)
@@ -67,12 +70,14 @@ def run_fulltext(input_df: DataFrame,
             F.broadcast(existing_df.select("doi_norm").distinct()),
             "doi_norm", "left_anti")
 
-    idmap = map_idconv(worklist, fetcher_factory, batch_size=idconv_batch)
+    idmap = map_idconv(worklist, fetcher_factory, batch_size=idconv_batch,
+                       single_fallback=single_fallback)
     with_ids = worklist.join(idmap, "doi_norm", "left")
 
     parsed = map_efetch(
         with_ids.where(F.col("pmcid").isNotNull()).select("pmcid"),
-        fetcher_factory, batch_size=efetch_batch)
+        fetcher_factory, batch_size=efetch_batch,
+        single_fallback=single_fallback)
     assembled = with_ids.join(
         parsed.withColumnsRenamed({"fetch_error": "parse_error"}),
         "pmcid", "left")

@@ -69,14 +69,28 @@ def retry_with_backoff(fn: Callable, attempts: int = 3,
 
 class FixtureFetcher:
     """Deterministic offline fetcher for tests: dict-served lookups
-    with the reference's failure taxonomy."""
+    with the reference's failure taxonomy.
+
+    The three optional dicts model the S8/S9 fallback surfaces
+    (pmc.py:156-209,41-58): ``oai_xml`` is the OAI-PMH GetRecord
+    store, ``epmc_xml`` the EuropePMC fullTextXML store, and
+    ``epmc_doi_to_pmcid`` the EuropePMC search index."""
 
     def __init__(self, doi_to_pmcid: Dict[str, str],
-                 pmcid_to_xml: Dict[str, str]):
+                 pmcid_to_xml: Dict[str, str],
+                 oai_xml: Optional[Dict[str, str]] = None,
+                 epmc_xml: Optional[Dict[str, str]] = None,
+                 epmc_doi_to_pmcid: Optional[Dict[str, str]] = None):
         self._ids = doi_to_pmcid
         self._xml = pmcid_to_xml
+        self._oai = oai_xml or {}
+        self._epmc = epmc_xml or {}
+        self._epmc_ids = epmc_doi_to_pmcid or {}
         self.idconv_calls = 0
         self.efetch_calls = 0
+        self.oai_calls = 0
+        self.epmc_calls = 0
+        self.epmc_search_calls = 0
 
     def idconv_batch(self, dois: List[str]
                      ) -> Tuple[Dict[str, str], List[Tuple[str, str]]]:
@@ -106,6 +120,41 @@ class FixtureFetcher:
                 out[p] = rec
         return out, fails
 
+    # ---- S8 single-item ladder: EFetch -> OAI-PMH -> EuropePMC ----
+
+    def jats_single(self, pmcid: str) -> Tuple[Optional[dict],
+                                               Optional[str]]:
+        """Mirror of ``try_pmc_jats`` (pmc.py:156-209): try each
+        source in order, parse the first that yields an <article>."""
+        from trial_data_ingestion_spark.sources.jats import parse_jats
+        for store, counter in ((self._xml, "efetch_calls"),
+                               (self._oai, "oai_calls"),
+                               (self._epmc, "epmc_calls")):
+            setattr(self, counter, getattr(self, counter) + 1)
+            xml = store.get(pmcid)
+            if xml is None:
+                continue
+            rec = parse_jats(xml)
+            if not rec["error"]:
+                return rec, None
+        return None, "PMC/EPMC: no JATS <article> found"
+
+    # ---- S9 single DOI -> PMCID with EuropePMC search fallback ----
+
+    def doi_to_pmcid_single(self, doi: str) -> Tuple[Optional[str],
+                                                     Optional[str]]:
+        """Mirror of ``doi_to_pmcid`` (pmc.py:14-58): idconv first,
+        EuropePMC search second, chained failure reasons."""
+        self.idconv_calls += 1
+        pmcid = self._ids.get(doi)
+        if pmcid:
+            return pmcid, None
+        self.epmc_search_calls += 1
+        pmcid = self._epmc_ids.get(doi)
+        if pmcid:
+            return pmcid, None
+        return None, "EuropePMC: no PMCID | idconv: no PMCID"
+
 
 class LiveNCBIFetcher:
     """Live NCBI connector mirroring sources/pmc.py semantics
@@ -116,6 +165,12 @@ class LiveNCBIFetcher:
                   "?tool=spark-graft&format=json&ids=")
     EFETCH_URL = ("https://eutils.ncbi.nlm.nih.gov/entrez/eutils/"
                   "efetch.fcgi?db=pmc&retmode=xml&id=")
+    OAI_URL = ("https://www.ncbi.nlm.nih.gov/pmc/oai/oai.cgi"
+               "?verb=GetRecord&metadataPrefix=pmc"
+               "&identifier=oai:pubmedcentral.nih.gov:")
+    EPMC_XML_URL = "https://www.ebi.ac.uk/europepmc/webservices/rest/"
+    EPMC_SEARCH_URL = ("https://www.ebi.ac.uk/europepmc/webservices/"
+                       "rest/search?format=json&query=doi:")
 
     def __init__(self, timeout: int = 45, rpm: Optional[int] = None):
         import requests  # deferred: offline envs never import this
@@ -175,6 +230,48 @@ class LiveNCBIFetcher:
                 out[p] = rec
         return out, fails
 
+    # ---- S8 single-item ladder (pmc.py:156-209) ----
+
+    def jats_single(self, pmcid):
+        import re as _re
+        from trial_data_ingestion_spark.sources.jats import (
+            parse_jats_response,
+        )
+        num = _re.sub(r"\D", "", pmcid or "")
+        if not num:
+            return None, "Invalid PMCID"
+        urls = (self.EFETCH_URL + num,
+                self.OAI_URL + num,
+                f"{self.EPMC_XML_URL}PMC{num}/fullTextXML")
+        for url in urls:
+            text, _err = retry_with_backoff(lambda u=url: self._get(u),
+                                            attempts=1)
+            if not text:
+                continue
+            for rec in parse_jats_response(text):
+                if not rec["error"]:
+                    return rec, None
+        return None, "PMC/EPMC: no JATS <article> found"
+
+    # ---- S9 single DOI -> PMCID (pmc.py:14-58) ----
+
+    def doi_to_pmcid_single(self, doi):
+        import json as _json
+        out, fails = self.idconv_batch([doi])
+        if doi in out:
+            return out[doi], None
+        last_err = fails[0][1] if fails else "idconv: no PMCID"
+        text, err = retry_with_backoff(
+            lambda: self._get(self.EPMC_SEARCH_URL + doi), attempts=1)
+        if text is None:
+            return None, f"EuropePMC error: {err} | {last_err}"
+        hits = ((_json.loads(text).get("resultList") or {})
+                .get("result") or [])
+        for h in hits:
+            if h.get("pmcid"):
+                return h["pmcid"], None
+        return None, f"EuropePMC: no PMCID | {last_err}"
+
 
 # --------------------------------------------------------------------------
 # Spark operators over a fetcher
@@ -198,12 +295,20 @@ _EFETCH_SCHEMA = T.StructType([
 def map_idconv(df: DataFrame, fetcher_factory: Callable,
                key_col: str = "doi_norm",
                batch_size: int = IDCONV_BATCH,
-               throttle_sec: float = 0.0) -> DataFrame:
+               throttle_sec: float = 0.0,
+               single_fallback: bool = False) -> DataFrame:
     """S6/J5 — distributed DOI->PMCID resolution.
 
     Output has one row per input key: resolved (pmcid, null error) or
     failed (null pmcid, error) — the batch set-difference J5 happens
     inside the connector, so downstream is a plain left join.
+
+    ``single_fallback=True`` enables S9: each batch miss retries the
+    single-item ladder (idconv single + EuropePMC search,
+    pmc.py:14-58) before being reported as a failure.  Off by default
+    to mirror ``skip_pmc_single_fallback=True``
+    (fulltext_enricher.py:117) — the extra per-miss HTTP round-trips
+    only pay off on recall-critical worklists.
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
@@ -213,8 +318,16 @@ def map_idconv(df: DataFrame, fetcher_factory: Callable,
             for i in range(0, len(keys), batch_size):
                 chunk = keys[i:i + batch_size]
                 out, fails = fetcher.idconv_batch(chunk)
+                if single_fallback and fails:
+                    retried = []
+                    for d, err in fails:
+                        pmcid, err2 = fetcher.doi_to_pmcid_single(d)
+                        retried.append((d, pmcid, None if pmcid
+                                        else (err2 or err)))
+                    rows += retried
+                else:
+                    rows += [(d, None, err) for d, err in fails]
                 rows += [(d, p, None) for d, p in out.items()]
-                rows += [(d, None, err) for d, err in fails]
                 if throttle_sec:
                     time.sleep(throttle_sec)
             yield pd.DataFrame(rows,
@@ -227,8 +340,14 @@ def map_idconv(df: DataFrame, fetcher_factory: Callable,
 def map_efetch(df: DataFrame, fetcher_factory: Callable,
                key_col: str = "pmcid",
                batch_size: int = EFETCH_BATCH,
-               throttle_sec: float = 0.0) -> DataFrame:
-    """S7/S8 — distributed PMC JATS fetch + parse."""
+               throttle_sec: float = 0.0,
+               single_fallback: bool = False) -> DataFrame:
+    """S7/S8 — distributed PMC JATS fetch + parse.
+
+    ``single_fallback=True`` enables the S8 ladder: pmcids missing
+    from the batch EFetch response are retried one at a time through
+    EFetch -> OAI-PMH -> EuropePMC fullTextXML (pmc.py:156-209).
+    """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
         for pdf in batches:
@@ -237,6 +356,15 @@ def map_efetch(df: DataFrame, fetcher_factory: Callable,
             for i in range(0, len(keys), batch_size):
                 chunk = keys[i:i + batch_size]
                 out, fails = fetcher.efetch_batch(chunk)
+                if single_fallback and fails:
+                    still_failed = []
+                    for p, err in fails:
+                        rec, err2 = fetcher.jats_single(p)
+                        if rec is not None:
+                            out[p] = rec
+                        else:
+                            still_failed.append((p, err2 or err))
+                    fails = still_failed
                 rows += [(p, r["title"], r["sections"], r["abstract"],
                           None) for p, r in out.items()]
                 rows += [(p, None, [], None, err) for p, err in fails]
