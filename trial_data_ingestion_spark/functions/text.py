@@ -142,18 +142,45 @@ def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
     (sources/springer.py:108-116: Springer payloads arrive double- or
     triple-escaped, e.g. ``&amp;amp;lt;`` -> ``<``).
 
-    The reference calls ``html.unescape`` in a loop; here the common
-    entity set is handled natively so the hot path stays codegen'd
-    (the named entities the reference's payloads actually contain:
-    amp/lt/gt/quot/apos + decimal/hex numeric forms are left to the
-    connector kernel, which owns full-fidelity parsing anyway).
-    Each round must decode ``&amp;`` LAST or double-escaped payloads
-    decode incorrectly ("&amp;lt;" must become "&lt;", not "&lt;"
-    twice in one round).
+    The reference calls ``html.unescape`` in a loop; this Column
+    version keeps the hot path codegen'd: the common named entities
+    plus ALL decimal/hex numeric character references
+    (``&#8212;`` / ``&#x1F600;``) decode natively.  Numeric decode
+    renders code points through UTF-32 (``hex`` -> ``unhex`` ->
+    ``decode``), so the full Unicode range works without Python.
+    Per round, ``&amp;`` must decode LAST or double-escaped payloads
+    decode incorrectly ("&amp;lt;" must become "&lt;", not "<" in one
+    round) — same reason the numeric pass runs before it ("&amp;#60;"
+    holds no ``&#`` token until the amp decodes).
+
+    Documented divergence from stdlib ``html.unescape`` (which
+    ``sources.springer.multi_unescape`` — the connector kernel —
+    implements exactly): semicolon-less forms (``&amp`` / ``&#60``)
+    and the long-tail HTML5 named-entity table are passed through,
+    and C1 code points (0x80-0x9F) decode as-is rather than via the
+    HTML5 windows-1252 remapping.
     """
+    def decode_piece(p: Column) -> Column:
+        dec = F.regexp_extract(p, r"^&#([0-9]{1,7});$", 1)
+        hexp = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]{1,6});$", 1)
+        code = (F.when(dec != "", dec.cast("long"))
+                 .when(hexp != "", F.conv(hexp, 16, 10).cast("long")))
+        valid = (code.isNotNull() & (code > 0) & (code <= 0x10FFFF)
+                 & ~code.between(0xD800, 0xDFFF))
+        ch = F.decode(F.unhex(F.lpad(F.hex(code), 8, "0")), "UTF-32")
+        return F.when(valid, ch).otherwise(p)
+
+    def decode_numeric(s: Column) -> Column:
+        pieces = F.split(s, r"(?=&#)|(?<=;)")
+        joined = F.array_join(F.transform(pieces, decode_piece), "")
+        # skip the split/transform plan entirely when no candidate
+        return F.when(s.contains("&#"), joined).otherwise(s)
+
     out = c
     for _ in range(rounds):
         for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                        ("&apos;", "'"), ("&#39;", "'"), ("&amp;", "&")):
+                        ("&apos;", "'")):
             out = F.replace(out, F.lit(ent), F.lit(ch))
+        out = decode_numeric(out)
+        out = F.replace(out, F.lit("&amp;"), F.lit("&"))
     return out
