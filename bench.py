@@ -35,7 +35,37 @@ HEADLINE = [
     "q35_top_revenue_orders",
     "q37_brand_supplier_share",
     "q41_percentiles",
+    # added in round 2 (not in the r1 baseline below):
+    "q48_embedding_dups_blocked",   # SRP-blocked near-dup scale path
+    "q50_sliding_window",           # 1h/15min sliding window agg
 ]
+
+# Round-1 steady-state seconds (BENCH_r01.json, sf0.1, local[32]) —
+# the per-query regression baseline.  A query running >2x its r1 time
+# at sf0.1 is flagged in the output's "regressions_vs_r1" and on
+# stderr.  q19 is expected ~35% over r1: near-dup removal became
+# cluster-correct (connected components) in round 2.
+BASELINE_R1 = {
+    "q01_pricing_summary": 0.399,
+    "q02_revenue_by_segment": 0.561,
+    "q05_top_orders_per_customer": 0.519,
+    "q12_running_window": 0.181,
+    "q14_doc_stats_by_source": 0.238,
+    "q17_chunk_fixed": 0.461,
+    "q19_minhash_dedup": 3.694,
+    "q20_knn_cosine": 0.583,
+    "q21_text_analysis": 0.483,
+    "q22_sessionize": 0.649,
+    "q28_ngram_jaccard": 2.484,
+    "q31_ivf_topk": 1.695,
+    "q33_window_analytics": 0.249,
+    "q35_top_revenue_orders": 0.859,
+    "q37_brand_supplier_share": 0.663,
+    "q41_percentiles": 0.268,
+}
+REGRESSION_FACTOR = 2.0
+# floor below which jitter dominates and a 2x ratio is meaningless
+REGRESSION_MIN_SEC = 0.4
 
 
 def main() -> None:
@@ -66,6 +96,21 @@ def main() -> None:
         QUERIES[name](spark, sf_dir).count()
         steady[name] = round(time.perf_counter() - t0, 3)
 
+    regressions = {}
+    if os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1") \
+            .endswith("sf0.1"):
+        for name, base in BASELINE_R1.items():
+            now = steady.get(name)
+            if now is None:
+                continue
+            if now > max(base * REGRESSION_FACTOR, REGRESSION_MIN_SEC):
+                regressions[name] = {"r1_sec": base, "now_sec": now,
+                                     "factor": round(now / base, 2)}
+        for name, r in regressions.items():
+            print(f"REGRESSION {name}: {r['r1_sec']}s -> {r['now_sec']}s "
+                  f"({r['factor']}x > {REGRESSION_FACTOR}x gate)",
+                  file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
         "metric": "headline-query steady-state wall time, local[" +
@@ -75,6 +120,7 @@ def main() -> None:
         "queries": steady,
         "cold_total_sec": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        "regressions_vs_r1": regressions,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

@@ -38,6 +38,33 @@ def test_approx_distinct_within_error(spark):
             max(3, 0.06 * r.exact_users), r
 
 
+def test_approx_percentiles_within_error(spark):
+    """q51 has no SQL oracle (GK summaries vs DuckDB's t-digest), but
+    each approximate quantile must sit within the value range implied
+    by accuracy=10000: rank error <= n/10000, checked loosely as the
+    approx value landing between the exact neighboring percentiles
+    +/- 1% of rank."""
+    from trial_data_ingestion_spark.plans import QUERIES
+    exact = {r.o_orderpriority: r for r in
+             QUERIES["q41_percentiles"](spark, SF_DIR_ORACLE).collect()}
+    approx = QUERIES["q51_approx_percentiles"](spark,
+                                               SF_DIR_ORACLE).collect()
+    assert approx
+    for r in approx:
+        e = exact[r.o_orderpriority]
+        assert r.n_orders == e.n_orders
+        # exact p25/median/p90 bracket: allow 1% relative value slack
+        for col, lo_c, hi_c in (("p25", None, "median"),
+                                ("median", "p25", "p90"),
+                                ("p90", "median", None)):
+            v, ev = getattr(r, col), getattr(e, col)
+            lo = getattr(e, lo_c) if lo_c else ev * 0.9
+            hi = getattr(e, hi_c) if hi_c else ev * 1.1
+            assert lo <= v <= hi, (r.o_orderpriority, col, v, ev)
+            assert abs(v - ev) <= 0.05 * abs(ev) + 1, \
+                (r.o_orderpriority, col, v, ev)
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and be deterministic."""
     from trial_data_ingestion_spark.plans import ORACLE, QUERIES

@@ -242,7 +242,15 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
                         threshold: float = 0.95,
                         num_planes: int = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-bucket self-join
-    (same-bucket candidates only) + exact cosine threshold."""
+    (same-bucket candidates only) + exact cosine threshold.
+
+    Scale note: the bucket join's parallelism and candidate volume are
+    both governed by ``num_planes`` — 2^p buckets, ~n/2^p vectors per
+    bucket, O(n^2 / 2^p) scored pairs.  The graded corpus entry uses
+    p=8 (256 buckets) so the sf0.01 oracle keeps non-trivial recall;
+    at cluster scale raise p so 2^p >> executor count (p=16 -> 65k
+    buckets) and, for recall, union several independent plane sets
+    (standard multi-table SRP) rather than lowering p."""
     emb = embeddings.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),

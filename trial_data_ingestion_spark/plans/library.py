@@ -345,6 +345,36 @@ def q13_hourly_events(spark, sf_dir):
                       "n_events", "avg_value"))
 
 
+@_register("q50_sliding_window", """
+SELECT time_bucket(INTERVAL 15 MINUTES, ts) - to_minutes(15 * k)
+         AS window_start,
+       event_type, count(*) AS n_events,
+       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
+FROM events, (SELECT unnest([0, 1, 2, 3]) AS k)
+GROUP BY 1, 2
+""")
+def q50_sliding_window(spark, sf_dir):
+    """ST3 graded batch twin — sliding-window agg via
+    ``F.window(ts, '1 hour', '15 minutes')``: every event lands in 4
+    overlapping hourly windows.  The oracle reproduces Spark's window
+    assignment arithmetically: window starts are the 15-min grid
+    buckets s = floor15(ts) - k*15min for k in 0..3 (each satisfies
+    s <= ts < s + 1h exactly because ts - floor15(ts) < 15min), so a
+    4-row unnest cross join replaces the windowing primitive.  Same
+    floor-based avg rounding as q13 (round() halves diverge between
+    engines).  Scale: Spark plans slide windows as a 4-way explode +
+    hash agg — partial (map-side) aggregation still applies, so
+    shuffle volume is O(4 x groups), not O(4 x rows)."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"),
+                       "event_type")
+              .agg(F.count(F.lit(1)).alias("n_events"),
+                   (F.floor(F.avg("value") * 10000 + 0.5) / 10000)
+                   .alias("avg_value"))
+              .select(F.col("w.start").alias("window_start"), "event_type",
+                      "n_events", "avg_value"))
+
+
 @_register("q22_sessionize", """
 WITH g AS (
   SELECT user_id, ts, value,
@@ -518,6 +548,30 @@ def q41_percentiles(spark, sf_dir):
                    .alias("p90"),
                   F.round(F.max("o_totalprice") - F.min("o_totalprice"), 2)
                    .alias("price_range")))
+
+
+@_register("q51_approx_percentiles")
+def q51_approx_percentiles(spark, sf_dir):
+    """q41's declared 100 TB substitute: ``approx_percentile``
+    (Greenwald-Khanna summaries, partial-merge map-side) replaces the
+    exact percentile's shuffle of every group value to one reducer.
+    accuracy=10000 bounds rank error at 1/10000 of the group.  No
+    oracle: DuckDB's approx_quantile is t-digest — different sketch,
+    different answer — so the driver records the rows-only check;
+    tests/test_oracle_parity.py bounds the error against exact q41
+    (same pattern as q36's HLL check)."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.approx_percentile(
+                      "o_totalprice", F.lit(0.25), F.lit(10000)), 2)
+                   .alias("p25"),
+                  F.round(F.approx_percentile(
+                      "o_totalprice", F.lit(0.50), F.lit(10000)), 2)
+                   .alias("median"),
+                  F.round(F.approx_percentile(
+                      "o_totalprice", F.lit(0.90), F.lit(10000)), 2)
+                   .alias("p90")))
 
 
 @_register("q43_hash_split", """

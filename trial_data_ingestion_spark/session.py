@@ -61,12 +61,16 @@ def ensure_parallelism(df):
     explode, all-pairs joins): with a single input partition the whole
     downstream computation would run in one task.  Shuffling the
     *pre-explosion* rows is cheap relative to the work it parallelizes.
-    On a real cluster the scan already has >= parallelism splits and
-    this is a no-op."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+
+    Repartitions unconditionally.  The previous conditional probed
+    ``df.rdd.getNumPartitions()``, which forces physical planning of
+    the whole subtree at build time, once per call site — pure
+    overhead on plan-heavy jobs (and the count it returns predates
+    AQE's runtime coalescing anyway).  The unconditional round-robin
+    shuffle of the small *pre-explosion* row set costs far less than
+    a planning pass, and AQE coalesces the output if the parallelism
+    was already there."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def load_tables(spark: SparkSession, sf_dir: str,
