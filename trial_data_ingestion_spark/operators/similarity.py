@@ -54,7 +54,19 @@ def topk_bruteforce(embeddings: DataFrame, queries: DataFrame,
     to use the unrolled codegen scorer (vector.py) — always worth it
     when the dimension is known.
     """
-    if dim is not None:
+    if dim is not None and metric == "cosine":
+        # factored cosine: norms once per row pre-join, only the
+        # dim-term dot in the join stage (the 3x-dim inline cosine
+        # overflows janino's 64 KB doConsume limit — see
+        # embedding_near_dups); same association order -> same values
+        order = F.desc
+        embeddings = embeddings.withColumn(
+            "__nrm", l2_norm_fixed(vec_col, dim))
+        queries = queries.withColumn(
+            "__qnrm", l2_norm_fixed(query_vec_col, dim))
+        score = (dot_fixed(vec_col, query_vec_col, dim)
+                 / (F.col("__nrm") * F.col("__qnrm")))
+    elif dim is not None:
         score_fn, order = _METRICS_FIXED[metric]
         score = score_fn(F.col(vec_col), F.col(query_vec_col), dim)
     else:
@@ -88,9 +100,27 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def srp_bucket(vec: Column, dim: int, num_planes: int = 8) -> Column:
+def srp_bucket(vec, dim: int, num_planes: int = 8) -> Column:
     """Sign-random-projection bucket id (0 .. 2^num_planes - 1),
-    computed natively from literal hyperplane arrays."""
+    computed natively from literal hyperplane arrays.
+
+    Accepts a Column or a SQL fragment; prefer the string form — it
+    renders the whole bucket expression (num_planes x dim literal
+    terms) as one SQL text parsed by a single F.expr call, where the
+    Column form costs ~dim x num_planes py4j round-trips of driver
+    build time (see functions/vector.py).  Both build the identical
+    Catalyst tree, so bucket assignments (and the inlined-plane
+    DuckDB oracles) are unchanged."""
+    if isinstance(vec, str):
+        parts = ["0"]
+        for p in range(num_planes):
+            arr = ", ".join(f"{c!r}D" for c in _hyperplane(dim, p))
+            proj = (f"aggregate(zip_with({vec}, array({arr}),"
+                    f" (x, y) -> CAST(x AS DOUBLE) * y),"
+                    f" CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
+            parts.append(f"(CASE WHEN {proj} >= 0"
+                         f" THEN {1 << p} ELSE 0 END)")
+        return F.expr(" + ".join(parts))
     bucket = F.lit(0)
     for p in range(num_planes):
         plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
@@ -115,23 +145,27 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
     written bucketed-by-``bucket`` for repeated query workloads; the
     join shuffles candidates, not the full corpus.
     """
-    emb = embeddings.withColumn("bucket",
-                                srp_bucket(F.col(vec_col), dim, num_planes))
+    emb = (embeddings
+           .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
+           .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
     probe_sets = [F.lit(0)]
     if multiprobe_hamming >= 1:
         probe_sets += [F.lit(1 << p) for p in range(num_planes)]
     q = (queries
-         .withColumn("q_bucket", srp_bucket(F.col(query_vec_col), dim,
+         .withColumn("__qnrm", l2_norm_fixed(query_vec_col, dim))
+         .withColumn("q_bucket", srp_bucket(query_vec_col, dim,
                                             num_planes))
          .withColumn("probe", F.explode(F.array(*probe_sets)))
          .withColumn("bucket",
                      F.col("q_bucket").bitwiseXOR(F.col("probe")))
          .drop("q_bucket", "probe"))
     cand = emb.join(F.broadcast(q), "bucket")
+    # factored cosine, same association as the inline form (norms
+    # pre-join keep the join stage's codegen under janino's limit)
     scored = (cand
               .withColumn("score",
-                          cosine_similarity_fixed(F.col(vec_col),
-                                                  F.col(query_vec_col), dim))
+                          dot_fixed(vec_col, query_vec_col, dim)
+                          / (F.col("__nrm") * F.col("__qnrm")))
               .where(F.col(id_col) != F.col(query_id_col)))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                 F.col(id_col).asc())
@@ -170,7 +204,7 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
 
     def nearest_cells(df, vcol, idcol, n_keep):
         if dim is not None:
-            dist = l2_distance_fixed(F.col(vcol), F.col("centroid"), dim)
+            dist = l2_distance_fixed(vcol, "centroid", dim)
         else:
             dist = l2_distance(F.col(vcol), F.col("centroid"))
         d = (df.crossJoin(F.broadcast(centroids))
@@ -183,14 +217,19 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
 
     cells = nearest_cells(embeddings, vec_col, id_col, 1)
     probed = nearest_cells(queries, query_vec_col, query_id_col, nprobe)
-    cand = (cells.join(probed.select(query_id_col, query_vec_col, "cell_id"),
-                       "cell_id")
-                 .where(F.col(id_col) != F.col(query_id_col)))
     if dim is not None:
-        rescore = cosine_similarity_fixed(F.col(vec_col),
-                                          F.col(query_vec_col), dim)
+        # factored cosine (norms pre-join; see embedding_near_dups)
+        cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
+        probed = probed.withColumn("__qnrm",
+                                   l2_norm_fixed(query_vec_col, dim))
+        rescore = (dot_fixed(vec_col, query_vec_col, dim)
+                   / (F.col("__nrm") * F.col("__qnrm")))
+        probe_cols = [query_id_col, query_vec_col, "cell_id", "__qnrm"]
     else:
         rescore = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+        probe_cols = [query_id_col, query_vec_col, "cell_id"]
+    cand = (cells.join(probed.select(*probe_cols), "cell_id")
+                 .where(F.col(id_col) != F.col(query_id_col)))
     scored = cand.withColumn("score", rescore)
     w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
                                                 F.col(id_col).asc())
@@ -221,8 +260,8 @@ def embedding_near_dups_exact(embeddings: DataFrame,
     emb = embeddings.select(F.col(id_col).alias("doc"),
                             F.col(vec_col).alias("v"))
     if dim is not None:
-        emb = emb.withColumn("nrm", l2_norm_fixed(F.col("v"), dim))
-        pair_cos = (dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+        emb = emb.withColumn("nrm", l2_norm_fixed("v", dim))
+        pair_cos = (dot_fixed("a.v", "b.v", dim)
                     / (F.col("a.nrm") * F.col("b.nrm")))
     else:
         pair_cos = cosine_similarity(F.col("a.v"), F.col("b.v"))
@@ -251,16 +290,26 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     at cluster scale raise p so 2^p >> executor count (p=16 -> 65k
     buckets) and, for recall, union several independent plane sets
     (standard multi-table SRP) rather than lowering p."""
+    # Norms are computed once per vector BEFORE the pair join: besides
+    # the O(n) vs O(n^2) saving, the per-pair expression shrinks to the
+    # dim-term dot product — the full inline cosine (3 x dim terms)
+    # exceeds janino's 64 KB method limit inside the join's
+    # whole-stage-codegen doConsume (which cannot be split), silently
+    # degrading the entire join stage to interpreted evaluation.
+    # cos = dot / (nrm_a * nrm_b) is the same association order as the
+    # inline form, so values (and the inlined-plane oracle) are
+    # bit-identical.
     emb = embeddings.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
-        srp_bucket(F.col(vec_col), dim, num_planes).alias("bucket"))
+        l2_norm_fixed(vec_col, dim).alias("nrm"),
+        srp_bucket(vec_col, dim, num_planes).alias("bucket"))
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
                       F.col("a.doc") < F.col("b.doc")])
-         .withColumn("cos", cosine_similarity_fixed(F.col("a.v"),
-                                                    F.col("b.v"), dim))
+         .withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                     / (F.col("a.nrm") * F.col("b.nrm")))
          .where(F.col("cos") >= threshold)
          .select(F.col("a.doc").alias("doc_a"),
                  F.col("b.doc").alias("doc_b"), F.col("cos"))
