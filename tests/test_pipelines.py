@@ -162,6 +162,34 @@ def test_fixture_fetcher_single_ladder_order():
     assert rec2 is None and err2 == "PMC/EPMC: no JATS <article> found"
 
 
+def test_single_ladder_returns_first_found_articles_error():
+    # A located <article> whose parse fails (body present but empty,
+    # no abstract -> "No sections/text") must surface that parse error
+    # instead of falling through to later sources: the reference's
+    # try_pmc_jats returns _parse_article(art) — error included — as
+    # soon as an <article> is found (pmc.py:156-209).
+    from trial_data_ingestion_spark.sources.http_connector import (
+        FixtureFetcher,
+    )
+    bad = ("<article><front><title-group><article-title>T"
+           "</article-title></title-group></front><body></body></article>")
+    f = FixtureFetcher(
+        doi_to_pmcid={}, pmcid_to_xml={"PMC1": bad},
+        oai_xml={"PMC1": FX.long_jats()})
+    rec, err = f.jats_single("PMC1")
+    assert rec is None and err == "No sections/text"
+    assert (f.efetch_calls, f.oai_calls) == (1, 0)
+
+    # unparseable payloads and article-free responses still fall through
+    f2 = FixtureFetcher(
+        doi_to_pmcid={}, pmcid_to_xml={"PMC1": "not xml <"},
+        oai_xml={"PMC1": "<no-article/>"},
+        epmc_xml={"PMC1": FX.long_jats()})
+    rec2, err2 = f2.jats_single("PMC1")
+    assert err2 is None and rec2["title"] == "Long Article"
+    assert (f2.efetch_calls, f2.oai_calls, f2.epmc_calls) == (1, 1, 1)
+
+
 def test_fixture_fetcher_batches():
     f = _fetcher_factory()
     out, fails = f.idconv_batch(["10.1000/long", "nope"])

@@ -65,11 +65,15 @@ def ensure_parallelism(df):
     Repartitions unconditionally.  The previous conditional probed
     ``df.rdd.getNumPartitions()``, which forces physical planning of
     the whole subtree at build time, once per call site — pure
-    overhead on plan-heavy jobs (and the count it returns predates
-    AQE's runtime coalescing anyway).  The unconditional round-robin
-    shuffle of the small *pre-explosion* row set costs far less than
-    a planning pass, and AQE coalesces the output if the parallelism
-    was already there."""
+    overhead on plan-heavy jobs.  The cost of the unconditional
+    shuffle is bounded because every call site feeds the small
+    *pre-explosion* row set (documents/embeddings before shingle or
+    pair blow-up), never a large fact table; that smallness, not AQE,
+    is the justification — AQE's partition coalescing does not apply
+    to an explicit ``repartition(N)``.  An AQE-optimizable rebalance
+    hint would be wrong here anyway: it sizes partitions by bytes, and
+    would collapse the deliberately over-split small input back to one
+    partition, defeating the fan-out."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 

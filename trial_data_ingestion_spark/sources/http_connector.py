@@ -53,6 +53,17 @@ class RateLimiter:
         self._times.append(time.monotonic())
 
 
+def _article_was_found(err: str) -> bool:
+    """True when a parse error came from a located <article> (so the
+    S8 ladder must surface it) rather than from a response with no
+    extractable article (so the ladder should try the next source).
+    Matches the reference's try_pmc_jats, which returns
+    ``_parse_article(art)`` — error included — as soon as an
+    <article> is found (pmc.py:156-209)."""
+    return (err != "No <article> element"
+            and not err.startswith("XML parse error"))
+
+
 def retry_with_backoff(fn: Callable, attempts: int = 3,
                        backoff: float = 1.5):
     """F4 — the reference's retry ladder (pmc.py:23-41)."""
@@ -125,7 +136,10 @@ class FixtureFetcher:
     def jats_single(self, pmcid: str) -> Tuple[Optional[dict],
                                                Optional[str]]:
         """Mirror of ``try_pmc_jats`` (pmc.py:156-209): try each
-        source in order, parse the first that yields an <article>."""
+        source in order, return the parse result of the first that
+        yields an <article> — including its error (e.g. "No
+        sections/text"); only responses with no extractable
+        <article> fall through to the next source."""
         from trial_data_ingestion_spark.sources.jats import parse_jats
         for store, counter in ((self._xml, "efetch_calls"),
                                (self._oai, "oai_calls"),
@@ -135,8 +149,11 @@ class FixtureFetcher:
             if xml is None:
                 continue
             rec = parse_jats(xml)
-            if not rec["error"]:
+            err = rec["error"]
+            if err is None:
                 return rec, None
+            if _article_was_found(err):
+                return None, err
         return None, "PMC/EPMC: no JATS <article> found"
 
     # ---- S9 single DOI -> PMCID with EuropePMC search fallback ----
@@ -189,13 +206,22 @@ class LiveNCBIFetcher:
 
     def idconv_batch(self, dois):
         import json as _json
+        from urllib.parse import quote as _quote
+        # Percent-encode each DOI (reserved chars #, &, +, space are
+        # all legal in DOIs); the separating commas stay literal —
+        # idconv reads ids as a comma-delimited list.
         def call():
-            return self._get(self.IDCONV_URL + ",".join(dois))
+            return self._get(self.IDCONV_URL
+                             + ",".join(_quote(d, safe="") for d in dois))
         text, err = retry_with_backoff(call)
         if text is None:
             return {}, [(d, f"idconv: {err}") for d in dois]
         out, fails = {}, []
-        records = _json.loads(text).get("records", [])
+        try:
+            records = _json.loads(text).get("records", [])
+        except ValueError as exc:
+            # non-JSON 200 body is a failure row, not a task failure
+            return {}, [(d, f"idconv: bad response: {exc}") for d in dois]
         by_doi = {(r.get("doi") or "").lower(): r.get("pmcid")
                   for r in records}
         for d in dois:
@@ -248,25 +274,43 @@ class LiveNCBIFetcher:
                                             attempts=1)
             if not text:
                 continue
-            for rec in parse_jats_response(text):
-                if not rec["error"]:
-                    return rec, None
+            # parse_jats_response returns [] when no <article> exists
+            # and a synthetic "XML parse error" record for unparseable
+            # payloads — both mean "article not found here", so fall
+            # through; an actual article's result (error included) is
+            # returned immediately (pmc.py:156-209).
+            recs = [r for r in parse_jats_response(text)
+                    if r["error"] is None or _article_was_found(r["error"])]
+            if not recs:
+                continue
+            rec = recs[0]
+            if rec["error"]:
+                return None, rec["error"]
+            return rec, None
         return None, "PMC/EPMC: no JATS <article> found"
 
     # ---- S9 single DOI -> PMCID (pmc.py:14-58) ----
 
     def doi_to_pmcid_single(self, doi):
         import json as _json
+        from urllib.parse import quote as _quote
         out, fails = self.idconv_batch([doi])
         if doi in out:
             return out[doi], None
         last_err = fails[0][1] if fails else "idconv: no PMCID"
+        # quote the DOI: #, &, +, space are legal in DOIs and would
+        # truncate or corrupt the query string unencoded (the
+        # reference passes the DOI via requests params=, which encodes)
         text, err = retry_with_backoff(
-            lambda: self._get(self.EPMC_SEARCH_URL + doi), attempts=1)
+            lambda: self._get(self.EPMC_SEARCH_URL + _quote(doi, safe="")),
+            attempts=1)
         if text is None:
             return None, f"EuropePMC error: {err} | {last_err}"
-        hits = ((_json.loads(text).get("resultList") or {})
-                .get("result") or [])
+        try:
+            hits = ((_json.loads(text).get("resultList") or {})
+                    .get("result") or [])
+        except ValueError as exc:
+            return None, f"EuropePMC error: bad response: {exc} | {last_err}"
         for h in hits:
             if h.get("pmcid"):
                 return h["pmcid"], None

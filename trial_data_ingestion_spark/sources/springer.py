@@ -237,7 +237,12 @@ class SpringerLiveFetcher:
                 if attempt < self._max_attempts:
                     _time.sleep(self._backoff ** attempt)
                 continue
-            if resp.status_code == 200 and resp.content.strip():
+            if resp.status_code == 200:
+                # 200 is final even when blank: the reference breaks
+                # out of the retry loop on any 200 and reports the
+                # empty body (springer.py:228-230)
+                if not resp.content.strip():
+                    return None, "Springer: empty response"
                 return parse_springer_response(resp.text, doi)
             if resp.status_code == 429:
                 wait = (parse_retry_after(resp.headers.get("Retry-After"))
