@@ -53,6 +53,89 @@ def test_resize_media(spark):
         mm.resize_media(media, 32, 32)
 
 
+def test_real_codec_roundtrips():
+    # stdlib BMP/PNG codecs: every PNG filter type and BMP row padding
+    import numpy as np
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rng = np.random.default_rng(7)
+    for (h, w) in [(8, 8), (5, 3), (1, 1)]:   # w=3 exercises row pad
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        assert np.array_equal(c.decode_bmp(c.encode_bmp(px)), px)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+        for ft in range(5):                   # None/Sub/Up/Avg/Paeth
+            got = c.decode_png(c.encode_png(px, filter_type=ft))
+            assert np.array_equal(got, px), (ch, ft)
+    with pytest.raises(NotImplementedError):  # JPEG stays env-gated
+        c.decode_image(b"\xff\xd8\xff...")
+
+
+def test_real_decode_features_in_spark(spark):
+    # the NON-STUB branch end to end: real PNG/BMP bytes -> pixels ->
+    # luminance-histogram features inside the mapInPandas kernel,
+    # checked against a driver-side numpy reference
+    import numpy as np
+    from trial_data_ingestion_spark import multimodal as mm
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rng = np.random.default_rng(11)
+    pixels = {f"m{i}": rng.integers(0, 256, (12, 10, 3), dtype=np.uint8)
+              for i in range(6)}
+    rows = [(mid, bytearray(c.encode_png(px) if i % 2 else
+                            c.encode_bmp(px)), None,
+             {"media_type": "image",
+              "format": "png" if i % 2 else "bmp",
+              "width": 10, "height": 12, "duration_ms": 0})
+            for i, (mid, px) in enumerate(pixels.items())]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in
+             mm.extract_features(media, decoder=c.image_decoder).collect()}
+    assert len(feats) == 6
+    for mid, px in pixels.items():
+        gray = px.astype(np.float32).mean(axis=-1)
+        ref, _ = np.histogram(gray, bins=16, range=(0.0, 256.0))
+        got = np.array(feats[mid]["features"], dtype=np.float32)
+        assert feats[mid]["feature_dim"] == 16
+        assert np.allclose(got, ref / gray.size, atol=1e-7), mid
+
+
+def test_real_resize_in_spark(spark):
+    # real nearest-neighbor resize in the kernel: payload re-encoded in
+    # its own format, pixel-exact vs the numpy reference, metadata
+    # rewritten, and composable with the real featurize kernel
+    import numpy as np
+    from trial_data_ingestion_spark import multimodal as mm
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rng = np.random.default_rng(13)
+    px = {f"m{i}": rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+          for i in range(4)}
+    rows = [(mid, bytearray(c.encode_bmp(p) if i % 2 else
+                            c.encode_png(p)), None,
+             {"media_type": "image",
+              "format": "bmp" if i % 2 else "png",
+              "width": 8, "height": 8, "duration_ms": 0})
+            for i, (mid, p) in enumerate(px.items())]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    out = mm.resize_media(media, 4, 4, resizer=c.image_resizer).collect()
+    assert len(out) == 4
+    sel = (np.arange(4) * 8) // 4
+    for r in out:
+        assert r["metadata"]["width"] == 4
+        assert r["metadata"]["height"] == 4
+        got = c.decode_image(bytes(r["media"]))
+        ref = px[r["media_id"]][sel][:, sel]
+        assert np.array_equal(got, ref), r["media_id"]
+        # format preserved
+        expect_bmp = r["metadata"]["format"] == "bmp"
+        assert (bytes(r["media"])[:2] == b"BM") == expect_bmp
+
+    feats = mm.extract_features(
+        mm.resize_media(media, 4, 4, resizer=c.image_resizer),
+        decoder=c.image_decoder)
+    assert feats.count() == 4
+
+
 def test_frame_sampling(spark):
     from pyspark.sql import functions as F
     from trial_data_ingestion_spark import multimodal as mm

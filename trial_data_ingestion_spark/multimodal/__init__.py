@@ -2,11 +2,18 @@
 opaque binary columns + typed metadata, processed by Arrow-batched
 kernels.
 
-The decode step itself needs media libraries that are not in this
-container, so decoding is STUBBED: ``decode_media`` raises
-``NotImplementedError`` unless handed a decoder, and tests use the
-deterministic fake decoder below.  Everything Spark-side — schema,
-partitioning, UDF signatures, batch shapes — is real and tested.
+Decoding is pluggable: pass a ``decoder``/``resizer`` callable.
+:mod:`.codecs` provides REAL stdlib-only implementations for BMP and
+PNG (``image_decoder`` / ``image_resizer`` — header+filter+pixel
+parse, no third-party libs), so the non-stub path executes in CI on
+real bytes.  Formats that genuinely need absent libraries (JPEG,
+audio, video) stay env-gated: with no callable supplied the kernels
+raise ``NotImplementedError`` eagerly at build time (a clean error
+instead of a mid-job task failure), and tests also use the
+deterministic fake kernels below where hash-oracle parity matters
+(q32's DuckDB oracle reproduces the sha256 arithmetic exactly).
+Everything Spark-side — schema, partitioning, UDF signatures, batch
+shapes — is identical between fake and real kernels.
 
 Scale notes: media bytes ride in parquet binary columns (or out-of-
 line object-store paths via ``media_path`` for >~1 MB payloads —
@@ -25,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from trial_data_ingestion_spark.multimodal import codecs  # noqa: E402,F401
 
 MEDIA_METADATA = T.StructType([
     T.StructField("media_type", T.StringType()),   # image|audio|video
@@ -85,8 +94,9 @@ def extract_features(df: DataFrame,
     :func:`fake_decoder`."""
     if decoder is None:
         raise NotImplementedError(
-            "No media decoder available in this environment; pass a "
-            "decoder callable (tests use multimodal.fake_decoder).")
+            "No media decoder selected; pass a decoder callable — "
+            "codecs.image_decoder for real BMP/PNG payloads (stdlib-"
+            "only), multimodal.fake_decoder for deterministic tests.")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -124,8 +134,9 @@ def resize_media(df: DataFrame, width: int, height: int,
     before :func:`extract_features` / :func:`frame_sample_stub`."""
     if resizer is None:
         raise NotImplementedError(
-            "No image library available in this environment; pass a "
-            "resizer callable (tests use multimodal.fake_resizer).")
+            "No resizer selected; pass a resizer callable — "
+            "codecs.image_resizer for real BMP/PNG payloads (stdlib-"
+            "only), multimodal.fake_resizer for deterministic tests.")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

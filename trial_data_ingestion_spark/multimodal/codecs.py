@@ -1,0 +1,240 @@
+"""Stdlib-only image codecs: 24-bit BMP and 8-bit PNG decode/encode.
+
+The container has no PIL/libjpeg, so the multimodal kernels'
+"real decode" path is implemented against the two formats a Python
+stdlib can handle bit-exactly:
+
+* BMP: BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows, 4-byte row
+  padding — pure ``struct`` arithmetic.
+* PNG: 8-bit greyscale/RGB/RGBA, non-interlaced — chunk walk +
+  ``zlib`` inflate + the five scanline filters (None/Sub/Up/
+  Average/Paeth) from the PNG spec, un-applied row by row.
+
+``image_decoder`` / ``image_resizer`` match the kernel signatures in
+:mod:`trial_data_ingestion_spark.multimodal` (``payload -> features``
+and ``payload, w, h -> payload``), so
+``extract_features(df, decoder=image_decoder)`` runs a REAL
+bytes -> pixels -> features path with zero third-party dependencies —
+formats that genuinely need external libs (JPEG, audio, video) still
+raise ``NotImplementedError`` and remain env-gated.
+
+No reference counterpart (the reference has no media handling) —
+north-star component per BASELINE.json.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+# ---------------------------------------------------------------------------
+# BMP (24-bit BI_RGB)
+# ---------------------------------------------------------------------------
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes."""
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim != 3 or px.shape[2] != 3:
+        raise ValueError(f"encode_bmp wants (H, W, 3), got {px.shape}")
+    h, w = px.shape[:2]
+    row_len = (w * 3 + 3) & ~3          # rows pad to 4-byte boundaries
+    img_size = row_len * h
+    # BGR byte order, bottom-up row order, right-padded with zeros
+    rows = np.zeros((h, row_len), dtype=np.uint8)
+    rows[:, :w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    header = struct.pack(
+        "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 14 + 40)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only 24-bit BI_RGB BMP supported (bpp={bpp}, "
+            f"compression={compression})")
+    top_down = h_raw < 0
+    h = abs(h_raw)
+    row_len = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_len * h,
+        offset=data_offset).reshape(h, row_len)
+    px = rows[:, :w * 3].reshape(h, w, 3)[:, :, ::-1]   # BGR -> RGB
+    return (px if top_down else px[::-1]).copy()
+
+
+# ---------------------------------------------------------------------------
+# PNG (8-bit, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}   # greyscale, RGB, grey+A, RGBA
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (struct.pack(">I", len(body)) + tag + body
+            + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+
+def encode_png(pixels: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W) or (H, W, C in {1,2,3,4}) uint8 -> 8-bit PNG bytes.
+
+    ``filter_type`` applies one filter to every scanline (0 = None is
+    the production choice; tests use 1-4 to exercise the un-filters).
+    """
+    px = np.asarray(pixels, dtype=np.uint8)
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = px.reshape(h, w * ch).astype(np.int16)
+    out_rows = []
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        cur = raw[y]
+        left = np.concatenate([np.zeros(ch, np.int16), cur[:-ch]])
+        up_left = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if filter_type == 0:
+            filt = cur
+        elif filter_type == 1:
+            filt = cur - left
+        elif filter_type == 2:
+            filt = cur - prev
+        elif filter_type == 3:
+            filt = cur - (left + prev) // 2
+        elif filter_type == 4:
+            filt = cur - _paeth(left, prev, up_left)
+        else:
+            raise ValueError(f"bad filter {filter_type}")
+        out_rows.append(bytes([filter_type])
+                        + (filt & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(b"".join(out_rows))
+    return (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat)
+            + _chunk(b"IEND", b""))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor, vectorized over a scanline (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG bytes -> (H, W, C) uint8."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, width = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,), tag = struct.unpack_from(">I", payload, pos), \
+            payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+            if depth != 8:
+                raise NotImplementedError(
+                    f"only 8-bit PNG supported (depth={depth})")
+            if interlace:
+                raise NotImplementedError("interlaced PNG not supported")
+            if color_type == 3:
+                raise NotImplementedError("palette PNG not supported")
+            ch = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * ch
+    if len(raw) != height * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int16)
+    for y in range(height):
+        row = raw[y * (stride + 1): (y + 1) * (stride + 1)]
+        ftype, filt = row[0], np.frombuffer(
+            row, dtype=np.uint8, offset=1).astype(np.int16)
+        if ftype == 0:
+            cur = filt
+        elif ftype == 2:
+            cur = (filt + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # left-dependent filters are sequential per pixel
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = cur[x - ch] if x >= ch else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (filt[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (filt[x] + (a + b) // 2) & 0xFF
+                else:
+                    c = prev[x - ch] if x >= ch else 0
+                    cur[x] = (filt[x] + int(_paeth(
+                        np.int16(a), np.int16(b), np.int16(c)))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(height, width, ch)
+
+
+# ---------------------------------------------------------------------------
+# Kernel-signature adapters
+# ---------------------------------------------------------------------------
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff the magic bytes and decode to (H, W, C) uint8 pixels.
+    Formats needing absent third-party libs stay env-gated."""
+    if payload is None:
+        raise ValueError("empty payload")
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError(
+        "unsupported media format (stdlib codecs handle BMP and PNG; "
+        "JPEG/audio/video need libraries absent in this environment)")
+
+
+def image_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL decode+featurize with the :func:`fake_decoder` signature:
+    bytes -> pixels -> normalized ``dim``-bin luminance histogram."""
+    px = decode_image(payload).astype(np.float32)
+    gray = px[..., :3].mean(axis=-1) if px.shape[-1] >= 3 else px[..., 0]
+    hist, _ = np.histogram(gray, bins=dim, range=(0.0, 256.0))
+    return (hist / max(1, gray.size)).astype(np.float32)
+
+
+def image_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """REAL resize with the :func:`fake_resizer` signature:
+    nearest-neighbor resample, re-encoded in the input's format."""
+    px = decode_image(payload)
+    h, w = px.shape[:2]
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    resized = px[rows][:, cols]
+    if payload[:2] == b"BM":
+        return encode_bmp(resized[:, :, :3])
+    return encode_png(resized)
