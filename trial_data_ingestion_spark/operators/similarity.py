@@ -175,6 +175,36 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
                           "score", "rank"))
 
 
+def kmeans_centroids(embeddings: DataFrame, num_cells: int = 16,
+                     vec_col: str = "embedding", seed: int = 42,
+                     max_iter: int = 20,
+                     sample_fraction: float | None = None) -> DataFrame:
+    """Train IVF centroids with ``pyspark.ml.clustering.KMeans``
+    (public API) and return them under :func:`topk_ivf`'s
+    ``(cell_id, centroid)`` DataFrame contract.
+
+    Deterministic for a fixed ``seed`` + input.  Scale notes: k-means
+    over the full corpus is wasteful and unnecessary at 100 TB — pass
+    ``sample_fraction`` to fit on a uniform sample (a few hundred
+    points per target cell is plenty for IVF quality), then assign the
+    full corpus with the returned centroids.  The fit itself is
+    distributed (Lloyd iterations over the cluster); only the k
+    centers come back to the driver."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    ds = embeddings.select(
+        array_to_vector(F.col(vec_col).cast("array<double>"))
+        .alias("features"))
+    if sample_fraction is not None:
+        ds = ds.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=num_cells, seed=seed, maxIter=max_iter).fit(ds)
+    rows = [(i, [float(x) for x in center])
+            for i, center in enumerate(model.clusterCenters())]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "cell_id int, centroid array<double>")
+
+
 def topk_ivf(embeddings: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
@@ -187,8 +217,9 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
 
     ``centroids`` defaults to the first ``num_cells`` vectors by id —
     deterministic (oracle-reproducible) and adequate for testing the
-    plan shape; production would plug in k-means centroids (same
-    DataFrame contract: (cell_id, centroid vector)).
+    plan shape; production passes :func:`kmeans_centroids` (same
+    ``(cell_id, centroid)`` contract — recall@10 vs bruteforce is
+    gated >= 0.9 in tests/test_dedup_similarity.py).
 
     Scale shape: assignment is a broadcast crossJoin against
     ``num_cells`` rows (narrow, codegen'd), the cell table can be
