@@ -100,7 +100,8 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return comps
 
 
-def srp_bucket(vec, dim: int, num_planes: int = 8) -> Column:
+def srp_bucket(vec, dim: int, num_planes: int = 8,
+               plane_offset: int = 0) -> Column:
     """Sign-random-projection bucket id (0 .. 2^num_planes - 1),
     computed natively from literal hyperplane arrays.
 
@@ -110,11 +111,16 @@ def srp_bucket(vec, dim: int, num_planes: int = 8) -> Column:
     Column form costs ~dim x num_planes py4j round-trips of driver
     build time (see functions/vector.py).  Both build the identical
     Catalyst tree, so bucket assignments (and the inlined-plane
-    DuckDB oracles) are unchanged."""
+    DuckDB oracles) are unchanged.
+
+    ``plane_offset`` selects an independent plane set from the same
+    deterministic md5 family (table t of a multi-table scheme passes
+    ``t * num_planes``)."""
     if isinstance(vec, str):
         parts = ["0"]
         for p in range(num_planes):
-            arr = ", ".join(f"{c!r}D" for c in _hyperplane(dim, p))
+            arr = ", ".join(
+                f"{c!r}D" for c in _hyperplane(dim, plane_offset + p))
             proj = (f"aggregate(zip_with({vec}, array({arr}),"
                     f" (x, y) -> CAST(x AS DOUBLE) * y),"
                     f" CAST(0.0 AS DOUBLE), (a, b) -> a + b)")
@@ -123,7 +129,8 @@ def srp_bucket(vec, dim: int, num_planes: int = 8) -> Column:
         return F.expr(" + ".join(parts))
     bucket = F.lit(0)
     for p in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        plane = F.array(*[F.lit(c)
+                          for c in _hyperplane(dim, plane_offset + p)])
         proj = F.aggregate(
             F.zip_with(vec, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0), lambda a, b: a + b)
@@ -345,3 +352,59 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
          .select(F.col("a.doc").alias("doc_a"),
                  F.col("b.doc").alias("doc_b"), F.col("cos"))
     )
+
+
+def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
+                                   id_col: str = "vec_id",
+                                   vec_col: str = "embedding",
+                                   threshold: float = 0.9,
+                                   num_planes: int = 8,
+                                   num_tables: int = 4) -> DataFrame:
+    """Multi-table SRP near-dup pairs: the recall path promised in
+    :func:`embedding_near_dups`'s docstring, as a real operator.
+
+    Each of the ``num_tables`` tables hashes with an INDEPENDENT
+    plane set (table t uses md5-family planes ``t*num_planes ..``);
+    a pair is a candidate if it collides in ANY table, so the miss
+    probability drops from ``1 - (1 - θ/π)^p`` to
+    ``(1 - (1 - θ/π)^p)^L`` — e.g. cosine 0.9, p=8: one table finds
+    ~29% of true pairs, L=4 tables find ~75%, and recall climbs
+    steeply with the pair's cosine (near-1 pairs are near-certain).
+    Choose (p, L) from the target recall at the threshold; lowering p
+    raises per-table recall quadratically in candidate volume, adding
+    tables raises it linearly in hashing cost.
+
+    Scale shape: ONE pass computes all L bucket ids per vector
+    (codegen'd literal-plane expressions), ``posexplode`` fans each
+    vector into L (table, bucket) rows, and the self-join key is the
+    composite (table, bucket) — still a plain shuffle join, never
+    all-pairs.  Pairs colliding in several tables are deduplicated
+    BEFORE the exact rescore so each candidate is scored once."""
+    buckets = [srp_bucket(vec_col, dim, num_planes,
+                          plane_offset=t * num_planes).alias(f"__b{t}")
+               for t in range(num_tables)]
+    emb = embeddings.select(
+        F.col(id_col).alias("doc"),
+        F.col(vec_col).alias("v"),
+        l2_norm_fixed(vec_col, dim).alias("nrm"),
+        *buckets)
+    tagged = emb.select(
+        "doc", "v", "nrm",
+        F.posexplode(F.array(*[F.col(f"__b{t}")
+                               for t in range(num_tables)]))
+         .alias("tbl", "bucket"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (
+        a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
+                      F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"),
+                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+                 F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
+         .dropDuplicates(["doc_a", "doc_b"]))
+    return (cand
+            .withColumn("cos", dot_fixed("va", "vb", dim)
+                        / (F.col("na") * F.col("nb")))
+            .where(F.col("cos") >= threshold)
+            .select("doc_a", "doc_b", "cos"))
