@@ -144,7 +144,11 @@ def test_html_multi_unescape_numeric_column(spark):
         ("&#x2014; dash", "— dash"),
         ("&#128512;", "\U0001f600"),                  # astral plane
         ("&amp;#60;", "<"),                            # double-escaped
-        ("&#0; &#1114112; &#60", "&#0; &#1114112; &#60"),  # invalid/bare
+        # invalid -> U+FFFD and bare (semicolon-less) forms now carry
+        # full stdlib semantics (was a documented passthrough
+        # divergence until round 3)
+        ("&#0; &#1114112; &#60", "� � <"),
+        ("&#128;&#013;&#1;", "€\r"),     # C1 remap / CR / dropped
         ("a &lt;tag&gt; &amp; &quot;q&quot;", 'a <tag> & "q"'),
     ]
     df = spark.createDataFrame(rows, "s string, want string")

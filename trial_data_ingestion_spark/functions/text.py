@@ -153,22 +153,73 @@ def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
     round) — same reason the numeric pass runs before it ("&amp;#60;"
     holds no ``&#`` token until the amp decodes).
 
-    Documented divergence from stdlib ``html.unescape`` (which
+    Numeric character references now carry FULL stdlib semantics
+    (verified against ``html.unescape`` by the property corpus in
+    tests/test_text_properties.py): semicolon-less forms
+    (``&#60abc`` -> ``<abc``), leading zeros, out-of-range/surrogate/
+    overflowing values -> U+FFFD, the HTML5 windows-1252 remap of
+    C1 references (``&#128;`` -> ``€``), and the removed
+    invalid-codepoint set (``&#1;`` -> empty).
+
+    Remaining documented divergences from stdlib (which
     ``sources.springer.multi_unescape`` — the connector kernel —
-    implements exactly): semicolon-less forms (``&amp`` / ``&#60``)
-    and the long-tail HTML5 named-entity table are passed through,
-    and C1 code points (0x80-0x9F) decode as-is rather than via the
-    HTML5 windows-1252 remapping.
+    implements exactly; the property test pins each):
+      * named entities beyond lt/gt/quot/apos/amp — the ~2200-entry
+        HTML5 long tail (``&ltcc;``, ``&notanumber`` legacy prefix
+        matching) passes through;
+      * semicolon-less NAMED legacy forms (``&amp`` / ``&LT``) pass
+        through — decoding them by blind replace would corrupt the
+        same round's ``&amp;lt;`` output.
     """
+    # HTML5 §13.5 numeric-reference overrides (stdlib
+    # html._invalid_charrefs): windows-1252 remap of 0x80-0x9F plus
+    # NUL -> U+FFFD and CR -> '\r'.
+    _CHARREF_REMAP = {
+        0x00: "�", 0x0d: "\r", 0x80: "€", 0x81: "\x81",
+        0x82: "‚", 0x83: "ƒ", 0x84: "„", 0x85: "…",
+        0x86: "†", 0x87: "‡", 0x88: "ˆ", 0x89: "‰",
+        0x8a: "Š", 0x8b: "‹", 0x8c: "Œ", 0x8d: "\x8d",
+        0x8e: "Ž", 0x8f: "\x8f", 0x90: "\x90", 0x91: "‘",
+        0x92: "’", 0x93: "“", 0x94: "”", 0x95: "•",
+        0x96: "–", 0x97: "—", 0x98: "˜", 0x99: "™",
+        0x9a: "š", 0x9b: "›", 0x9c: "œ", 0x9d: "\x9d",
+        0x9e: "ž", 0x9f: "Ÿ",
+    }
+
     def decode_piece(p: Column) -> Column:
-        dec = F.regexp_extract(p, r"^&#([0-9]{1,7});$", 1)
-        hexp = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]{1,6});$", 1)
-        code = (F.when(dec != "", dec.cast("long"))
-                 .when(hexp != "", F.conv(hexp, 16, 10).cast("long")))
-        valid = (code.isNotNull() & (code > 0) & (code <= 0x10FFFF)
-                 & ~code.between(0xD800, 0xDFFF))
-        ch = F.decode(F.unhex(F.lpad(F.hex(code), 8, "0")), "UTF-32")
-        return F.when(valid, ch).otherwise(p)
+        dec = F.regexp_extract(p, r"^&#([0-9]+);?", 1)
+        hexp = F.regexp_extract(p, r"^&#[xX]([0-9a-fA-F]+);?", 1)
+        matched = (dec != "") | (hexp != "")
+        rest = (F.when(dec != "",
+                       F.regexp_replace(p, r"^&#[0-9]+;?", ""))
+                 .when(hexp != "",
+                       F.regexp_replace(p, r"^&#[xX][0-9a-fA-F]+;?", ""))
+                 .otherwise(p))
+        # overflow -> null code -> U+FFFD (stdlib: huge -> FFFD);
+        # decimal overflow nulls under try_cast (plain cast THROWS in
+        # ANSI mode), hex is length-guarded so conv can't wrap mod
+        # 2^64 into a small "valid" value
+        code = (F.when(dec != "", dec.try_cast("long"))
+                 .when((hexp != "") & (F.length(hexp) <= 15),
+                       F.conv(hexp, 16, 10).try_cast("long")))
+        remapped = F.lit(None).cast("string")
+        for k, v in _CHARREF_REMAP.items():
+            remapped = F.when(code == k, F.lit(v)).otherwise(remapped)
+        invalid = (code.isNull() | (code > 0x10FFFF)
+                   | code.between(0xD800, 0xDFFF))
+        # stdlib html._invalid_codepoints: emitted as empty string
+        dropped = (code.between(0x01, 0x08) | (code == 0x0B)
+                   | code.between(0x0E, 0x1F)
+                   | code.between(0x7F, 0x9F)
+                   | code.between(0xFDD0, 0xFDEF)
+                   | (code % 0x10000).isin(0xFFFE, 0xFFFF))
+        ch = F.coalesce(
+            remapped,
+            F.when(invalid, F.lit("�"))
+             .when(dropped, F.lit(""))
+             .otherwise(F.decode(F.unhex(F.lpad(F.hex(code), 8, "0")),
+                                 "UTF-32")))
+        return F.when(matched, F.concat(ch, rest)).otherwise(p)
 
     def decode_numeric(s: Column) -> Column:
         pieces = F.split(s, r"(?=&#)|(?<=;)")
