@@ -86,6 +86,25 @@ def test_approx_percentiles_within_error(spark):
                 (r.o_orderpriority, col, v, ev)
 
 
+# Streaming-twin window queries are additionally value-checked at
+# BENCH scale (sf0.1): window assignment bugs (timezone, boundary
+# inclusion, gap merging) can be invisible in a 3k-row sample but
+# shift counts at 10x the density.  sf0.01 is covered by
+# test_oracle_parity above — this matrix adds the scale dir.
+WINDOW_QUERIES = ["q13_hourly_events", "q22_sessionize",
+                  "q50_sliding_window"]
+SF_DIR_BENCH = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("name", WINDOW_QUERIES)
+def test_window_query_parity_at_bench_scale(spark, name):
+    from trial_data_ingestion_spark.plans import ORACLE, QUERIES
+    sdf = QUERIES[name](spark, SF_DIR_BENCH)
+    odf = run_oracle(ORACLE[name], SF_DIR_BENCH)
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and be deterministic."""
     from trial_data_ingestion_spark.plans import ORACLE, QUERIES
