@@ -55,6 +55,96 @@ def test_stats_never_throw_and_stay_bounded(nasty_df):
         assert r.lang in langs, r
 
 
+def test_redact_pii_known_answers(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@lab.example.org today"),
+        (2, "server at 192.168.0.1 answered"),
+        (3, "call +1 (555) 123-4567 or 555-987-6543 now"),
+        (4, "no pii here, just pi 3.14159"),
+        (5, "a@b.co and 10.0.0.255 and 5551234567"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.t for r in df.select(
+        "id", textstats.redact_pii(F.col("text")).alias("t")).collect()}
+    assert got[1] == "mail me at [EMAIL] today"
+    assert got[2] == "server at [IP] answered"
+    assert got[3] == "call [PHONE] or [PHONE] now"
+    assert got[4] == "no pii here, just pi 3.14159"
+    assert got[5] == "[EMAIL] and [IP] and [PHONE]"
+
+
+def test_repetition_signals_known_answers(spark):
+    rows = [
+        (1, "nav\nhome\nnav\nabout\nnav"),      # 'nav' repeats 3x
+        (2, "a\nb\nc"),                          # all distinct
+        (3, ""),                                 # empty
+        (4, "buy now buy now buy now buy"),      # 'buy now' 2-gram x3
+        (5, "one two three four"),               # all grams distinct
+        (6, "w"),                                # fewer tokens than n
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in df.select(
+        "id",
+        textstats.repeated_line_ratio(F.col("text")).alias("rl"),
+        textstats.top_ngram_ratio(F.col("text"), 2).alias("tg"),
+    ).collect()}
+    assert got[1].rl == pytest.approx(2 / 5)   # 2 of 5 lines are dups
+    assert got[2].rl == 0.0
+    assert got[3].rl == 0.0 and got[3].tg == 0.0
+    # grams of 4: [buy now, now buy, buy now, now buy, buy now, now buy]
+    # -> 'buy now' 3 of 6
+    assert got[4].tg == pytest.approx(3 / 6)
+    assert got[5].tg == pytest.approx(1 / 3)   # 3 grams, all unique
+    assert got[6].tg == 0.0
+
+
+def test_pii_and_repetition_duckdb_parity(spark):
+    """Same-harness parity check the driver would run if the corpus
+    had headroom (it is at its 50-query budget): Spark vs DuckDB over
+    the sf0.01 documents table, row-count + schema + value hash."""
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.oracle_harness import compare, run_oracle
+
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sdf = d.select(
+        "doc_id",
+        textstats.redact_pii(F.col("text")).alias("clean"),
+        F.round(textstats.repeated_line_ratio(F.col("text")), 6)
+         .alias("rep_lines"),
+        F.round(textstats.top_ngram_ratio(F.col("text"), 2), 6)
+         .alias("top_gram"))
+    toks = ("list_filter(string_split_regex(trim(lower(text)), '\\s+'),"
+            " x -> x <> '')")
+    lines = ("list_filter(list_transform(string_split(text, chr(10)),"
+             " x -> trim(x)), x -> x <> '')")
+    sql = f"""
+WITH t AS (
+  SELECT doc_id, text, {toks} AS w, {lines} AS lns FROM documents),
+g AS (
+  SELECT doc_id, text, lns,
+         CASE WHEN len(w) >= 2 THEN list_transform(
+              range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+              ELSE [] END AS grams
+  FROM t)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '{textstats.EMAIL_RE}', '[EMAIL]', 'g'),
+    '{textstats.IPV4_RE}', '[IP]', 'g'),
+    '{textstats.PHONE_RE}', '[PHONE]', 'g') AS clean,
+  round(CASE WHEN len(lns) > 0 THEN
+        CAST(len(lns) - len(list_distinct(lns)) AS DOUBLE) / len(lns)
+        ELSE 0.0 END, 6) AS rep_lines,
+  round(CASE WHEN len(grams) > 0 THEN
+        CAST(list_max(list_transform(list_distinct(grams),
+             g2 -> len(list_filter(grams, x -> x = g2)))) AS DOUBLE)
+          / len(grams)
+        ELSE 0.0 END, 6) AS top_gram
+FROM g
+"""
+    problems = compare(sdf, run_oracle(sql, SF_DIR_ORACLE))
+    assert not problems, "; ".join(problems)
+
+
 def test_fingerprint_stable_under_whitespace_and_case(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "  hello world "), (3, "HELLO\nWORLD")],

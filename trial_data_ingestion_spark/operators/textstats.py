@@ -105,3 +105,70 @@ def fingerprint(text: Column) -> Column:
     lowercased text.  Stable across engines; used for exact-content
     dedup and incremental-resume keys."""
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing + repetition quality signals (training-data hygiene)
+# ---------------------------------------------------------------------------
+
+# Portable patterns (no lookarounds/backrefs, so Java regex and
+# DuckDB's RE2 agree — the parity test in test_textstats_edges pins
+# it).  Deliberately conservative: training-data scrubbing prefers
+# over-redaction of digit runs to leaking a real number.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+PHONE_RE = (r"(?:\+?[0-9]{1,3}[-. ]?)?\(?[0-9]{3}\)?[-. ]?"
+            r"[0-9]{3}[-. ]?[0-9]{4}\b")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails, IPv4 addresses and phone-shaped digit runs
+    with typed placeholders — the standard scrub pass before text
+    enters a training corpus.  Order matters: emails first (their
+    local parts contain digit runs), then IPs (dotted quads would
+    otherwise half-match the phone pattern), then phones."""
+    out = F.regexp_replace(text, EMAIL_RE, "[EMAIL]")
+    out = F.regexp_replace(out, IPV4_RE, "[IP]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+def _lines(text: Column) -> Column:
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "")
+
+
+def repeated_line_ratio(text: Column) -> Column:
+    """Fraction of non-empty lines that duplicate an earlier line
+    (Gopher-style repetition signal: boilerplate, nav bars, and
+    degenerate generations repeat lines).  0 for empty docs."""
+    lines = _lines(text)
+    n = F.size(lines)
+    return F.when(
+        n > 0,
+        (n - F.size(F.array_distinct(lines))).cast("double") / n
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_ratio(text: Column, n: int = 2) -> Column:
+    """Fraction of a document's token n-grams taken by the single
+    most frequent one (Gopher's "fraction in most common n-gram").
+    Docs with fewer than ``n`` tokens score 0.
+
+    Native-expression shape: one pass builds the gram array, then a
+    distinct-gram x gram-array count — O(g * distinct g) per doc,
+    entirely inside codegen; no shuffle, no UDF."""
+    toks = tokens(F.lower(text))
+    n_grams = F.size(toks) - (n - 1)
+    # sequence(1, 0) would yield a DESCENDING [1, 0]: clamp the stop
+    # to 1 and let the n_grams > 0 guard zero out short docs
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    counts = F.transform(
+        F.array_distinct(grams),
+        lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    return F.when(
+        n_grams > 0,
+        F.array_max(counts).cast("double") / n_grams
+    ).otherwise(F.lit(0.0))
