@@ -98,6 +98,41 @@ def test_repetition_signals_known_answers(spark):
     assert got[6].tg == 0.0
 
 
+def test_subword_count_known_answers(spark):
+    rows = [
+        (1, "don't stop"),        # don | 't | stop = 3
+        (2, "hello world"),       # 2
+        (3, "abc123!?"),          # abc | 123 | !? = 3
+        (4, ""),                  # 0
+        (5, "  spaced   out  "),  # spaced | out = 2
+        (6, "x-ray 2.5mm"),       # x | - | ray || 2 | . | 5 | mm = 7
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.n for r in df.select(
+        "id", textstats.subword_count(F.col("text")).alias("n")).collect()}
+    assert got == {1: 3, 2: 2, 3: 3, 4: 0, 5: 2, 6: 7}
+
+
+def test_subword_count_duckdb_parity(spark):
+    from tests.conftest import SF_DIR_ORACLE
+    from tests.oracle_harness import compare, run_oracle
+    d = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    sdf = d.select(
+        "doc_id",
+        textstats.subword_count(F.col("text")).cast("long")
+        .alias("n_subwords"))
+    pat = textstats.BPE_ISH_RE.replace("'", "''")
+    sql = f"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text,
+            '{pat}'), x -> trim(x) <> '')) AS BIGINT)
+         AS n_subwords
+FROM documents
+"""
+    problems = compare(sdf, run_oracle(sql, SF_DIR_ORACLE))
+    assert not problems, "; ".join(problems)
+
+
 def test_pii_and_repetition_duckdb_parity(spark):
     """Same-harness parity check the driver would run if the corpus
     had headroom (it is at its 50-query budget): Spark vs DuckDB over

@@ -42,6 +42,26 @@ def char_count(text: Column) -> Column:
     return F.length(text)
 
 
+# GPT-2-style pre-tokenizer shape (public pattern family: common
+# English contractions, letter runs, digit runs, punctuation runs,
+# whitespace runs) without lookarounds so Java regex and DuckDB RE2
+# count identically.  Approximates subword token counts ~2x closer to
+# a real BPE than whitespace words do — good enough for corpus sizing
+# and per-doc budget filters without shipping a tokenizer to the hot
+# path (the exact counter is the C4 token chunker's mapInPandas
+# kernel, operators/chunking.py).
+BPE_ISH_RE = (r"'(?:s|t|re|ve|m|ll|d)|"
+              r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def subword_count(text: Column) -> Column:
+    """Approximate subword token count: ``BPE_ISH_RE`` matches that
+    are not pure whitespace, entirely native (regexp_extract_all +
+    higher-order filter, no UDF)."""
+    toks = F.regexp_extract_all(text, F.lit(f"({BPE_ISH_RE})"), 1)
+    return F.size(F.filter(toks, lambda t: F.trim(t) != ""))
+
+
 def punct_ratio(text: Column) -> Column:
     """Punctuation chars / total chars (0 for empty text)."""
     punct = F.length(text) - F.length(
