@@ -117,3 +117,46 @@ def test_q46_exists_rewrites_to_semi_anti(spark):
     plan = _plan(spark, "q46_exists_subqueries")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def _df_plan(spark, df, mode="simple"):
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_multitable_srp_is_equijoin_no_python(spark):
+    """The L-table union must stay ONE equi-join on the composite
+    (table, bucket) key — never a CartesianProduct or nested-loop over
+    vectors — and fully JVM-side (literal-plane bucket expressions)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_multitable,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    df = embedding_near_dups_multitable(emb, dim=64, threshold=0.9,
+                                        num_planes=8, num_tables=4)
+    plan = _df_plan(spark, df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    # dedup-before-rescore survives as an aggregate/distinct on pairs
+    assert "deduplicate" in plan.lower() or "aggregate" in plan.lower()
+
+
+def test_kmeans_ivf_assignment_broadcasts_centroids(spark):
+    """Cell assignment must be a broadcast against the tiny centroid
+    table (narrow, codegen'd) — the corpus never shuffles by vector."""
+    from pyspark.sql import functions as F
+    from trial_data_ingestion_spark.operators.similarity import (
+        kmeans_centroids, topk_ivf,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+    qs = (emb.where(F.col("vec_id") < 3)
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("embedding").alias("query_vec")))
+    cents = kmeans_centroids(emb, num_cells=8, seed=42)
+    df = topk_ivf(emb, qs, k=5, num_cells=8, nprobe=2,
+                  centroids=cents, dim=64)
+    plan = _df_plan(spark, df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
