@@ -105,6 +105,24 @@ def test_window_query_parity_at_bench_scale(spark, name):
     assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
 
 
+# Dedup/similarity blocking and banding correctness is density-
+# dependent: a band that never collides at sf0.01 can collide at
+# sf0.1, and a missing candidate pair only shows up once buckets
+# actually fill.  Value-hash these against DuckDB at bench scale too.
+DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
+                 "q29_embedding_dups", "q48_embedding_dups_blocked",
+                 "q49_ngram_jaccard_capped"]
+
+
+@pytest.mark.parametrize("name", DEDUP_QUERIES)
+def test_dedup_query_parity_at_bench_scale(spark, name):
+    from trial_data_ingestion_spark.plans import ORACLE, QUERIES
+    sdf = QUERIES[name](spark, SF_DIR_BENCH)
+    odf = run_oracle(ORACLE[name], SF_DIR_BENCH)
+    problems = compare(sdf, odf)
+    assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
+
+
 def test_rows_only_queries_run(spark):
     """Queries without an oracle must still run and be deterministic."""
     from trial_data_ingestion_spark.plans import ORACLE, QUERIES
