@@ -1,0 +1,172 @@
+"""Persisted ANN index layouts (VERDICT r3 #2): build the cell/bucket
+assignment ONCE, answer query batches against the stored layout.  The
+tests pin the three properties that make it an index rather than a
+scan at 100 TB:
+
+* value parity — the over-index query returns exactly what the
+  on-the-fly operator (and the DuckDB oracle) returns;
+* partition pruning — the re-query reads ONLY the probed cell/bucket
+  directories (asserted on ``inputFiles()`` and ``PartitionFilters``);
+* no corpus-side recompute — the re-query plan contains no centroid
+  crossJoin and no SRP ``zip_with`` projection over the index.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE
+from tests.oracle_harness import compare, run_oracle
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet")
+
+
+def _queries(spark):
+    return (_emb(spark).where(F.col("vec_id").isin(0, 1, 2))
+            .select(F.col("vec_id").alias("query_id"),
+                    F.col("embedding").alias("query_vec")))
+
+
+def _plan(spark, df, mode="simple"):
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
+        .fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def _touched_partitions(scan_df, key):
+    """Distinct <key>=N partition-directory values among the files an
+    EXECUTED scan actually reads (``input_file_name`` is assigned at
+    read time, so pruned partitions never appear — unlike
+    ``inputFiles()``, which lists the relation's full pre-pruning
+    file index)."""
+    rows = (scan_df.select(F.input_file_name().alias("f"))
+            .distinct().collect())
+    vals = set()
+    for r in rows:
+        m = re.search(rf"{key}=(\d+)", r.f)
+        if m:
+            vals.add(int(m.group(1)))
+    return vals
+
+
+def test_ivf_index_matches_q31_oracle(spark, tmp_path):
+    """The q31-shaped query over the persisted layout must hash-match
+    the same DuckDB oracle as the on-the-fly q31 (same placeholder
+    centroids, k=5, nprobe=4)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids, topk_ivf_over_index, write_ivf_index,
+    )
+    from trial_data_ingestion_spark.plans import ORACLE
+    emb = _emb(spark)
+    cents = first_id_centroids(emb, 16)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path)
+    out = topk_ivf_over_index(spark, path, _queries(spark), cents,
+                              k=5, nprobe=4)
+    out = out.select("query_id", "neighbor_id",
+                     F.round("score", 6).alias("score"),
+                     F.col("rank").cast("long").alias("rank"))
+    odf = run_oracle(ORACLE["q31_ivf_topk"], SF_DIR_ORACLE)
+    problems = compare(out, odf)
+    assert not problems, "; ".join(problems)
+
+
+def test_ivf_index_prunes_to_probed_cells(spark, tmp_path):
+    """Re-query must read only the probed cell partitions (static
+    pruning from literal cell ids) and do no centroid work on the
+    corpus side — no crossJoin of any flavor in the plan."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        kmeans_centroids, topk_ivf_over_index, write_ivf_index,
+    )
+    emb = _emb(spark)
+    cents = kmeans_centroids(emb, num_cells=16, seed=42)
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(emb, cents, path, dim=64)
+    out = topk_ivf_over_index(spark, path, _queries(spark), cents,
+                              k=5, nprobe=3, dim=64)
+    plan = _plan(spark, out, "formatted")
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == 15
+    # execution-real pruning check: a scan with the same literal cell
+    # filter touches only the probed partition directories
+    from trial_data_ingestion_spark.operators.similarity import (
+        _nearest_cells,
+    )
+    probed = _nearest_cells(_queries(spark), cents, "query_vec",
+                            "query_id", 3, 64)
+    cells = {r.cell_id for r in probed.select("cell_id").collect()}
+    # 3 queries x nprobe=3 probe at most 9 distinct cells of 16
+    assert len(cells) <= 9 < 16
+    idx = (spark.read.parquet(path)
+           .where(F.col("cell_id").isin(sorted(cells))))
+    touched = _touched_partitions(idx, "cell_id")
+    assert touched == cells
+
+
+def test_srp_index_no_bucket_recompute(spark, tmp_path):
+    """The persisted-SRP re-query must not recompute bucket
+    projections over the corpus (no zip_with in the plan — the only
+    vector math left is the element_at rescore) and must read only
+    the probed bucket partitions."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        topk_lsh, topk_lsh_over_index, write_srp_index,
+    )
+    emb = _emb(spark)
+    path = str(tmp_path / "srp_index")
+    write_srp_index(emb, path, dim=64, num_planes=8)
+    qs = _queries(spark)
+    out = topk_lsh_over_index(spark, path, qs, dim=64, k=5,
+                              num_planes=8, multiprobe_hamming=1)
+    plan = _plan(spark, out, "formatted")
+    assert "zip_with" not in plan
+    assert "PartitionFilters" in plan and "bucket" in plan
+    # execution-real pruning: recompute the probe-bucket set and scan
+    # with the same literal filter — only those directories are read
+    from trial_data_ingestion_spark.operators.similarity import (
+        srp_bucket,
+    )
+    base = [r.b for r in
+            qs.select(srp_bucket("query_vec", 64, 8).alias("b"))
+              .collect()]
+    probes = {b ^ x for b in base
+              for x in [0] + [1 << p for p in range(8)]}
+    # 3 queries x (1 + 8 probes) reach at most 27 buckets of 256
+    assert len(probes) <= 27 < 256
+    idx = (spark.read.parquet(path)
+           .where(F.col("bucket").isin(sorted(probes))))
+    touched = _touched_partitions(idx, "bucket")
+    assert touched <= probes
+    assert 0 < len(touched) < 256
+    # identical results to the on-the-fly operator
+    live = topk_lsh(emb, qs, dim=64, k=5, num_planes=8,
+                    multiprobe_hamming=1)
+    key = lambda df: {(r.query_id, r.rank): (r.neighbor_id,
+                                             round(r.score, 9))
+                      for r in df.collect()}
+    assert key(out) == key(live)
+
+
+def test_srp_index_matches_q27_oracle(spark, tmp_path):
+    """And the q27-shaped query over the persisted layout hash-matches
+    q27's DuckDB oracle (inlined-plane buckets)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        topk_lsh_over_index, write_srp_index,
+    )
+    from trial_data_ingestion_spark.plans import ORACLE
+    emb = _emb(spark)
+    path = str(tmp_path / "srp_index")
+    write_srp_index(emb, path, dim=64, num_planes=8)
+    out = topk_lsh_over_index(spark, path, _queries(spark), dim=64,
+                              k=5, num_planes=8, multiprobe_hamming=1)
+    out = out.select("query_id", "neighbor_id",
+                     F.round("score", 6).alias("score"),
+                     F.col("rank").cast("long").alias("rank"))
+    odf = run_oracle(ORACLE["q27_lsh_topk"], SF_DIR_ORACLE)
+    problems = compare(out, odf)
+    assert not problems, "; ".join(problems)

@@ -212,6 +212,39 @@ def kmeans_centroids(embeddings: DataFrame, num_cells: int = 16,
         rows, "cell_id int, centroid array<double>")
 
 
+def first_id_centroids(embeddings: DataFrame, num_cells: int = 16,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Deterministic placeholder centroids: the first ``num_cells``
+    vectors by id.  Oracle-reproducible (q31 pins this choice) and
+    adequate for testing plan shape — NOT a production centroid
+    choice; recall depends entirely on how representative the first
+    ids happen to be.  Production uses :func:`kmeans_centroids`."""
+    return (embeddings.orderBy(F.col(id_col).asc())
+            .limit(num_cells)
+            .select(F.col(id_col).alias("cell_id"),
+                    F.col(vec_col).alias("centroid")))
+
+
+def _nearest_cells(df: DataFrame, centroids: DataFrame, vcol: str,
+                   idcol: str, n_keep: int,
+                   dim: int | None) -> DataFrame:
+    """Attach the ``n_keep`` nearest cell_ids to each row: broadcast
+    crossJoin against the tiny centroid table (narrow, codegen'd),
+    per-row window to keep the closest — the corpus never shuffles."""
+    if dim is not None:
+        dist = l2_distance_fixed(vcol, "centroid", dim)
+    else:
+        dist = l2_distance(F.col(vcol), F.col("centroid"))
+    d = (df.crossJoin(F.broadcast(centroids))
+           .withColumn("__d", dist))
+    w = Window.partitionBy(idcol).orderBy(F.col("__d").asc(),
+                                          F.col("cell_id").asc())
+    return (d.withColumn("__rn", F.row_number().over(w))
+             .where(F.col("__rn") <= n_keep)
+             .drop("__d", "__rn", "centroid"))
+
+
 def topk_ivf(embeddings: DataFrame, queries: DataFrame,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
@@ -222,39 +255,28 @@ def topk_ivf(embeddings: DataFrame, queries: DataFrame,
     cells by nearest centroid, probe only the ``nprobe`` cells nearest
     each query, re-score candidates exactly (cosine).
 
-    ``centroids`` defaults to the first ``num_cells`` vectors by id —
-    deterministic (oracle-reproducible) and adequate for testing the
-    plan shape; production passes :func:`kmeans_centroids` (same
-    ``(cell_id, centroid)`` contract — recall@10 vs bruteforce is
-    gated >= 0.9 in tests/test_dedup_similarity.py).
+    ``centroids`` defaults to :func:`kmeans_centroids` trained on the
+    corpus (deterministic for a fixed input — seed 42), so an
+    uninformed caller gets real recall, not a placeholder; recall@10
+    vs bruteforce is gated >= 0.9 in tests/test_dedup_similarity.py.
+    Callers that need the oracle-reproducible placeholder (first
+    ``num_cells`` ids — q31) pass :func:`first_id_centroids`
+    explicitly.
 
     Scale shape: assignment is a broadcast crossJoin against
     ``num_cells`` rows (narrow, codegen'd), the cell table can be
-    written partitioned-by-cell once and reused across query batches,
-    and each query scans ~nprobe/num_cells of the corpus instead of
-    all of it.
+    written partitioned-by-cell once via :func:`write_ivf_index` and
+    reused across query batches (:func:`topk_ivf_over_index`), and
+    each query scans ~nprobe/num_cells of the corpus instead of all
+    of it.
     """
     if centroids is None:
-        centroids = (embeddings.orderBy(F.col(id_col).asc())
-                     .limit(num_cells)
-                     .select(F.col(id_col).alias("cell_id"),
-                             F.col(vec_col).alias("centroid")))
+        centroids = kmeans_centroids(embeddings, num_cells=num_cells,
+                                     vec_col=vec_col)
 
-    def nearest_cells(df, vcol, idcol, n_keep):
-        if dim is not None:
-            dist = l2_distance_fixed(vcol, "centroid", dim)
-        else:
-            dist = l2_distance(F.col(vcol), F.col("centroid"))
-        d = (df.crossJoin(F.broadcast(centroids))
-               .withColumn("__d", dist))
-        w = Window.partitionBy(idcol).orderBy(F.col("__d").asc(),
-                                              F.col("cell_id").asc())
-        return (d.withColumn("__rn", F.row_number().over(w))
-                 .where(F.col("__rn") <= n_keep)
-                 .drop("__d", "__rn", "centroid"))
-
-    cells = nearest_cells(embeddings, vec_col, id_col, 1)
-    probed = nearest_cells(queries, query_vec_col, query_id_col, nprobe)
+    cells = _nearest_cells(embeddings, centroids, vec_col, id_col, 1, dim)
+    probed = _nearest_cells(queries, centroids, query_vec_col,
+                            query_id_col, nprobe, dim)
     if dim is not None:
         # factored cosine (norms pre-join; see embedding_near_dups)
         cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
@@ -408,3 +430,137 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
                         / (F.col("na") * F.col("nb")))
             .where(F.col("cos") >= threshold)
             .select("doc_a", "doc_b", "cos"))
+
+
+# ---------------------------------------------------------------------------
+# Persisted index layouts: bucket/assign the corpus ONCE, answer many
+# query batches against the stored layout.  At 100 TB, re-assigning
+# cells (a full corpus scan + centroid scoring) per query batch is the
+# difference between an index and a scan — the persisted path's
+# re-query plan is a partition-pruned parquet read plus one broadcast
+# equi-join, with NO per-row centroid/plane work on the corpus side.
+# ---------------------------------------------------------------------------
+
+
+def write_ivf_index(embeddings: DataFrame, centroids: DataFrame,
+                    path: str, id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    dim: int | None = None) -> None:
+    """Assign every vector to its nearest centroid and persist the
+    cell table partitioned by ``cell_id`` (one directory per cell, so
+    a probe of ``nprobe`` cells reads exactly ``nprobe`` partitions).
+
+    The row payload is (id, vector, precomputed l2 norm): everything
+    :func:`topk_ivf_over_index` needs to rescore without touching the
+    original table.  ``centroids`` is required — pass
+    :func:`kmeans_centroids` (production) or
+    :func:`first_id_centroids` (deterministic tests); reuse the SAME
+    centroid table at query time or probes will miss."""
+    cells = _nearest_cells(embeddings, centroids, vec_col, id_col, 1, dim)
+    if dim is not None:
+        cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
+    (cells.write.mode("overwrite").partitionBy("cell_id").parquet(path))
+
+
+def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
+                        centroids: DataFrame,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        query_vec_col: str = "query_vec",
+                        k: int = 10, nprobe: int = 4,
+                        dim: int | None = None) -> DataFrame:
+    """IVF top-k over a persisted :func:`write_ivf_index` layout.
+
+    The query batch is small by definition, so its ``nprobe`` nearest
+    cells are computed in a tiny driver-side job and the distinct
+    probed cell ids become LITERAL partition filters on the index
+    scan — static partition pruning, visible as ``PartitionFilters``
+    in the plan and a pruned ``inputFiles()`` list.  The corpus side
+    does no centroid work at all (assignment was paid once at build
+    time); the only join is a broadcast equi-join on ``cell_id``
+    against the probe rows.  Identical results to :func:`topk_ivf`
+    with the same centroids, by construction."""
+    probed = _nearest_cells(queries, centroids, query_vec_col,
+                            query_id_col, nprobe, dim)
+    if dim is not None:
+        probed = probed.withColumn("__qnrm",
+                                   l2_norm_fixed(query_vec_col, dim))
+    # Materialize the (tiny) probe set once: drives both the literal
+    # partition filter and the broadcast join side.
+    probe_rows = probed.collect()
+    probe_cells = sorted({r["cell_id"] for r in probe_rows})
+    probe_df = F.broadcast(spark.createDataFrame(probe_rows,
+                                                 probed.schema))
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("cell_id").isin(probe_cells)))
+    cand = (idx.join(probe_df, "cell_id")
+               .where(F.col(id_col) != F.col(query_id_col)))
+    if dim is not None:
+        rescore = (dot_fixed(vec_col, query_vec_col, dim)
+                   / (F.col("__nrm") * F.col("__qnrm")))
+    else:
+        rescore = cosine_similarity(F.col(vec_col), F.col(query_vec_col))
+    scored = cand.withColumn("score", rescore)
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                          "score", "rank"))
+
+
+def write_srp_index(embeddings: DataFrame, path: str, dim: int,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    num_planes: int = 8) -> None:
+    """Persist the SRP-LSH layout for :func:`topk_lsh_over_index`:
+    one narrow map computes each vector's bucket (literal-plane
+    codegen, no shuffle) and the norm, written partitioned by
+    ``bucket`` (2^num_planes directories).  Queries probe buckets by
+    literal filter; the corpus never recomputes a projection."""
+    out = (embeddings
+           .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
+           .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
+    (out.write.mode("overwrite").partitionBy("bucket").parquet(path))
+
+
+def topk_lsh_over_index(spark, index_path: str, queries: DataFrame,
+                        dim: int, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        query_id_col: str = "query_id",
+                        query_vec_col: str = "query_vec",
+                        k: int = 10, num_planes: int = 8,
+                        multiprobe_hamming: int = 1) -> DataFrame:
+    """Approximate cosine top-k over a persisted
+    :func:`write_srp_index` layout; same semantics as
+    :func:`topk_lsh` (multi-probe within the Hamming radius + exact
+    rescore), but the corpus-side bucket assignment is read, not
+    recomputed — the plan contains no projection ``zip_with`` over
+    the index, only the partition-pruned scan, a broadcast equi-join
+    on ``bucket``, and the codegen'd rescore."""
+    probe_sets = [F.lit(0)]
+    if multiprobe_hamming >= 1:
+        probe_sets += [F.lit(1 << p) for p in range(num_planes)]
+    q = (queries
+         .withColumn("__qnrm", l2_norm_fixed(query_vec_col, dim))
+         .withColumn("q_bucket", srp_bucket(query_vec_col, dim,
+                                            num_planes))
+         .withColumn("probe", F.explode(F.array(*probe_sets)))
+         .withColumn("bucket",
+                     F.col("q_bucket").bitwiseXOR(F.col("probe")))
+         .drop("q_bucket", "probe"))
+    q_rows = q.collect()
+    buckets = sorted({r["bucket"] for r in q_rows})
+    q_df = F.broadcast(spark.createDataFrame(q_rows, q.schema))
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("bucket").isin(buckets)))
+    scored = (idx.join(q_df, "bucket")
+              .withColumn("score",
+                          dot_fixed(vec_col, query_vec_col, dim)
+                          / (F.col("__nrm") * F.col("__qnrm")))
+              .where(F.col(id_col) != F.col(query_id_col)))
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("score"),
+                                                F.col(id_col).asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col, F.col(id_col).alias("neighbor_id"),
+                          "score", "rank"))

@@ -1319,13 +1319,17 @@ WHERE rnk <= 5
 def q31_ivf_topk(spark, sf_dir):
     """IVF-flat ANN: 16 deterministic cells, probe the 4 nearest per
     query, exact cosine rescore, top-5.  Fully oracle-checked because
-    centroid choice (first 16 ids) is deterministic."""
-    from trial_data_ingestion_spark.operators.similarity import topk_ivf
+    the explicit first-16-ids placeholder centroids are deterministic
+    (production default is kmeans-trained — similarity.topk_ivf)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids, topk_ivf,
+    )
     emb = _t(spark, sf_dir, "embeddings")
     qs = (emb.where(F.col("vec_id").isin(0, 1, 2))
              .select(F.col("vec_id").alias("query_id"),
                      F.col("embedding").alias("query_vec")))
-    out = topk_ivf(emb, qs, k=5, num_cells=16, nprobe=4)
+    out = topk_ivf(emb, qs, k=5, num_cells=16, nprobe=4,
+                   centroids=first_id_centroids(emb, 16))
     return out.select("query_id", "neighbor_id",
                       F.round("score", 6).alias("score"),
                       F.col("rank").cast("long").alias("rank"))
