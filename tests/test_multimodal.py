@@ -136,6 +136,93 @@ def test_real_resize_in_spark(spark):
     assert feats.count() == 4
 
 
+def test_wav_roundtrip():
+    # int16 payloads survive encode->decode bit-exactly, mono + stereo
+    import numpy as np
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rng = np.random.default_rng(17)
+    for ch in (1, 2):
+        s = rng.integers(-32768, 32768, (400, ch)).astype(np.int16)
+        dec, rate = c.decode_wav(c.encode_wav(s, sample_rate=8000))
+        assert rate == 8000
+        assert np.array_equal((dec * 32768.0).astype(np.int16), s)
+    with pytest.raises(NotImplementedError):  # 8-bit stays env-gated
+        import io
+        import wave
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(1)
+            w.setframerate(8000)
+            w.writeframes(b"\x00" * 16)
+        c.decode_wav(buf.getvalue())
+
+
+def test_real_audio_features_in_spark(spark):
+    # the NON-STUB audio branch end to end: real WAV bytes -> PCM ->
+    # RMS + FFT-band features inside the mapInPandas kernel, checked
+    # against a driver-side numpy reference.  Tones at distinct
+    # frequencies must put their energy in distinct (ordered) bands.
+    import numpy as np
+    from trial_data_ingestion_spark import multimodal as mm
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rate, n = 8000, 2048
+    t = np.arange(n) / rate
+    tones = {"low": 250.0, "mid": 1000.0, "high": 3500.0}
+    wavs = {mid: c.encode_wav(0.5 * np.sin(2 * np.pi * f * t),
+                              sample_rate=rate)
+            for mid, f in tones.items()}
+    rows = [(mid, bytearray(w), None,
+             {"media_type": "audio", "format": "wav",
+              "width": None, "height": None,
+              "duration_ms": int(1000 * n / rate)})
+            for mid, w in wavs.items()]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+
+    feats = {r["media_id"]: r for r in
+             mm.extract_features(media, decoder=c.audio_decoder).collect()}
+    assert len(feats) == 3
+    peak_band = {}
+    for mid, w in wavs.items():
+        got = np.array(feats[mid]["features"], dtype=np.float32)
+        assert feats[mid]["feature_dim"] == 16
+        ref = c.audio_decoder(w)
+        assert np.allclose(got, ref, atol=1e-7), mid
+        # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+        assert abs(got[0] - 0.5 / np.sqrt(2)) < 0.01, mid
+        assert abs(got[1:].sum() - 1.0) < 1e-5
+        peak_band[mid] = int(np.argmax(got[1:]))
+    assert peak_band["low"] < peak_band["mid"] < peak_band["high"]
+
+
+def test_real_audio_resample_in_spark(spark):
+    # audio_resampler behind the resize kernel: width carries the
+    # target rate; the downsampled payload halves its frame count, and
+    # the tone's band peak doubles (same Hz, half the Nyquist range).
+    import numpy as np
+    from trial_data_ingestion_spark import multimodal as mm
+    from trial_data_ingestion_spark.multimodal import codecs as c
+    rate, n = 16000, 4096
+    t = np.arange(n) / rate
+    wav = c.encode_wav(0.5 * np.sin(2 * np.pi * 1800.0 * t),
+                       sample_rate=rate)
+    media = spark.createDataFrame(
+        [("a", bytearray(wav), None,
+          {"media_type": "audio", "format": "wav",
+           "width": None, "height": None, "duration_ms": 256})],
+        mm.MEDIA_SCHEMA)
+    out = mm.resize_media(media, 8000, 0,
+                          resizer=c.audio_resampler).collect()
+    dec, new_rate = c.decode_wav(bytes(out[0]["media"]))
+    assert new_rate == 8000
+    assert abs(dec.shape[0] - n // 2) <= 1
+    # 440 Hz sits at the same fraction of Nyquist after halving both
+    # rate and duration -> same normalized band peak
+    orig_peak = int(np.argmax(c.audio_decoder(wav)[1:]))
+    new_peak = int(np.argmax(c.audio_decoder(bytes(out[0]["media"]))[1:]))
+    assert abs(new_peak - 2 * orig_peak) <= 1
+
+
 def test_frame_sampling(spark):
     from pyspark.sql import functions as F
     from trial_data_ingestion_spark import multimodal as mm

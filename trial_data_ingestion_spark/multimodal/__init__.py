@@ -3,11 +3,13 @@ opaque binary columns + typed metadata, processed by Arrow-batched
 kernels.
 
 Decoding is pluggable: pass a ``decoder``/``resizer`` callable.
-:mod:`.codecs` provides REAL stdlib-only implementations for BMP and
-PNG (``image_decoder`` / ``image_resizer`` — header+filter+pixel
-parse, no third-party libs), so the non-stub path executes in CI on
-real bytes.  Formats that genuinely need absent libraries (JPEG,
-audio, video) stay env-gated: with no callable supplied the kernels
+:mod:`.codecs` provides REAL stdlib-only implementations for BMP/PNG
+images (``image_decoder`` / ``image_resizer`` — header+filter+pixel
+parse) and 16-bit PCM WAV audio (``audio_decoder`` /
+``audio_resampler`` — ``wave`` decode + FFT band features), so the
+non-stub path executes in CI on real bytes for both media types.
+Formats that genuinely need absent libraries (JPEG, video) stay
+env-gated: with no callable supplied the kernels
 raise ``NotImplementedError`` eagerly at build time (a clean error
 instead of a mid-job task failure), and tests also use the
 deterministic fake kernels below where hash-oracle parity matters
@@ -95,8 +97,10 @@ def extract_features(df: DataFrame,
     if decoder is None:
         raise NotImplementedError(
             "No media decoder selected; pass a decoder callable — "
-            "codecs.image_decoder for real BMP/PNG payloads (stdlib-"
-            "only), multimodal.fake_decoder for deterministic tests.")
+            "codecs.image_decoder for real BMP/PNG payloads, "
+            "codecs.audio_decoder for real 16-bit PCM WAV (both "
+            "stdlib-only), multimodal.fake_decoder for deterministic "
+            "tests.")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -135,8 +139,10 @@ def resize_media(df: DataFrame, width: int, height: int,
     if resizer is None:
         raise NotImplementedError(
             "No resizer selected; pass a resizer callable — "
-            "codecs.image_resizer for real BMP/PNG payloads (stdlib-"
-            "only), multimodal.fake_resizer for deterministic tests.")
+            "codecs.image_resizer for real BMP/PNG payloads, "
+            "codecs.audio_resampler for real WAV (width = target "
+            "sample rate; both stdlib-only), multimodal.fake_resizer "
+            "for deterministic tests.")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -1,7 +1,8 @@
-"""Stdlib-only image codecs: 24-bit BMP and 8-bit PNG decode/encode.
+"""Stdlib-only media codecs: 24-bit BMP and 8-bit PNG images, 16-bit
+PCM WAV audio.
 
-The container has no PIL/libjpeg, so the multimodal kernels'
-"real decode" path is implemented against the two formats a Python
+The container has no PIL/libjpeg/librosa, so the multimodal kernels'
+"real decode" path is implemented against the formats a Python
 stdlib can handle bit-exactly:
 
 * BMP: BITMAPINFOHEADER, 24-bit BI_RGB, bottom-up rows, 4-byte row
@@ -9,14 +10,18 @@ stdlib can handle bit-exactly:
 * PNG: 8-bit greyscale/RGB/RGBA, non-interlaced — chunk walk +
   ``zlib`` inflate + the five scanline filters (None/Sub/Up/
   Average/Paeth) from the PNG spec, un-applied row by row.
+* WAV: 16-bit PCM via stdlib ``wave`` (bit-exact int16 decode),
+  features via ``numpy.fft``.
 
-``image_decoder`` / ``image_resizer`` match the kernel signatures in
+``image_decoder`` / ``image_resizer`` / ``audio_decoder`` /
+``audio_resampler`` match the kernel signatures in
 :mod:`trial_data_ingestion_spark.multimodal` (``payload -> features``
 and ``payload, w, h -> payload``), so
-``extract_features(df, decoder=image_decoder)`` runs a REAL
-bytes -> pixels -> features path with zero third-party dependencies —
-formats that genuinely need external libs (JPEG, audio, video) still
-raise ``NotImplementedError`` and remain env-gated.
+``extract_features(df, decoder=image_decoder)`` (or
+``decoder=audio_decoder``) runs a REAL bytes -> samples -> features
+path with zero third-party dependencies — formats that genuinely need
+external libs (JPEG, video) still raise ``NotImplementedError`` and
+remain env-gated.
 
 No reference counterpart (the reference has no media handling) —
 north-star component per BASELINE.json.
@@ -24,7 +29,9 @@ north-star component per BASELINE.json.
 
 from __future__ import annotations
 
+import io
 import struct
+import wave
 import zlib
 
 import numpy as np
@@ -201,6 +208,43 @@ def decode_png(payload: bytes) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
+# WAV (16-bit PCM, stdlib `wave`)
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """(n,) or (n, ch) samples -> 16-bit PCM WAV bytes.  Float input
+    is clipped to [-1, 1] and scaled; int16 passes through exactly."""
+    s = np.asarray(samples)
+    if s.dtype.kind == "f":
+        s = (np.clip(s, -1.0, 1.0) * 32767.0).round()
+    s = s.astype(np.int16)
+    if s.ndim == 1:
+        s = s[:, None]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(s.shape[1])
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(s.tobytes())      # (n, ch) C-order == interleaved
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """16-bit PCM WAV bytes -> ((n, ch) float32 in [-1, 1), rate).
+    Decoding is bit-exact: int16 / 32768."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+        ch, sw, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        if sw != 2:
+            raise NotImplementedError(
+                f"only 16-bit PCM WAV supported (sampwidth={sw})")
+        raw = w.readframes(w.getnframes())
+    s = np.frombuffer(raw, dtype="<i2").reshape(-1, ch)
+    return s.astype(np.float32) / 32768.0, rate
+
+
+# ---------------------------------------------------------------------------
 # Kernel-signature adapters
 # ---------------------------------------------------------------------------
 
@@ -214,8 +258,9 @@ def decode_image(payload: bytes) -> np.ndarray:
     if payload[:8] == PNG_SIG:
         return decode_png(payload)
     raise NotImplementedError(
-        "unsupported media format (stdlib codecs handle BMP and PNG; "
-        "JPEG/audio/video need libraries absent in this environment)")
+        "unsupported image format (stdlib codecs handle BMP and PNG "
+        "images and 16-bit PCM WAV audio via audio_decoder; JPEG and "
+        "video need libraries absent in this environment)")
 
 
 def image_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -238,3 +283,43 @@ def image_resizer(payload: bytes, width: int, height: int) -> bytes:
     if payload[:2] == b"BM":
         return encode_bmp(resized[:, :, :3])
     return encode_png(resized)
+
+
+def audio_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL audio decode+featurize with the :func:`fake_decoder`
+    signature: WAV bytes -> PCM samples -> [rms, band_1..band_{dim-1}]
+    where the bands are the mean |rfft| magnitude of the mono mix in
+    ``dim - 1`` equal-width frequency bands, normalized to sum to 1 —
+    a deterministic spectral envelope (no windowing/mel warping;
+    those belong to a real featurizer behind the same signature)."""
+    samples, _rate = decode_wav(payload)
+    mono = samples.mean(axis=1)
+    rms = float(np.sqrt(np.mean(np.square(mono)))) if mono.size else 0.0
+    mag = np.abs(np.fft.rfft(mono))[1:]          # drop DC
+    bands = np.zeros(dim - 1, dtype=np.float64)
+    if mag.size:
+        for i, chunk in enumerate(np.array_split(mag, dim - 1)):
+            bands[i] = chunk.mean() if chunk.size else 0.0
+        total = bands.sum()
+        if total > 0:
+            bands /= total
+    return np.concatenate([[rms], bands]).astype(np.float32)
+
+
+def audio_resampler(payload: bytes, width: int, height: int) -> bytes:
+    """REAL audio resample behind the resize kernel's
+    ``(payload, width, height)`` slot: ``width`` is the target sample
+    rate in Hz (``height`` is ignored — kept for signature parity with
+    :func:`image_resizer` so ``resize_media`` drives either medium).
+    Linear-interpolation resample per channel, re-encoded as 16-bit
+    PCM WAV at the new rate."""
+    samples, rate = decode_wav(payload)
+    if width == rate or samples.shape[0] < 2:
+        return bytes(payload)
+    n_in = samples.shape[0]
+    n_out = max(1, int(round(n_in * width / rate)))
+    t_in = np.arange(n_in, dtype=np.float64) / rate
+    t_out = np.arange(n_out, dtype=np.float64) / width
+    out = np.stack([np.interp(t_out, t_in, samples[:, c])
+                    for c in range(samples.shape[1])], axis=1)
+    return encode_wav(out.astype(np.float32), sample_rate=width)
