@@ -11,12 +11,13 @@ from pyspark.sql import functions as F
 
 @pytest.fixture(scope="module")
 def event_dir(spark, tmp_path_factory):
-    """events table (ts converted to micros) staged as a stream source."""
+    """events table staged as a stream source, through the same
+    type-adaptive loader the graded queries use (the driver testdata
+    has shipped ts as nanos-bigint and as tz-naive timestamp across
+    rounds — plans._events normalizes either)."""
+    from trial_data_ingestion_spark.plans.library import _events
     path = str(tmp_path_factory.mktemp("events_src"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-    (raw.withColumn("ts", F.timestamp_micros(
-        F.floor(F.col("ts") / 1000).cast("long")))
+    (_events(spark, "/root/testdata/sf0.001")
         .coalesce(2).write.mode("overwrite").parquet(path))
     return path
 
@@ -188,13 +189,12 @@ def test_stream_stream_attribution_join(spark, event_dir, tmp_path):
 @pytest.fixture(scope="module")
 def event_dir_graded(spark, tmp_path_factory):
     """sf0.01 events (the driver's grading scale) staged as a stream
-    source, with the same nanos->micros conversion as plans._events so
-    streaming and graded-batch queries see identical timestamps."""
+    source through plans._events itself, so streaming and graded-batch
+    queries see identical timestamps whatever physical type the driver
+    testdata ships."""
+    from trial_data_ingestion_spark.plans.library import _events
     path = str(tmp_path_factory.mktemp("events_src_sf001"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
-    (raw.withColumn("ts", F.timestamp_micros(
-        F.floor(F.col("ts") / 1000).cast("long")))
+    (_events(spark, "/root/testdata/sf0.01")
         .coalesce(4).write.mode("overwrite").parquet(path))
     return path
 

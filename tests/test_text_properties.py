@@ -86,14 +86,17 @@ def test_stable_doc_id_deterministic_and_doi_passthrough(spark):
 
 
 def _entity_soup(n: int = 500) -> list:
-    """Fixed-seed soup over html_multi_unescape's SUPPORTED grammar:
-    the five named entities (with semicolons), numeric character
+    """Fixed-seed soup over the FULL stdlib unescape grammar: every
+    html.entities.html5 named entity (with and without semicolons,
+    including the 106 legacy prefix-matched names), numeric character
     references in every stdlib-relevant shape (decimal/hex, upper/
     lowercase X, semicolon-less, leading zeros, NUL, surrogates,
     overflow, windows-1252 C1 range, dropped control codepoints,
-    noncharacters, astral plane), literal text that can't form
-    long-tail named entities, all wrapped in 0-2 rounds of escaping."""
+    noncharacters, astral plane), arbitrary literal glue, all wrapped
+    in 0-2 rounds of escaping."""
+    from html.entities import html5 as _html5
     rng = random.Random(0xE57)
+    all_names = sorted(_html5)
     named = ["&lt;", "&gt;", "&quot;", "&apos;", "&amp;"]
     codes = [60, 38, 65, 0, 1, 9, 11, 13, 31, 127, 128, 0x8D, 0x9F,
              0xD800, 0xDFFF, 0xFDD0, 0xFFFE, 0xFFFF, 0x10FFFF,
@@ -121,8 +124,18 @@ def _entity_soup(n: int = 500) -> list:
         parts = []
         for _ in range(rng.randrange(0, 12)):
             r = rng.random()
-            if r < 0.3:
+            if r < 0.2:
                 parts.append(rng.choice(named))
+            elif r < 0.4:
+                # full-table named entity, sometimes semicolon-less /
+                # prefix-truncated to hit the legacy matching path
+                name = rng.choice(all_names)
+                s = "&" + name
+                if rng.random() < 0.25 and name.endswith(";"):
+                    s = s[:-1]
+                if rng.random() < 0.15:
+                    s += rng.choice(["x", "9", ";", "abc"])
+                parts.append(s)
             elif r < 0.6:
                 parts.append(numeric())
             else:
@@ -156,34 +169,31 @@ def test_html_multi_unescape_matches_stdlib_on_supported_grammar(spark):
     assert not bad, f"{len(bad)} divergences, first: {bad[0]!r}"
 
 
-def test_html_multi_unescape_documented_divergences(spark):
-    """The EXPLICIT divergence set — everything outside the supported
-    grammar, pinned so a silent behavior change fails loudly:
-      * long-tail HTML5 named entities pass through;
-      * semicolon-less NAMED legacy forms pass through;
-      * >= 3-deep mixed numeric/amp nesting may converge FASTER than
-        the 3-round stdlib loop (never slower, never wrong bytes —
-        the fixed point is the same).
-    The Springer connector kernel (multi_unescape) is stdlib-exact,
-    so relational pipelines feeding hostile entities outside this
-    grammar should route through it instead."""
-    import html as _html
+def test_html_multi_unescape_former_divergences_now_exact(spark):
+    """Round 3 pinned a divergence set (long-tail named entities and
+    semicolon-less legacy forms passed through).  Round 4 ships the
+    full html.entities.html5 table as a constant-folded map literal,
+    so these now decode byte-identically to the stdlib loop — pinned
+    here so a regression back to pass-through fails loudly."""
     from trial_data_ingestion_spark.functions.text import (
         html_multi_unescape,
     )
-    cases = ["&ltcc;", "&notanumber", "&amp", "&LT;", "&#38;#38;amp;lt;"]
+    from trial_data_ingestion_spark.sources.springer import multi_unescape
+    cases = ["&ltcc;", "&notanumber", "&amp", "&LT;", "&#38;#38;amp;lt;",
+             "&CounterClockwiseContourIntegral;", "&fjlig;", "&gt",
+             "&aacute", "&Aacute;x", "&xyz;", "&not;in", "&notin;",
+             "&amp &amp; &amp;amp;"]
     df = spark.createDataFrame([(s,) for s in cases], "raw string")
     got = {r["raw"]: r["u"] for r in
            df.select("raw",
                      html_multi_unescape(F.col("raw")).alias("u"))
              .collect()}
-    assert got["&ltcc;"] == "&ltcc;"          # stdlib: '⪦'
-    assert _html.unescape("&ltcc;") == "⪦"
-    assert got["&notanumber"] == "&notanumber"  # stdlib: '¬anumber'
-    assert got["&amp"] == "&amp"              # stdlib legacy: '&'
-    assert got["&LT;"] == "&LT;"              # stdlib: '<'
-    # deep mixed chain: ours reaches the fixed point in 3 rounds
-    assert got["&#38;#38;amp;lt;"] == "<"
+    assert got["&ltcc;"] == "⪦"
+    assert got["&notanumber"] == "¬anumber"   # legacy longest-prefix
+    assert got["&amp"] == "&"                 # legacy semicolon-less
+    assert got["&LT;"] == "<"
+    for c in cases:
+        assert got[c] == multi_unescape(c, 3), c
 
 
 def test_sections_to_text_matches_reference_semantics(spark):

@@ -15,6 +15,17 @@ from pyspark.sql import functions as F
 # (src/ingestion_pipeline/preprocessing/doi_utils.py:16).
 _ZWSP = "​"
 
+# html.entities.html5 (public stdlib table, 2231 entries incl. the
+# 106 semicolon-less legacy names) serialized for str_to_map.  The
+# separators are control chars proven absent from every key/value.
+from html.entities import html5 as _HTML5_ENTITIES  # noqa: E402
+
+_HTML5_PAIR_SEP, _HTML5_KV_SEP = "\x1e", "\x1f"
+assert not any(_HTML5_PAIR_SEP in s or _HTML5_KV_SEP in s
+               for kv in _HTML5_ENTITIES.items() for s in kv)
+_HTML5_MAP_SRC = _HTML5_PAIR_SEP.join(
+    f"{k}{_HTML5_KV_SEP}{v}" for k, v in _HTML5_ENTITIES.items())
+
 # DOI regex (src/ingestion_pipeline/preprocessing/doi_utils.py:9).
 DOI_PATTERN = r"10\.\d{4,9}/\S+"
 
@@ -143,33 +154,37 @@ def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
     triple-escaped, e.g. ``&amp;amp;lt;`` -> ``<``).
 
     The reference calls ``html.unescape`` in a loop; this Column
-    version keeps the hot path codegen'd: the common named entities
-    plus ALL decimal/hex numeric character references
-    (``&#8212;`` / ``&#x1F600;``) decode natively.  Numeric decode
-    renders code points through UTF-32 (``hex`` -> ``unhex`` ->
-    ``decode``), so the full Unicode range works without Python.
-    Per round, ``&amp;`` must decode LAST or double-escaped payloads
-    decode incorrectly ("&amp;lt;" must become "&lt;", not "<" in one
-    round) — same reason the numeric pass runs before it ("&amp;#60;"
-    holds no ``&#`` token until the amp decodes).
+    version is byte-equal to that loop while staying codegen'd — no
+    Python in the plan.  Each round reproduces one stdlib
+    ``html.unescape`` pass exactly:
 
-    Numeric character references now carry FULL stdlib semantics
-    (verified against ``html.unescape`` by the property corpus in
-    tests/test_text_properties.py): semicolon-less forms
-    (``&#60abc`` -> ``<abc``), leading zeros, out-of-range/surrogate/
-    overflowing values -> U+FFFD, the HTML5 windows-1252 remap of
-    C1 references (``&#128;`` -> ``€``), and the removed
-    invalid-codepoint set (``&#1;`` -> empty).
+    * the text splits before every ``&`` (stdlib's charref regex can
+      never match across an ``&``, so the pieces are independent and
+      one pass never re-scans its own output — ``&amp;lt;`` becomes
+      ``&lt;`` in one round, not ``<``);
+    * numeric character references (``&#8212;`` / ``&#x1F600;``)
+      decode with full stdlib semantics: semicolon-less forms
+      (``&#60abc`` -> ``<abc``), leading zeros, out-of-range/
+      surrogate/overflowing values -> U+FFFD, the HTML5 windows-1252
+      remap of C1 references (``&#128;`` -> ``€``), and the removed
+      invalid-codepoint set (``&#1;`` -> empty) — rendered through
+      UTF-32 (``hex`` -> ``unhex`` -> ``decode``) so the full Unicode
+      range works without Python;
+    * named references resolve against the FULL ~2200-entry
+      ``html.entities.html5`` table (a public stdlib constant),
+      shipped as one ``str_to_map`` literal that Catalyst constant-
+      folds into a map literal at plan time.  Lookup follows the
+      stdlib algorithm: the candidate is ``[^\\t\\n\\f <&#;]{1,32};?``
+      after the ``&``, tried longest-prefix-first down to length 2,
+      remainder re-appended (``&notanumber`` -> ``¬anumber``,
+      ``&amp`` -> ``&``, ``&ltcc;`` -> ``⪦``).
 
-    Remaining documented divergences from stdlib (which
-    ``sources.springer.multi_unescape`` — the connector kernel —
-    implements exactly; the property test pins each):
-      * named entities beyond lt/gt/quot/apos/amp — the ~2200-entry
-        HTML5 long tail (``&ltcc;``, ``&notanumber`` legacy prefix
-        matching) passes through;
-      * semicolon-less NAMED legacy forms (``&amp`` / ``&LT``) pass
-        through — decoding them by blind replace would corrupt the
-        same round's ``&amp;lt;`` output.
+    The property corpus in tests/test_text_properties.py pins byte
+    equality with ``sources.springer.multi_unescape`` (the connector
+    kernel = looped stdlib ``html.unescape``) over named, numeric,
+    legacy semicolon-less, and 0-2x re-escaped soup.  Cost note: a
+    round is O(pieces x 32 map probes) inside codegen — fine for the
+    parse tier this belongs to; it is not used in bench hot paths.
     """
     # HTML5 §13.5 numeric-reference overrides (stdlib
     # html._invalid_charrefs): windows-1252 remap of 0x80-0x9F plus
@@ -185,6 +200,32 @@ def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
         0x9a: "š", 0x9b: "›", 0x9c: "œ", 0x9d: "\x9d",
         0x9e: "ž", 0x9f: "Ÿ",
     }
+
+    # The html.entities.html5 table as a plan-time map literal.
+    # str_to_map over foldable children is itself foldable, so
+    # Catalyst's ConstantFolding turns this into a single map literal
+    # — the ~23 KB table ships once per plan, not per row.
+    ent_map = F.str_to_map(F.lit(_HTML5_MAP_SRC),
+                           F.lit(_HTML5_PAIR_SEP), F.lit(_HTML5_KV_SEP))
+
+    def decode_named(p: Column) -> Column:
+        # stdlib charref name grammar: up to 32 chars outside the
+        # 7-char stop set, optional trailing ';' (html._charref).
+        cand = F.regexp_extract(p, r"^&([^\t\n\f <&#;]{1,32};?)", 1)
+        # longest-prefix-first, stdlib's exact-then-prefix scan in one
+        # descending pass (substr clamps past-the-end lengths to the
+        # whole candidate, so the head entries all try `cand` itself)
+        prefixes = F.transform(
+            F.sequence(F.lit(33), F.lit(2), F.lit(-1)),
+            lambda i: cand.substr(F.lit(1), i))
+        best = F.get(F.filter(
+            prefixes,
+            lambda q: F.element_at(ent_map, q).isNotNull()), 0)
+        decoded = F.concat(
+            F.element_at(ent_map, best),
+            p.substr(F.length(best) + F.lit(2), F.length(p)))
+        return F.when((cand != "") & best.isNotNull(), decoded) \
+                .otherwise(p)
 
     def decode_piece(p: Column) -> Column:
         dec = F.regexp_extract(p, r"^&#([0-9]+);?", 1)
@@ -219,19 +260,18 @@ def html_multi_unescape(c: Column, rounds: int = 3) -> Column:
              .when(dropped, F.lit(""))
              .otherwise(F.decode(F.unhex(F.lpad(F.hex(code), 8, "0")),
                                  "UTF-32")))
-        return F.when(matched, F.concat(ch, rest)).otherwise(p)
+        return F.when(matched, F.concat(ch, rest)) \
+                .otherwise(decode_named(p))
 
-    def decode_numeric(s: Column) -> Column:
-        pieces = F.split(s, r"(?=&#)|(?<=;)")
+    def decode_round(s: Column) -> Column:
+        # split BEFORE every '&': each piece holds at most one charref
+        # candidate, at its head — exactly one stdlib scan position
+        pieces = F.split(s, r"(?=&)")
         joined = F.array_join(F.transform(pieces, decode_piece), "")
         # skip the split/transform plan entirely when no candidate
-        return F.when(s.contains("&#"), joined).otherwise(s)
+        return F.when(s.contains("&"), joined).otherwise(s)
 
     out = c
     for _ in range(rounds):
-        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                        ("&apos;", "'")):
-            out = F.replace(out, F.lit(ent), F.lit(ch))
-        out = decode_numeric(out)
-        out = F.replace(out, F.lit("&amp;"), F.lit("&"))
+        out = decode_round(out)
     return out

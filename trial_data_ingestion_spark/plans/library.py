@@ -400,8 +400,14 @@ def q22_sessionize(spark, sf_dir):
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    is_new = F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0)
+    # microsecond-exact gap, and works on TIMESTAMP and TIMESTAMP_NTZ
+    # alike (the driver parquet is tz-naive, which Spark reads as NTZ;
+    # an epoch cast would both throw on NTZ and floor away the
+    # sub-second part the oracle's INTERVAL comparison keeps)
+    prev = F.lag("ts").over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000),
+                    1).otherwise(0)
     return (ev.withColumn("is_new", is_new)
               .withColumn("session_id",
                           F.sum("is_new").over(frame).cast("long"))
