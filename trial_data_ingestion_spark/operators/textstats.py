@@ -9,6 +9,8 @@ Java-only escapes) so the DuckDB oracle can evaluate the same logic.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -118,6 +120,167 @@ def detect_language(text: Column) -> Column:
     for lang, s in reversed(scores):
         result = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(result)
     return result
+
+
+def detect_language_ngram(text: Column, prefix_chars: int = 256) -> Column:
+    """Character-3/4-gram language ID over {en, es, fr, de, it, pt}
+    (Cavnar–Trenkle profile method over UDHR seed corpora —
+    operators/lid_profiles.py).  This is the production-posture LID;
+    ``detect_language`` above is the round-3 stopword voter kept for
+    oracle compatibility.
+
+    Plan shape: ONE constant-folded ``map<string, array<double>>``
+    literal per n-gram order, keyed by gram with all six languages'
+    log-frequencies packed in the value — so each doc gram costs a
+    single map probe, accumulated into a 6-slot array by
+    ``aggregate``+``zip_with``.  The doc is normalized to a
+    letters+spaces prefix (``prefix_chars`` — language ID saturates
+    long before a document ends), n-grams come from
+    ``transform(sequence(...))``.  All native expressions, no
+    shuffle, no UDF; cost is O(prefix x union_table) byte compares
+    per doc, bounded by the prefix cap, independent of doc size.
+
+    Evaluation-shape note: every multiply-referenced subexpression
+    (the regex-normalized prefix, the gram arrays, the score array)
+    is LET-BOUND through ``_let`` — a single-element
+    ``transform(array(x), body)`` — so it evaluates once per row.
+    Higher-order-function subtrees run interpreted and are
+    re-evaluated per reference; without the bindings the regex
+    normalization would rerun per GRAM and the scoring aggregate per
+    argmax reference (measured 80 rows/s vs ~10k rows/s bound).
+
+    Returns 'und' when the text has fewer than 3 usable trigrams or
+    when <12% of its trigrams appear in ANY language's table (digit
+    soup, CJK, markup)."""
+    from trial_data_ingestion_spark.operators import lid_profiles as lp
+
+    nlangs = len(lp.LANGS)
+    miss_arr = F.array(*[F.lit(lp.MISS_LOGP)] * nlangs)
+
+    def _let(value: Column, body) -> Column:
+        """Let-binding: evaluate ``value`` once, reference it many
+        times as a lambda variable inside ``body``."""
+        return F.get(F.transform(F.array(value), body), 0)
+
+    def fold_packed(table: dict) -> Column:
+        # map<string, array<double>> literal: all children foldable,
+        # so Catalyst folds the whole map at plan time; array values
+        # make each probe a plain lookup — no per-gram parsing
+        keys = F.array(*[F.lit(g) for g in table])
+        vals = F.array(*[F.array(*[F.lit(w) for w in ws])
+                         for ws in table.values()])
+        return F.map_from_arrays(keys, vals)
+
+    maps = {n: fold_packed(lp.PACKED[n]) for n in lp.NGRAM_ORDERS}
+    lang_names = F.array(*[F.lit(lang) for lang in lp.LANGS])
+
+    # letters-only lowercase prefix, single spaces, space-padded —
+    # mirrors lid_profiles.normalize_seed
+    s_expr = F.lower(F.substring(text, 1, prefix_chars))
+    s_expr = F.regexp_replace(s_expr, r"[^\p{L}]+", " ")
+    s_expr = F.concat(F.lit(" "),
+                      F.regexp_replace(s_expr, r"^\s+|\s+$", ""),
+                      F.lit(" "))
+
+    def grams(s: Column, n: int) -> Column:
+        count = F.greatest(F.length(s) - (n - 1), F.lit(1))
+        return F.transform(F.sequence(F.lit(1), count),
+                           lambda i: s.substr(i, F.lit(n)))
+
+    def mean_logp_array(gs: Column, packed_map: Column) -> Column:
+        """6-slot array: per language, mean log-likelihood over gs."""
+        total = F.aggregate(
+            gs, F.array_repeat(F.lit(0.0), nlangs),
+            lambda acc, g: F.zip_with(
+                acc,
+                F.coalesce(F.element_at(packed_map, g), miss_arr),
+                lambda a, b: a + b))
+        return F.transform(total, lambda t: t / F.size(gs))
+
+    def with_g3(s: Column, g3: Column) -> Column:
+        scores_expr = F.zip_with(
+            mean_logp_array(g3, maps[3]),
+            mean_logp_array(grams(s, 4), maps[4]),
+            lambda a, b: a + b)
+        # evidence gate: fraction of trigrams known to ANY language
+        hits = F.size(F.filter(
+            g3, lambda g: F.element_at(maps[3], g).isNotNull()))
+        enough = ((F.length(s) >= 3 + 2) &
+                  (hits.cast("double") / F.size(g3) >= 0.12))
+        # array_position takes the FIRST max, so ties break toward
+        # the earlier language in lp.LANGS, deterministically
+        pick = _let(scores_expr, lambda sc: F.element_at(
+            lang_names,
+            F.array_position(sc, F.array_max(sc)).cast("int")))
+        return F.when(enough, pick).otherwise(F.lit("und"))
+
+    return _let(s_expr,
+                lambda s: _let(grams(s, 3),
+                               lambda g3: with_g3(s, g3)))
+
+
+def detect_language_ngram_arrow(text: Column,
+                                prefix_chars: int = 256) -> Column:
+    """Arrow-batched twin of :func:`detect_language_ngram` — same
+    profiles (lid_profiles.PACKED), same normalization, same scoring
+    and gates, but the per-gram probe is a Python dict hit (O(1))
+    inside a pandas UDF instead of an interpreted literal-map scan
+    (O(table)).  ~10x the native expression's throughput; the
+    recommended path for full-corpus hygiene sweeps, where the
+    Column version is the plan-transparent reference the tests hold
+    it equal to.  (Precedent: the C4 token chunker and multimodal
+    kernels make the same native-reference / Arrow-scale split.)"""
+    import re as _re
+
+    from pyspark.sql.functions import pandas_udf
+
+    from trial_data_ingestion_spark.operators import lid_profiles as lp
+
+    packed = {n: dict(t) for n, t in lp.PACKED.items()}
+    orders = lp.NGRAM_ORDERS
+    langs = lp.LANGS
+    nlangs = len(langs)
+    miss = lp.MISS_LOGP
+    nonletter = _re.compile(r"[\W\d_]+", _re.UNICODE)
+    spaces = _re.compile(r"\s+")
+
+    @pandas_udf("string")
+    def _lid(col: pd.Series) -> pd.Series:
+        out = []
+        for raw in col:
+            if raw is None:
+                out.append("und")
+                continue
+            s = nonletter.sub(" ", raw[:prefix_chars].lower())
+            s = " " + spaces.sub(" ", s).strip() + " "
+            if len(s) < 5:
+                out.append("und")
+                continue
+            scores = [0.0] * nlangs
+            hits = 0
+            n3 = len(s) - 2
+            for n in orders:
+                table = packed[n]
+                count = len(s) - (n - 1)
+                inv = 1.0 / count
+                for i in range(count):
+                    ws = table.get(s[i:i + n])
+                    if ws is None:
+                        for j in range(nlangs):
+                            scores[j] += miss * inv
+                    else:
+                        if n == 3:
+                            hits += 1
+                        for j in range(nlangs):
+                            scores[j] += ws[j] * inv
+            if hits / n3 < 0.12:
+                out.append("und")
+                continue
+            out.append(langs[max(range(nlangs),
+                                 key=lambda j: scores[j])])
+        return pd.Series(out)
+
+    return _lid(text)
 
 
 def fingerprint(text: Column) -> Column:
