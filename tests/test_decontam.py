@@ -1,0 +1,130 @@
+"""Benchmark-decontamination tests: known-answer planting, DuckDB
+value parity for the report, anti-join removal semantics, and the
+broadcast-join plan shape that makes it 100 TB-safe."""
+
+from __future__ import annotations
+
+import duckdb
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR as SF_DIR_SMOKE
+
+
+BENCH_ROWS = [
+    (0, "the seven wonders of the ancient world include the great "
+        "pyramid of giza and the hanging gardens"),
+    (1, "a stitch in time saves nine according to the old proverb "
+        "about timely effort preventing larger work"),
+]
+
+CORPUS_ROWS = [
+    # verbatim copy of a benchmark item -> contaminated
+    (10, "Spam intro. The seven wonders of the ancient world include "
+         "the GREAT pyramid of Giza and the hanging gardens!"),
+    # 8-token overlap only ("a stitch in time saves nine according to")
+    (11, "She said: a stitch in time saves nine, according to "
+         "somebody; the rest of this text is completely unrelated."),
+    # 7-token overlap -> NOT contaminated at n=8
+    (12, "a stitch in time saves nine according -- but then it "
+         "wanders off into entirely different territory altogether."),
+    # no overlap at all
+    (13, "Completely novel text speaking of volcanoes, glaciers and "
+         "the slow patience of geological time."),
+    # too short to form one 8-gram
+    (14, "five little tokens only here"),
+]
+
+
+def test_contamination_known_answers(spark):
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_gram_table, contamination_report,
+    )
+    bench = spark.createDataFrame(BENCH_ROWS, "doc_id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "doc_id long, text string")
+    grams = benchmark_gram_table(bench, "text", n=8)
+    rep = {r["doc_id"]: r for r in
+           contamination_report(corpus, grams, n=8).collect()}
+    assert rep[10]["is_contaminated"]
+    assert rep[10]["matched_grams"] >= 8   # long verbatim run
+    assert rep[11]["is_contaminated"]
+    assert rep[11]["matched_grams"] == 1   # exactly one shared 8-gram
+    assert not rep[12]["is_contaminated"]  # 7-token overlap is below n
+    assert not rep[13]["is_contaminated"]
+    assert rep[14]["total_grams"] == 0 and not rep[14]["is_contaminated"]
+    # ratio sanity: verbatim copy's grams are mostly matched
+    assert rep[10]["contamination_ratio"] > 0.4
+
+
+def test_decontaminate_removes_exactly_the_flagged(spark):
+    from trial_data_ingestion_spark.operators.decontam import decontaminate
+    bench = spark.createDataFrame(BENCH_ROWS, "doc_id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "doc_id long, text string")
+    kept = decontaminate(corpus, bench, n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12, 13, 14]
+    assert kept.columns == corpus.columns
+
+
+def test_contamination_report_matches_duckdb(spark):
+    """Value parity with an independent DuckDB implementation over
+    the sf0.001 documents table, benchmark = 5 of its own docs (so
+    overlap is guaranteed) plus one never-matching probe."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_gram_table, contamination_report,
+    )
+    n = 8
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    bench = (docs.where(F.col("doc_id") % 97 == 3)
+                 .select("doc_id", "text").limit(5))
+    bench_rows = [(r["doc_id"], r["text"]) for r in bench.collect()]
+    grams = benchmark_gram_table(bench, "text", n=n)
+    got = {r["doc_id"]: (r["total_grams"], r["matched_grams"],
+                         round(r["contamination_ratio"], 9))
+           for r in contamination_report(docs, grams, n=n).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF_DIR_SMOKE}/documents.parquet'")
+    con.execute("CREATE TABLE bench (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO bench VALUES (?, ?)", bench_rows)
+    gram_expr = (
+        "list_transform(generate_series(1, greatest(len(tk) - {m}, 0)),"
+        " i -> array_to_string(tk[i : i + {m}], ' '))"
+    ).format(m=n - 1)
+    tok = ("list_filter(string_split(trim(regexp_replace(lower(text),"
+           " '[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')")
+    oracle = con.execute(f"""
+        WITH bg AS (
+          SELECT DISTINCT unnest({gram_expr}) AS g
+          FROM (SELECT {tok} AS tk FROM bench)),
+        cg AS (
+          SELECT doc_id, {gram_expr} AS grams
+          FROM (SELECT doc_id, {tok} AS tk FROM documents)),
+        m AS (
+          SELECT doc_id, count(DISTINCT g) AS matched
+          FROM (SELECT doc_id, unnest(grams) AS g FROM cg)
+          JOIN bg USING (g) GROUP BY doc_id)
+        SELECT cg.doc_id, len(grams) AS total,
+               coalesce(matched, 0) AS matched
+        FROM cg LEFT JOIN m USING (doc_id)
+    """).fetchall()
+    assert len(oracle) == len(got)
+    for doc_id, total, matched in oracle:
+        ratio = round(matched / total, 9) if total else 0.0
+        assert got[doc_id] == (total, matched, ratio), doc_id
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    """The benchmark side must broadcast — a corpus-side shuffle by
+    gram would be the 100 TB scale-killer."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_gram_table, contamination_report,
+    )
+    docs = spark.read.parquet(f"{SF_DIR_SMOKE}/documents.parquet")
+    bench = docs.limit(3).select("doc_id", "text")
+    rep = contamination_report(docs, benchmark_gram_table(bench))
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan        # fully native pipeline
