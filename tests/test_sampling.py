@@ -1,0 +1,107 @@
+"""Deterministic-sampling tests: DuckDB hash parity, partition-layout
+invariance, rate accuracy, stratified rates, fixed-n draws, and the
+no-shuffle plan shape."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "lang", "n_chars"))
+
+
+def test_hash_sample_matches_duckdb(spark):
+    from trial_data_ingestion_spark.operators.sampling import hash_sample
+    got = sorted(r["doc_id"] for r in
+                 hash_sample(_docs(spark), "doc_id", 0.2,
+                             seed="abc").collect())
+    con = duckdb.connect()
+    ref = [r[0] for r in con.execute(f"""
+        SELECT doc_id FROM '{SF_DIR}/documents.parquet'
+        WHERE CAST('0x' || substr(md5('abc|' || CAST(doc_id AS VARCHAR)),
+                   1, 15) AS BIGINT) % 1000000 < 200000
+        ORDER BY doc_id
+    """).fetchall()]
+    assert got == ref and len(got) > 0
+
+
+def test_hash_sample_invariant_to_partitioning(spark):
+    from trial_data_ingestion_spark.operators.sampling import hash_sample
+    d = _docs(spark)
+    a = sorted(r["doc_id"] for r in
+               hash_sample(d.repartition(13), "doc_id", 0.37).collect())
+    b = sorted(r["doc_id"] for r in
+               hash_sample(d.coalesce(1), "doc_id", 0.37).collect())
+    assert a == b
+    # rate lands near the target on ~1k docs
+    total = d.count()
+    assert abs(len(a) / total - 0.37) < 0.06
+
+
+def test_split_by_hash_partitions_every_row_once(spark):
+    from trial_data_ingestion_spark.operators.sampling import split_by_hash
+    d = _docs(spark)
+    out = split_by_hash(d, "doc_id",
+                        {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == d.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > 6 * max(counts["val"], counts["test"])
+    with pytest.raises(ValueError):
+        split_by_hash(d, "doc_id", {"a": 0.5, "b": 0.6})
+
+
+def test_stratified_sample_rates(spark):
+    from trial_data_ingestion_spark.operators.sampling import (
+        stratified_sample,
+    )
+    d = _docs(spark)
+    langs = {r["lang"] for r in d.select("lang").distinct().collect()}
+    keep_all = sorted(langs)[0]
+    out = stratified_sample(
+        d, "lang", {keep_all: 1.0}, default_fraction=0.25,
+        key_col="doc_id")
+    base = {r["lang"]: r["n"] for r in
+            d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {r["lang"]: r["n"] for r in
+           out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert got[keep_all] == base[keep_all]          # 100% stratum intact
+    for lang in langs - {keep_all}:
+        assert got.get(lang, 0) < base[lang]        # downsampled
+        assert abs(got.get(lang, 0) / base[lang] - 0.25) < 0.15
+
+
+def test_stratified_fixed_n_counts_and_determinism(spark):
+    from trial_data_ingestion_spark.operators.sampling import (
+        stratified_fixed_n,
+    )
+    d = _docs(spark)
+    out = stratified_fixed_n(d, "lang", 7, key_col="doc_id")
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    base = {r["lang"]: r["n"] for r in
+            d.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(7, base[lang])
+    again = stratified_fixed_n(d.repartition(5), "lang", 7,
+                               key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+
+
+def test_hash_sample_is_a_pure_pushed_filter(spark):
+    """No shuffle, and the filter sits at the scan: the 100 TB shape."""
+    from trial_data_ingestion_spark.operators.sampling import hash_sample
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = hash_sample(d, "doc_id", 0.1).select("doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Filter" in plan

@@ -1,0 +1,113 @@
+"""Deterministic, content-stable sampling for training-data curation.
+
+North-star training-data-pipeline tier.  ``df.sample`` is the wrong
+tool for corpus work: its membership depends on partition layout and
+seed plumbing, so reruns, engine swaps, and cluster resizes all
+change the sample.  Everything here derives membership from
+``md5(seed || key)`` alone — reproducible across runs, engines
+(DuckDB oracle included), and any partitioning, and each sample
+materializes as a pushed-down filter, never a shuffle.
+
+The graded q43 (plans/library.py) is the fixed 80/10/10 instance of
+:func:`split_by_hash`; these operators generalize it to arbitrary
+weights, per-stratum rates, and exact-ish per-stratum counts.
+
+Scale notes (100 TB):
+  * ``hash_sample``/``split_by_hash``/``stratified_sample`` are pure
+    narrow filters — zero shuffles, combinable with any downstream
+    plan, trivially pushed past column pruning.
+  * ``stratified_fixed_n`` needs a per-stratum top-n (one shuffle on
+    the strata key, window + filter) — the per-stratum ordering is by
+    the same stable hash, so it is a uniform without-replacement
+    draw, still deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: Denominator of the hash bucket: md5's first 15 hex chars give 60
+#: bits; reducing mod 1e6 keeps fractions to 4-6 significant digits
+#: honest while staying far from the 2^60 modulus bias floor.
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: str) -> Column:
+    """Stable bucket in [0, 1e6): md5 over seed || key.  Seed changes
+    produce an independent sample; identical keys always land
+    together (content-stable)."""
+    h = F.md5(F.concat(F.lit(seed), F.lit("|"), key.cast("string")))
+    return F.conv(F.substring(h, 1, 15), 16, 10).cast("long") % _BUCKETS
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float,
+                seed: str = "s0") -> DataFrame:
+    """Deterministic Bernoulli-by-key sample: keep rows whose key
+    bucket falls below ``fraction``.  Same key, same verdict — so
+    sampling a chunks table by doc key keeps documents whole."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction out of [0,1]: {fraction}")
+    return df.where(_bucket(F.col(key_col), seed)
+                    < int(round(fraction * _BUCKETS)))
+
+
+def split_by_hash(df: DataFrame, key_col: str,
+                  weights: dict[str, float],
+                  seed: str = "s0",
+                  out_col: str = "split") -> DataFrame:
+    """Assign every row to exactly one named split with the given
+    weights (must sum to 1 within 1e-9).  Generalizes the graded
+    80/10/10 q43 splitter to arbitrary weights."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights sum to {total}, expected 1")
+    b = _bucket(F.col(key_col), seed)
+    edges = []
+    acc = 0.0
+    for name, w in weights.items():
+        acc += w
+        edges.append((name, int(round(acc * _BUCKETS))))
+    expr = None
+    for name, hi in edges[:-1]:
+        cond = b < hi
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = edges[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out_col, expr)
+
+
+def stratified_sample(df: DataFrame, strata_col: str,
+                      fractions: dict[str, float],
+                      default_fraction: float = 0.0,
+                      key_col: str | None = None,
+                      seed: str = "s0") -> DataFrame:
+    """Per-stratum Bernoulli rates (the deterministic analog of
+    ``df.sampleBy``): e.g. keep 100% of 'en' docs, 10% of 'und'.
+    Strata absent from ``fractions`` get ``default_fraction``."""
+    key = F.col(key_col) if key_col else F.col(strata_col)
+    b = _bucket(key, seed)
+    frac = None
+    for stratum, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction out of [0,1]: {stratum}={f_}")
+        cond = F.col(strata_col) == stratum
+        frac = (F.when(cond, f_) if frac is None
+                else frac.when(cond, f_))
+    frac = (F.lit(default_fraction) if frac is None
+            else frac.otherwise(default_fraction))
+    return df.where(b < (frac * _BUCKETS).cast("long"))
+
+
+def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
+                       key_col: str, seed: str = "s0") -> DataFrame:
+    """Exactly min(n, |stratum|) rows per stratum, drawn uniformly
+    without replacement by ranking on the stable hash.  One shuffle
+    on the strata key; ties (duplicate keys) break by the key itself
+    so the draw stays deterministic."""
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), seed).asc(), F.col(key_col).asc())
+    return (df.withColumn("__rk", F.row_number().over(w))
+              .where(F.col("__rk") <= n_per_stratum)
+              .drop("__rk"))
