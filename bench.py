@@ -62,7 +62,64 @@ HEADLINE = [
     # added in round 2 (not in the r1 baseline):
     "q48_embedding_dups_blocked",   # SRP-blocked near-dup scale path
     "q50_sliding_window",           # 1h/15min sliding window agg
+    # round-4 training-data tier (bench-only: the graded corpus is
+    # capped at the driver's 50-query budget, so these live here)
+    "b01_hygiene_sweep",            # one-pass lang/quality/PII report
+    "b02_decontam_report",          # 8-gram benchmark-overlap sweep
+    "b03_bm25_index_and_query",     # postings build + 4-term search
+    "b04_pack_sequences",           # FFD packing of token chunks
 ]
+
+
+def _bench_extra():
+    """Bench-only callables for operators outside the graded corpus
+    (same (spark, sf_dir) -> DataFrame contract as plans.QUERIES)."""
+    from pyspark.sql import functions as F
+
+    def _docs(spark, sf_dir):
+        return (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+
+    def b01_hygiene_sweep(spark, sf_dir):
+        from trial_data_ingestion_spark.operators.textstats import (
+            hygiene_report,
+        )
+        return hygiene_report(_docs(spark, sf_dir))
+
+    def b02_decontam_report(spark, sf_dir):
+        from trial_data_ingestion_spark.operators.decontam import (
+            benchmark_gram_table, contamination_report,
+        )
+        docs = _docs(spark, sf_dir)
+        bench_set = docs.where(F.col("doc_id") % 97 == 3)
+        return contamination_report(docs,
+                                    benchmark_gram_table(bench_set))
+
+    def b03_bm25_index_and_query(spark, sf_dir):
+        from trial_data_ingestion_spark.operators.search import (
+            bm25_postings, bm25_search, bm25_stats,
+        )
+        post = bm25_postings(_docs(spark, sf_dir))
+        n_docs, avgdl = bm25_stats(post)
+        return bm25_search(post, ["hash", "join", "spill", "window"],
+                           n_docs, avgdl, k=20)
+
+    def b04_pack_sequences(spark, sf_dir):
+        from trial_data_ingestion_spark.operators.packing import (
+            pack_sequences, packing_stats,
+        )
+        from trial_data_ingestion_spark.operators.textstats import (
+            token_count,
+        )
+        chunks = _docs(spark, sf_dir).select(
+            F.col("doc_id").cast("string").alias("chunk_id"),
+            token_count(F.col("text")).alias("n_tokens"))
+        return packing_stats(pack_sequences(chunks, max_tokens=512),
+                             max_tokens=512)
+
+    return {f.__name__: f for f in
+            (b01_hygiene_sweep, b02_decontam_report,
+             b03_bm25_index_and_query, b04_pack_sequences)}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
@@ -115,8 +172,10 @@ def rebaseline() -> None:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from trial_data_ingestion_spark.plans import QUERIES
+    from trial_data_ingestion_spark.plans import QUERIES as _GRADED
     from trial_data_ingestion_spark.session import get_spark
+
+    QUERIES = {**_GRADED, **_bench_extra()}
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")

@@ -290,6 +290,38 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.trim(F.regexp_replace(text, r"\s+", " "))))
 
 
+def hygiene_report(df, id_col: str = "doc_id", text_col: str = "text",
+                   lid: str = "arrow"):
+    """One-pass training-data hygiene report: per document, language,
+    quality score, token/char counts, repetition signals, PII flags,
+    and the dedup fingerprint — every signal this module exposes, in
+    a SINGLE projection.
+
+    Scale shape: zero shuffles, zero joins; one scan computes all
+    signals (the language ID is the only non-codegen piece — the
+    Arrow kernel by default, ``lid='native'`` for a fully
+    plan-transparent run).  At 100 TB this is the canonical
+    first-pass sweep whose output feeds the sampling/dedup/decontam
+    operators."""
+    t = F.col(text_col)
+    lid_fn = (detect_language_ngram_arrow if lid == "arrow"
+              else detect_language_ngram)
+    return df.select(
+        F.col(id_col),
+        lid_fn(t).alias("lang"),
+        F.round(quality_score(t), 6).alias("quality"),
+        token_count(t).alias("n_tokens"),
+        subword_count(t).alias("n_subwords"),
+        char_count(t).alias("n_chars"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(repeated_line_ratio(t), 6).alias("repeated_line_ratio"),
+        F.round(top_ngram_ratio(t, 2), 6).alias("top_bigram_ratio"),
+        t.rlike(EMAIL_RE).alias("has_email"),
+        t.rlike(IPV4_RE).alias("has_ip"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scrubbing + repetition quality signals (training-data hygiene)
 # ---------------------------------------------------------------------------
