@@ -227,6 +227,25 @@ def test_connected_components_min_label_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_connected_components_regimes_agree(spark):
+    """The driver union-find (small-graph regime) and the distributed
+    min-label loop (forced via driver_threshold=0) must label
+    identically on a graph with chains, a larger component, and
+    isolated pairs."""
+    import random
+    rng = random.Random(11)
+    edges = [(1, 3), (2, 3), (10, 11), (4, 5), (5, 6), (6, 7)]
+    nodes = list(range(100, 140))
+    edges += [tuple(sorted(rng.sample(nodes, 2))) for _ in range(30)]
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    small = {(r["doc"], r["label"]) for r in
+             dedup.connected_components_min_label(pairs).collect()}
+    dist = {(r["doc"], r["label"]) for r in
+            dedup.connected_components_min_label(
+                pairs, driver_threshold=0).collect()}
+    assert small == dist and len(small) > 0
+
+
 def test_drop_non_representatives_transitive_chain(spark):
     # pairwise drop would keep {1, 2} (2 never appears as doc_b with a
     # smaller doc_a); cluster-correct keeps only the component min {1}

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -254,24 +255,39 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
 
 
 def connected_components_min_label(pairs: DataFrame,
-                                   max_iterations: int = 25) -> DataFrame:
+                                   max_iterations: int = 25,
+                                   driver_threshold: int = 500_000,
+                                   ) -> DataFrame:
     """(doc_a, doc_b) edge list -> (doc, label) where ``label`` is the
     minimum doc id of the node's connected component.
 
-    Iterative min-label propagation: each round every node takes the
-    least of its own label and its neighbors' labels — one keyed
-    shuffle per round, converging in O(component diameter) rounds
-    (near-dup clusters are shallow: typically 2-3).  Operates on the
-    EDGE ENDPOINTS only — isolated docs never enter the loop, so at
-    100 TB the iteration cost is bounded by the duplicate set, not the
-    corpus.  ``localCheckpoint`` truncates the growing lineage each
-    round (the standard iterative-algorithm discipline; without it
-    plan size doubles per iteration).
+    Two regimes, chosen by measured edge count:
 
-    Raises if the labels haven't converged after ``max_iterations``
-    (a component with diameter > 25 is not a near-dup cluster — it's
-    a data bug worth failing loudly on).
+    * **Small graph (<= ``driver_threshold`` edges)**: collect the
+      edge list and run union-find on the driver.  The duplicate-pair
+      graph is orders of magnitude smaller than the corpus (it holds
+      only verified near-dup PAIRS), so even a 100 TB sweep usually
+      lands here; one limit-collect replaces the per-iteration
+      shuffle+checkpoint+count jobs (~6-8 jobs saved, the dominant
+      cost of q19 at bench scale).  A 500k-edge list is ~8 MB on the
+      driver — the same budget class as a broadcast table.
+    * **Large graph**: iterative min-label propagation — each round
+      every node takes the least of its own label and its neighbors'
+      labels; one keyed shuffle per round, converging in O(component
+      diameter) rounds (near-dup clusters are shallow: typically
+      2-3).  Operates on the EDGE ENDPOINTS only, so iteration cost
+      is bounded by the duplicate set, not the corpus.
+      ``localCheckpoint`` truncates the growing lineage each round.
+
+    Both regimes produce identical labels (min id per component).
+    Raises if the distributed loop hasn't converged after
+    ``max_iterations`` (a component with diameter > 25 is not a
+    near-dup cluster — it's a data bug worth failing loudly on).
     """
+    head = (pairs.select("doc_a", "doc_b")
+            .limit(driver_threshold + 1).collect())
+    if len(head) <= driver_threshold:
+        return _cc_union_find_driver(pairs, head)
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .union(pairs.select(F.col("doc_b").alias("src"),
@@ -301,6 +317,41 @@ def connected_components_min_label(pairs: DataFrame,
     raise RuntimeError(
         f"connected_components_min_label: no convergence after "
         f"{max_iterations} iterations — pathological component")
+
+
+def _cc_union_find_driver(pairs: DataFrame, edges: list) -> DataFrame:
+    """Small-graph regime of :func:`connected_components_min_label`:
+    path-compressing union-find over a collected edge list, labels =
+    min member per component.  Output schema matches the distributed
+    regime: (doc, label), typed like ``doc_a``."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:          # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edges:
+        a, b = r["doc_a"], r["doc_b"]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    label: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = label.get(root)
+        if cur is None or node < cur:
+            label[root] = node
+    rows = [(node, label[find(node)]) for node in parent]
+    doc_type = pairs.schema["doc_a"].dataType
+    schema = T.StructType([T.StructField("doc", doc_type, False),
+                           T.StructField("label", doc_type, False)])
+    return pairs.sparkSession.createDataFrame(rows, schema)
 
 
 def drop_non_representatives(df: DataFrame, pairs: DataFrame,
