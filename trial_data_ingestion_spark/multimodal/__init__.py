@@ -98,7 +98,8 @@ def extract_features(df: DataFrame,
         raise NotImplementedError(
             "No media decoder selected; pass a decoder callable — "
             "codecs.image_decoder for real BMP/PNG payloads, "
-            "codecs.audio_decoder for real 16-bit PCM WAV (both "
+            "codecs.audio_decoder for real 16-bit PCM WAV, "
+            "codecs.video_decoder for real uncompressed AVI (all "
             "stdlib-only), multimodal.fake_decoder for deterministic "
             "tests.")
 
@@ -141,8 +142,9 @@ def resize_media(df: DataFrame, width: int, height: int,
             "No resizer selected; pass a resizer callable — "
             "codecs.image_resizer for real BMP/PNG payloads, "
             "codecs.audio_resampler for real WAV (width = target "
-            "sample rate; both stdlib-only), multimodal.fake_resizer "
-            "for deterministic tests.")
+            "sample rate), codecs.video_resizer for real uncompressed "
+            "AVI (all stdlib-only), multimodal.fake_resizer for "
+            "deterministic tests.")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,6 +157,43 @@ def resize_media(df: DataFrame, width: int, height: int,
             yield out
 
     return df.mapInPandas(run, MEDIA_SCHEMA)
+
+
+def frame_sample(df: DataFrame, every_ms: int = 1000,
+                 extractor: Optional[Callable] = None) -> DataFrame:
+    """REAL video frame sampling: decode each media payload, take one
+    frame per ``every_ms``, and emit (media_id, frame_ts_ms, media)
+    rows whose payload is the sampled frame re-encoded as a BMP image
+    — so :func:`extract_features`/:func:`resize_media` with the IMAGE
+    kernels compose directly downstream.
+
+    ``extractor(payload, every_ms) -> [(ts_ms, frame_bytes), ...]``
+    runs per row inside an Arrow batch; ``codecs.video_frame_extractor``
+    is the stdlib uncompressed-AVI implementation.  With no extractor
+    this raises ``NotImplementedError`` (compressed video needs
+    libraries absent here) — :func:`frame_sample_stub` remains the
+    metadata-only shape for those formats."""
+    if extractor is None:
+        raise NotImplementedError(
+            "No frame extractor selected; pass "
+            "codecs.video_frame_extractor for uncompressed AVI "
+            "payloads (stdlib-only), or use frame_sample_stub for "
+            "metadata-only timestamp plumbing.")
+
+    frame_schema = ("media_id string, frame_ts_ms long, media binary")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, payloads = [], [], []
+            for mid, m in zip(pdf["media_id"], pdf["media"]):
+                for t, frame in extractor(m, every_ms):
+                    ids.append(mid)
+                    ts.append(t)
+                    payloads.append(frame)
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": ts,
+                                "media": payloads})
+
+    return df.select("media_id", "media").mapInPandas(run, frame_schema)
 
 
 def frame_sample_stub(df: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -12,16 +12,21 @@ stdlib can handle bit-exactly:
   Average/Paeth) from the PNG spec, un-applied row by row.
 * WAV: 16-bit PCM via stdlib ``wave`` (bit-exact int16 decode),
   features via ``numpy.fft``.
+* AVI: uncompressed 24-bit BI_RGB 'vids' streams — RIFF chunk walk +
+  the same BGR/bottom-up/4-byte-padded frame layout as BMP; frame
+  sampling re-encodes sampled frames as BMP so the image kernels
+  compose downstream of video.
 
 ``image_decoder`` / ``image_resizer`` / ``audio_decoder`` /
-``audio_resampler`` match the kernel signatures in
+``audio_resampler`` / ``video_decoder`` / ``video_resizer`` /
+``video_frame_extractor`` match the kernel signatures in
 :mod:`trial_data_ingestion_spark.multimodal` (``payload -> features``
 and ``payload, w, h -> payload``), so
-``extract_features(df, decoder=image_decoder)`` (or
-``decoder=audio_decoder``) runs a REAL bytes -> samples -> features
-path with zero third-party dependencies — formats that genuinely need
-external libs (JPEG, video) still raise ``NotImplementedError`` and
-remain env-gated.
+``extract_features(df, decoder=video_decoder)`` (etc.) runs a REAL
+bytes -> samples -> features path with zero third-party dependencies
+— formats that genuinely need external libs (JPEG, H.264/VP9/any
+compressed video) still raise ``NotImplementedError`` and remain
+env-gated.
 
 No reference counterpart (the reference has no media handling) —
 north-star component per BASELINE.json.
@@ -245,6 +250,102 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 # ---------------------------------------------------------------------------
+# AVI (uncompressed 24-bit BI_RGB 'DIB ' video)
+# ---------------------------------------------------------------------------
+
+def encode_avi(frames: np.ndarray, fps: int = 10) -> bytes:
+    """(n, H, W, 3) uint8 RGB frames -> uncompressed AVI bytes
+    (RIFF/AVI, one 'vids' stream, BI_RGB DIB frames stored exactly
+    like BMP pixel data: BGR, bottom-up, 4-byte row padding)."""
+    f = np.asarray(frames, dtype=np.uint8)
+    if f.ndim != 4 or f.shape[-1] != 3:
+        raise ValueError(f"expected (n, H, W, 3) frames, got {f.shape}")
+    n, h, w, _ = f.shape
+    row_size = (w * 3 + 3) & ~3
+    frame_size = row_size * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        bgr = frame[::-1, :, ::-1]                   # bottom-up, BGR
+        rows = np.zeros((h, row_size), dtype=np.uint8)
+        rows[:, :w * 3] = bgr.reshape(h, w * 3)
+        return rows.tobytes()
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack("<10I", 1_000_000 // fps, frame_size * fps, 0,
+                       0x10, n, 0, 1, frame_size, w, h) + b"\x00" * 16
+    strh = (b"vids" + b"DIB " + struct.pack("<IHHIIIIIII", 0, 0, 0, 0,
+                                            1, fps, 0, n, frame_size, 0)
+            + struct.pack("<I", 0) + struct.pack("<4H", 0, 0, w, h))
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                       frame_size, 2835, 2835, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(fr)) for fr in f))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
+    """Uncompressed AVI bytes -> ((n, H, W, 3) uint8 RGB frames, fps).
+    Only BI_RGB 24-bit 'vids' streams decode; compressed codecs need
+    libraries absent here and stay env-gated."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not an AVI payload")
+    buf = bytes(payload)
+
+    def walk(start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            tag = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_at = pos + 8
+            yield tag, body_at, size
+            pos = body_at + size + (size & 1)
+
+    width = height = nsay = 0
+    usec_per_frame = 100_000
+    frames: list = []
+    bitcount = compression = None
+
+    def scan(start: int, end: int) -> None:
+        nonlocal width, height, usec_per_frame, bitcount, compression
+        for tag, at, size in walk(start, end):
+            if tag == b"LIST":
+                scan(at + 4, at + size)
+            elif tag == b"avih":
+                usec_per_frame, = struct.unpack_from("<I", buf, at)
+                width, height = struct.unpack_from("<II", buf, at + 32)
+            elif tag == b"strf" and bitcount is None:
+                _, bw, bh, _, bitcount, compression = struct.unpack_from(
+                    "<IiiHHI", buf, at)
+            elif tag in (b"00db", b"00dc"):
+                frames.append((at, size))
+
+    scan(12, len(buf))
+    if bitcount != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24-bit BI_RGB AVI supported "
+            f"(bitcount={bitcount}, compression={compression})")
+    row_size = (width * 3 + 3) & ~3
+    out = np.zeros((len(frames), height, width, 3), dtype=np.uint8)
+    for i, (at, size) in enumerate(frames):
+        if size < row_size * height:
+            raise ValueError(f"frame {i} truncated")
+        rows = np.frombuffer(buf, dtype=np.uint8, count=row_size * height,
+                             offset=at).reshape(height, row_size)
+        bgr = rows[:, :width * 3].reshape(height, width, 3)
+        out[i] = bgr[::-1, :, ::-1]                  # top-down, RGB
+    fps = max(1, round(1_000_000 / max(1, usec_per_frame)))
+    return out, fps
+
+
+# ---------------------------------------------------------------------------
 # Kernel-signature adapters
 # ---------------------------------------------------------------------------
 
@@ -259,8 +360,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     raise NotImplementedError(
         "unsupported image format (stdlib codecs handle BMP and PNG "
-        "images and 16-bit PCM WAV audio via audio_decoder; JPEG and "
-        "video need libraries absent in this environment)")
+        "images, 16-bit PCM WAV audio via audio_decoder, and "
+        "uncompressed AVI video via video_decoder; JPEG and "
+        "compressed video codecs need libraries absent in this "
+        "environment)")
 
 
 def image_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
@@ -304,6 +407,54 @@ def audio_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
         if total > 0:
             bands /= total
     return np.concatenate([[rms], bands]).astype(np.float32)
+
+
+def video_decoder(payload: bytes, dim: int = 16) -> np.ndarray:
+    """REAL video decode+featurize with the :func:`fake_decoder`
+    signature: AVI bytes -> frames -> [motion, band_1..band_{dim-1}]
+    where motion is the mean absolute inter-frame luminance delta
+    (0..1) and the bands are the normalized luminance histogram over
+    all frames — a deterministic spatiotemporal envelope mirroring
+    :func:`audio_decoder`'s [rms, spectrum] shape."""
+    frames, _fps = decode_avi(payload)
+    gray = frames.astype(np.float32).mean(axis=-1)        # (n, H, W)
+    if gray.shape[0] >= 2:
+        motion = float(np.abs(np.diff(gray, axis=0)).mean() / 255.0)
+    else:
+        motion = 0.0
+    hist, _ = np.histogram(gray, bins=dim - 1, range=(0.0, 256.0))
+    total = hist.sum()
+    bands = (hist / total if total else hist).astype(np.float32)
+    return np.concatenate([[motion], bands]).astype(np.float32)
+
+
+def video_resizer(payload: bytes, width: int, height: int) -> bytes:
+    """REAL spatial resize behind the resize kernel: nearest-neighbor
+    resample of every frame, re-encoded as uncompressed AVI at the
+    source frame rate."""
+    frames, fps = decode_avi(payload)
+    n, h, w, _ = frames.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return encode_avi(frames[:, rows][:, :, cols], fps=fps)
+
+
+def video_frame_extractor(payload: bytes,
+                          every_ms: int = 1000) -> list:
+    """Sample frames every ``every_ms`` -> [(ts_ms, bmp_bytes), ...].
+    Each sampled frame re-encodes as BMP so the IMAGE kernels
+    (:func:`image_decoder` / :func:`image_resizer`) compose directly
+    downstream of video frame sampling."""
+    frames, fps = decode_avi(payload)
+    step_ms = 1000.0 / fps
+    out = []
+    next_ts = 0.0
+    for i in range(frames.shape[0]):
+        ts = i * step_ms
+        if ts + 1e-9 >= next_ts:
+            out.append((int(round(ts)), encode_bmp(frames[i])))
+            next_ts += every_ms
+    return out
 
 
 def audio_resampler(payload: bytes, width: int, height: int) -> bytes:
