@@ -221,3 +221,115 @@ def chunk_by_tokens(df: DataFrame, text_col: str, id_col: str,
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     return df.select(id_col, text_col).mapInPandas(run, schema)
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC)
+# ---------------------------------------------------------------------------
+
+# 256-entry gear table derived from md5 so the hash — and therefore
+# every chunk boundary — is stable across runs, engines, and machines.
+_GEAR = None
+
+
+def _gear_table() -> List[int]:
+    global _GEAR
+    if _GEAR is None:
+        import hashlib
+        _GEAR = [int.from_bytes(
+            hashlib.md5(b"cdc-gear-%d" % b).digest()[:8], "big")
+            for b in range(256)]
+    return _GEAR
+
+
+def split_content_defined(text: str, target_size: int = 512,
+                          min_size: int | None = None,
+                          max_size: int | None = None) -> List[str]:
+    """Gear-hash content-defined splitting (FastCDC-style, public
+    algorithm family): a rolling hash over the UTF-8 bytes declares a
+    boundary where ``hash % target_size == target_size - 1``, with
+    min/max clamps.  Unlike fixed windows (C1/C3), boundaries depend
+    only on LOCAL content — inserting text early in a document leaves
+    every later chunk identical, which is what makes chunk-level
+    exact/near dedup robust to edits.
+
+    The min-size clamp is applied by skipping the hash check for the
+    first ``min_size`` bytes of each chunk (the standard CDC trick:
+    it also re-synchronizes boundaries after an edit); ``max_size``
+    forces a cut.  Splits are byte-positioned but snapped back to
+    UTF-8 character starts so multi-byte text never tears."""
+    if not text:
+        return []
+    min_size = max(1, min_size if min_size is not None
+                   else target_size // 4)
+    max_size = max_size if max_size is not None else target_size * 4
+    if max_size < min_size:
+        raise ValueError(f"max_size {max_size} < min_size {min_size}")
+    gear = _gear_table()
+    data = text.encode("utf-8")
+    n = len(data)
+    mask = None  # modulus form keeps the cut probability exactly 1/target
+    cuts = []
+    start = 0
+    while start < n:
+        h = 0
+        end = min(n, start + max_size)
+        pos = start + min_size
+        cut = end
+        i = start
+        while i < end:
+            h = ((h << 1) + gear[data[i]]) & 0xFFFFFFFFFFFFFFFF
+            if i >= pos and h % target_size == target_size - 1:
+                cut = i + 1
+                break
+            i += 1
+        # snap forward to a UTF-8 character boundary (continuation
+        # bytes are 0b10xxxxxx)
+        while cut < n and (data[cut] & 0xC0) == 0x80:
+            cut += 1
+        cuts.append(cut)
+        start = cut
+    out = []
+    prev = 0
+    for c in cuts:
+        out.append(data[prev:c].decode("utf-8"))
+        prev = c
+    return out
+
+
+def chunk_content_defined(df: DataFrame, text_col: str, id_col: str,
+                          target_size: int = 512,
+                          min_size: int | None = None,
+                          max_size: int | None = None) -> DataFrame:
+    """CDC chunking over a corpus via ``mapInPandas`` (same Arrow
+    tier as C4).  Emits (doc_id, chunk_id, chunk_index, text,
+    n_chars); ``chunk_id`` is content-addressed (md5 of the chunk
+    text) so identical chunks collide across documents — feed it
+    straight into exact dedup for edit-resistant chunk-level
+    dedup.
+
+    Scale: embarrassingly parallel, no shuffle; the rolling hash is
+    O(bytes) per doc with no backtracking."""
+    import hashlib
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk_id", T.StringType()),
+        T.StructField("chunk_index", T.IntegerType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("n_chars", T.IntegerType()),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = "" if did is None else str(did)
+                for i, ch in enumerate(split_content_defined(
+                        text or "", target_size, min_size, max_size)):
+                    cid = hashlib.md5(ch.encode("utf-8")).hexdigest()
+                    rows.append((did, cid, i, ch, len(ch)))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in schema.fields])
+
+    return df.select(id_col, text_col).mapInPandas(run, schema)
