@@ -1,0 +1,64 @@
+"""End-to-end curation pipeline: gates drop the planted junk, dedup
+keeps one copy per fingerprint, decontamination removes the planted
+benchmark copy, splits partition the survivors, and the whole chain
+is deterministic."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+
+def _rows():
+    rng = random.Random(21)
+    words = ["the", "training", "corpus", "holds", "varied", "useful",
+             "prose", "about", "data", "systems", "and", "careful",
+             "measurement", "of", "quality", "signals"]
+    rows = []
+    for i in range(60):   # good docs
+        rows.append((i, " ".join(rng.choice(words)
+                                 for _ in range(rng.randrange(60, 140)))))
+    rows.append((100, "too short"))                       # min_tokens gate
+    line = "nav bar item repeated forever"
+    rows.append((101, "\n".join([line] * 30)))            # repetition gate
+    rows.append((102, rows[0][1]))                        # exact duplicate
+    rows.append((103, "zz qq xx " * 30))                  # lang gate -> und
+    return rows
+
+
+def test_curate_end_to_end(spark):
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, rows[5][1])],
+                                  "doc_id long, text string")
+    out = curate(docs, benchmark=bench,
+                 config=CurationConfig(lid="native"))
+    got = out.collect()
+    ids = sorted(r["doc_id"] for r in got)
+    # junk gone
+    assert not {100, 101, 103} & set(ids)
+    # duplicate family (0, 102): exactly one survivor, the min id —
+    # and doc 5 (the planted benchmark item) decontaminated away
+    assert 0 in ids and 102 not in ids and 5 not in ids
+    # 60 good docs, minus the decontaminated benchmark copy (doc 5);
+    # the duplicate pair (0, 102) contributes its min id only
+    assert len(ids) == 59
+    # every survivor has lang/quality/split attached
+    for r in got:
+        assert r["lang"] == "en"
+        assert r["split"] in {"train", "val", "test"}
+        assert r["quality"] >= 0.3
+    # splits are a partition with dominant train share
+    counts = {s: 0 for s in ("train", "val", "test")}
+    for r in got:
+        counts[r["split"]] += 1
+    assert counts["train"] > counts["val"] + counts["test"]
+    # determinism end to end
+    again = sorted(r["doc_id"] for r in
+                   curate(docs, benchmark=bench,
+                          config=CurationConfig(lid="native")).collect())
+    assert again == ids

@@ -1,0 +1,71 @@
+"""End-to-end corpus curation: the training-data pipeline the
+operator tier exists for, composed as one DAG.
+
+    documents
+      -> hygiene_report          (one-pass signals, no shuffle)
+      -> language/quality gates  (pushed-down filters)
+      -> exact dedup             (fingerprint keep-first, one shuffle)
+      -> decontamination         (broadcast benchmark grams)
+      -> train/val/test split    (content-stable hash, no shuffle)
+      -> sequence packing        (per-split FFD shards)   [optional]
+      -> training-shard export   (deterministic shuffle)  [optional]
+
+Everything is driven by the already-tested operators; this module
+only wires them, so its own surface is thin and the composition
+itself is what the test checks (counts conserve, gates monotone,
+stages idempotent).  At 100 TB the plan is: one narrow sweep, one
+dedup shuffle, one broadcast join, one anti-join, then pure filters
+— the minimum wide work the semantics allow.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators.decontam import decontaminate
+from trial_data_ingestion_spark.operators.dedup import dedup_exact
+from trial_data_ingestion_spark.operators.sampling import split_by_hash
+from trial_data_ingestion_spark.operators.textstats import hygiene_report
+
+
+@dataclass
+class CurationConfig:
+    id_col: str = "doc_id"
+    text_col: str = "text"
+    languages: tuple = ("en", "es", "fr", "de", "it", "pt")
+    min_quality: float = 0.3
+    max_repeated_line_ratio: float = 0.5
+    min_tokens: int = 8
+    split_weights: dict = field(default_factory=lambda: {
+        "train": 0.9, "val": 0.05, "test": 0.05})
+    split_seed: str = "s0"
+    decontam_ngram: int = 8
+    lid: str = "arrow"
+
+
+def curate(docs: DataFrame, benchmark: DataFrame | None = None,
+           config: CurationConfig | None = None) -> DataFrame:
+    """Curated corpus: input rows that survive hygiene gates, exact
+    dedup, and decontamination — with ``lang``, ``quality``, and
+    ``split`` attached.  Returns a DataFrame; callers export with
+    ``sinks.training_export.write_training_shards`` per split."""
+    cfg = config or CurationConfig()
+    rep = hygiene_report(docs, id_col=cfg.id_col,
+                         text_col=cfg.text_col, lid=cfg.lid)
+    kept_ids = rep.where(
+        F.col("lang").isin(*cfg.languages)
+        & (F.col("quality") >= cfg.min_quality)
+        & (F.col("repeated_line_ratio") <= cfg.max_repeated_line_ratio)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+    ).select(cfg.id_col, "lang", "quality", "fingerprint")
+    gated = docs.join(kept_ids, cfg.id_col)
+    deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
+    if benchmark is not None:
+        deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
+                                text_col=cfg.text_col,
+                                n=cfg.decontam_ngram)
+    return split_by_hash(deduped, cfg.id_col, cfg.split_weights,
+                         seed=cfg.split_seed)
