@@ -117,9 +117,16 @@ def _bench_extra():
         return packing_stats(pack_sequences(chunks, max_tokens=512),
                              max_tokens=512)
 
-    return {f.__name__: f for f in
-            (b01_hygiene_sweep, b02_decontam_report,
-             b03_bm25_index_and_query, b04_pack_sequences)}
+    # retired from the graded corpus in round 5 (subsumed by q22/q33)
+    # but kept in the bench series so its timing history continues
+    from trial_data_ingestion_spark.plans.library import (
+        q12_running_window,
+    )
+
+    return {**{f.__name__: f for f in
+               (b01_hygiene_sweep, b02_decontam_report,
+                b03_bm25_index_and_query, b04_pack_sequences)},
+            "q12_running_window": q12_running_window}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0

@@ -61,6 +61,22 @@ def test_cdc_multibyte_never_tears():
     assert "".join(chunks) == t          # every chunk decoded cleanly
 
 
+def test_cdc_forced_cut_never_exceeds_max_size():
+    """A max_size-forced cut snaps BACKWARD to the previous character
+    start, so the documented clamp holds even when the byte limit
+    lands mid-character (4-byte emoji stream never fires the hash for
+    small max_size)."""
+    from trial_data_ingestion_spark.operators.chunking import (
+        split_content_defined,
+    )
+    t = "\U0001F600" * 500                # 2000 bytes of 4-byte chars
+    for max_size in (9, 10, 11, 33):      # deliberately non-multiples
+        chunks = split_content_defined(t, target_size=8,
+                                       min_size=1, max_size=max_size)
+        assert "".join(chunks) == t
+        assert all(len(c.encode("utf-8")) <= max_size for c in chunks)
+
+
 def test_cdc_repetitive_text_hits_max_size():
     """Pathologically periodic text may never fire the hash; the
     max-size clamp must bound chunks instead of spinning."""

@@ -10,18 +10,21 @@ from tests.oracle_harness import compare, run_oracle
 
 
 def _pairs():
-    from trial_data_ingestion_spark.plans import ORACLE, QUERIES
-    return sorted(ORACLE), QUERIES
+    # ALL includes the queries retired from the driver's 50-slot
+    # grading budget (q03/q12/q13/q23, round 5) — retirement removes
+    # their driver rows, not their correctness obligation.
+    from trial_data_ingestion_spark.plans import ALL_ORACLE
+    return sorted(ALL_ORACLE)
 
 
-ORACLE_NAMES = _pairs()[0]
+ORACLE_NAMES = _pairs()
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)
 def test_oracle_parity(spark, name):
-    from trial_data_ingestion_spark.plans import ORACLE, QUERIES
-    sdf = QUERIES[name](spark, SF_DIR_ORACLE)
-    odf = run_oracle(ORACLE[name], SF_DIR_ORACLE)
+    from trial_data_ingestion_spark.plans import ALL_ORACLE, ALL_QUERIES
+    sdf = ALL_QUERIES[name](spark, SF_DIR_ORACLE)
+    odf = run_oracle(ALL_ORACLE[name], SF_DIR_ORACLE)
     problems = compare(sdf, odf)
     assert not problems, f"{name}: " + "; ".join(problems)
 
@@ -98,9 +101,9 @@ SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 @pytest.mark.parametrize("name", WINDOW_QUERIES)
 def test_window_query_parity_at_bench_scale(spark, name):
-    from trial_data_ingestion_spark.plans import ORACLE, QUERIES
-    sdf = QUERIES[name](spark, SF_DIR_BENCH)
-    odf = run_oracle(ORACLE[name], SF_DIR_BENCH)
+    from trial_data_ingestion_spark.plans import ALL_ORACLE, ALL_QUERIES
+    sdf = ALL_QUERIES[name](spark, SF_DIR_BENCH)
+    odf = run_oracle(ALL_ORACLE[name], SF_DIR_BENCH)
     problems = compare(sdf, odf)
     assert not problems, f"{name}@sf0.1: " + "; ".join(problems)
 

@@ -79,6 +79,40 @@ def test_stratified_sample_rates(spark):
         assert abs(got.get(lang, 0) / base[lang] - 0.25) < 0.15
 
 
+def test_stratified_sample_requires_distinct_row_key(spark):
+    """key_col is mandatory and must not be the strata column: hashing
+    the stratum value gives every row in it the same bucket, turning a
+    0.25 rate into an all-or-nothing stratum keep."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        stratified_sample,
+    )
+    d = _docs(spark)
+    with pytest.raises(TypeError):
+        stratified_sample(d, "lang", {"en": 0.5})          # no key_col
+    with pytest.raises(ValueError):
+        stratified_sample(d, "lang", {"en": 0.5}, key_col="")
+    with pytest.raises(ValueError):
+        stratified_sample(d, "lang", {"en": 0.5}, key_col="lang")
+
+
+def test_sampling_operators_agree_on_bucket_edges(spark):
+    """The same nominal fraction must admit the same bucket set in
+    hash_sample and stratified_sample (0.3 * 1e6 = 299999.999... in
+    doubles: truncation vs rounding differ at bucket 299999)."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        hash_sample,
+        stratified_sample,
+    )
+    d = _docs(spark)
+    via_hash = sorted(r["doc_id"] for r in
+                      hash_sample(d, "doc_id", 0.3).collect())
+    langs = [r["lang"] for r in d.select("lang").distinct().collect()]
+    via_strat = sorted(r["doc_id"] for r in stratified_sample(
+        d, "lang", {lg: 0.3 for lg in langs}, key_col="doc_id")
+        .collect())
+    assert via_hash == via_strat
+
+
 def test_stratified_fixed_n_counts_and_determinism(spark):
     from trial_data_ingestion_spark.operators.sampling import (
         stratified_fixed_n,

@@ -80,7 +80,7 @@ def test_session_windows(spark, event_dir, tmp_path):
     total = sum(r["n_events"] for r in rows)
     assert total == spark.read.parquet(event_dir).count()
     # the streaming session count matches the batch sessionization (q22)
-    from trial_data_ingestion_spark.plans import QUERIES
+    from trial_data_ingestion_spark.plans import ALL_QUERIES as QUERIES
     batch_sessions = QUERIES["q22_sessionize"](
         spark, "/root/testdata/sf0.001").count()
     assert len(rows) == batch_sessions
@@ -210,7 +210,7 @@ def test_streaming_twins_match_graded_queries(spark, event_dir_graded,
     graded queries' floor-rounding can flip on the last ulp when the
     stream's partial-aggregation order differs from the batch plan's
     (documented in q13's docstring); counts and keys are exact."""
-    from trial_data_ingestion_spark.plans import QUERIES
+    from trial_data_ingestion_spark.plans import ALL_QUERIES as QUERIES
     from trial_data_ingestion_spark.streaming.events import (
         read_event_stream, session_counts, sliding_counts,
         tumbling_counts,

@@ -268,7 +268,6 @@ def split_content_defined(text: str, target_size: int = 512,
     gear = _gear_table()
     data = text.encode("utf-8")
     n = len(data)
-    mask = None  # modulus form keeps the cut probability exactly 1/target
     cuts = []
     start = 0
     while start < n:
@@ -283,10 +282,19 @@ def split_content_defined(text: str, target_size: int = 512,
                 cut = i + 1
                 break
             i += 1
-        # snap forward to a UTF-8 character boundary (continuation
-        # bytes are 0b10xxxxxx)
-        while cut < n and (data[cut] & 0xC0) == 0x80:
-            cut += 1
+        # snap to a UTF-8 character boundary (continuation bytes are
+        # 0b10xxxxxx) — BACKWARD, so a max_size-forced cut never
+        # overshoots the documented clamp; fall forward only in the
+        # degenerate case where backing up would empty the chunk
+        if cut < n and (data[cut] & 0xC0) == 0x80:
+            back = cut
+            while back > start and (data[back] & 0xC0) == 0x80:
+                back -= 1
+            if back > start:
+                cut = back
+            else:
+                while cut < n and (data[cut] & 0xC0) == 0x80:
+                    cut += 1
         cuts.append(cut)
         start = cut
     out = []

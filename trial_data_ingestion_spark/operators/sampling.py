@@ -80,14 +80,28 @@ def split_by_hash(df: DataFrame, key_col: str,
 
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float],
+                      key_col: str,
                       default_fraction: float = 0.0,
-                      key_col: str | None = None,
                       seed: str = "s0") -> DataFrame:
     """Per-stratum Bernoulli rates (the deterministic analog of
     ``df.sampleBy``): e.g. keep 100% of 'en' docs, 10% of 'und'.
-    Strata absent from ``fractions`` get ``default_fraction``."""
-    key = F.col(key_col) if key_col else F.col(strata_col)
-    b = _bucket(key, seed)
+    Strata absent from ``fractions`` get ``default_fraction``.
+
+    ``key_col`` is REQUIRED and must be a per-row key (doc id): the
+    bucket is hashed from it, so hashing the strata column itself
+    would give every row in a stratum the same bucket — an
+    all-or-nothing stratum keep, not a per-row Bernoulli."""
+    if not key_col:
+        raise ValueError(
+            "stratified_sample: key_col is required — hashing the "
+            "strata column would keep or drop whole strata, not "
+            "sample rows within them")
+    if key_col == strata_col:
+        raise ValueError(
+            "stratified_sample: key_col must differ from strata_col "
+            "(same-column hashing makes the draw all-or-nothing per "
+            "stratum)")
+    b = _bucket(F.col(key_col), seed)
     frac = None
     for stratum, f_ in fractions.items():
         if not 0.0 <= f_ <= 1.0:
@@ -97,7 +111,10 @@ def stratified_sample(df: DataFrame, strata_col: str,
                 else frac.when(cond, f_))
     frac = (F.lit(default_fraction) if frac is None
             else frac.otherwise(default_fraction))
-    return df.where(b < (frac * _BUCKETS).cast("long"))
+    # round, don't truncate: 0.3 * 1e6 is 299999.999... in doubles,
+    # and hash_sample/split_by_hash round — identical fractions must
+    # select identical bucket sets across all three operators
+    return df.where(b < F.round(frac * _BUCKETS).cast("long"))
 
 
 def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,

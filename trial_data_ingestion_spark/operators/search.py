@@ -26,6 +26,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import hashlib
+import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -112,8 +113,17 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10,
     partitioned by ``term_bucket``, and call ``bm25_search``."""
     post = bm25_postings(docs, id_col, text_col)
     n_docs, avgdl = bm25_stats(post)
-    terms = [t for t in query.lower().split() if t]
-    return bm25_search(post, terms, n_docs, avgdl, k=k, k1=k1, b=b)
+    return bm25_search(post, tokenize_query(query), n_docs, avgdl,
+                       k=k, k1=k1, b=b)
+
+
+def tokenize_query(query: str) -> list[str]:
+    """Driver-side twin of ``_norm_tokens``: lowercase, strip
+    punctuation to spaces, split.  Query terms MUST share the index's
+    tokenization or punctuated queries ('hash, join!') silently match
+    nothing."""
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", query.lower()).split()
+            if t]
 
 
 def _bucket_of(term: str, num_term_buckets: int) -> int:

@@ -61,7 +61,12 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         & (F.col("repeated_line_ratio") <= cfg.max_repeated_line_ratio)
         & (F.col("n_tokens") >= cfg.min_tokens)
     ).select(cfg.id_col, "lang", "quality", "fingerprint")
-    gated = docs.join(kept_ids, cfg.id_col)
+    # the attached signal columns win over same-named input columns
+    # (documents.parquet itself carries a `lang`): drop the input's
+    # copies so the join can't produce ambiguous duplicate names
+    clash = [c for c in ("lang", "quality", "fingerprint")
+             if c in docs.columns]
+    gated = docs.drop(*clash).join(kept_ids, cfg.id_col)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     if benchmark is not None:
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,

@@ -1,5 +1,6 @@
 """Query library backing ``__spark_entry__.py``."""
 
 from trial_data_ingestion_spark.plans.library import (  # noqa: F401
-    QUERIES, ORACLE, flagship,
+    ALL_ORACLE, ALL_QUERIES, ORACLE, QUERIES, RETIRED_ORACLE,
+    RETIRED_QUERIES, flagship,
 )

@@ -34,12 +34,31 @@ from trial_data_ingestion_spark.operators.similarity import topk_bruteforce
 QUERIES: dict = {}
 ORACLE: dict = {}
 
+#: Queries rotated out of the driver's 50-slot grading budget (their
+#: operator shapes are subsumed by a surviving graded query — see each
+#: docstring) but kept runnable and pytest-oracle-verified: the budget
+#: caps what the DRIVER grades, not what the engine supports.
+RETIRED_QUERIES: dict = {}
+RETIRED_ORACLE: dict = {}
+
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _retire(name: str, oracle: str | None = None):
+    """Like ``_register`` but into the retired registries: still a
+    named query with a DuckDB oracle (tests/test_oracle_parity.py runs
+    ALL_ORACLE), just not one of the 50 driver-graded slots."""
+    def deco(fn):
+        RETIRED_QUERIES[name] = fn
+        if oracle is not None:
+            RETIRED_ORACLE[name] = oracle
         return fn
     return deco
 
@@ -127,7 +146,7 @@ def q02_revenue_by_segment(spark, sf_dir):
     )
 
 
-@_register("q03_region_rollup", """
+@_retire("q03_region_rollup", """
 SELECT r_name, n_name,
        count(*)                  AS n_customers,
        round(sum(c_acctbal), 2)  AS total_acctbal
@@ -298,7 +317,7 @@ def q11_json_props(spark, sf_dir):
                    F.count(F.lit(1)).alias("n")))
 
 
-@_register("q12_running_window", """
+@_retire("q12_running_window", """
 SELECT event_id, user_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
@@ -319,7 +338,7 @@ def q12_running_window(spark, sf_dir):
          .alias("prev_value"))
 
 
-@_register("q13_hourly_events", """
+@_retire("q13_hourly_events", """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
        count(*) AS n_events,
        floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value
@@ -416,7 +435,7 @@ def q22_sessionize(spark, sf_dir):
                    F.round(F.sum("value"), 2).alias("session_value")))
 
 
-@_register("q23_asof_last_purchase", """
+@_retire("q23_asof_last_purchase", """
 SELECT event_id, user_id,
        round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END
                                  IGNORE NULLS)
@@ -1591,6 +1610,192 @@ def q21_text_analysis(spark, sf_dir):
         F.round(textstats.stopword_ratio(F.col("text"), "en"), 6)
          .alias("stopword_ratio_en"),
         textstats.detect_language(F.col("text")).alias("lang_pred"))
+
+
+# ===========================================================================
+# Training-data tier (round 5): decontamination, BM25 retrieval,
+# deterministic sampling, packing invariants.  These took over four
+# graded slots whose operator shapes are subsumed by surviving
+# queries (q03->q34 grouping sets, q12->q22/q33 windows, q13->q50
+# sliding windows, q23->q38 as-of join); the retired four stay
+# pytest-oracle-verified via RETIRED_QUERIES.
+# ===========================================================================
+
+#: DuckDB twin of operators.decontam._norm_tokens
+_DK_TOK = ("list_filter(string_split(trim(regexp_replace(lower(text), "
+           "'[^a-z0-9]+', ' ', 'g')), ' '), x -> x <> '')")
+#: DuckDB twin of operators.decontam.token_ngrams(n=8): slice bounds
+#: are 1-based inclusive, so tk[i : i+7] is 8 tokens
+_DK_GRAMS = ("list_transform(generate_series(1, greatest(len(tk) - 7, 0)),"
+             " i -> array_to_string(tk[i : i + 7], ' '))")
+
+
+@_register("q52_contamination_report", f"""
+WITH btok AS (
+  SELECT {_DK_TOK} AS tk FROM documents WHERE doc_id % 97 = 3),
+bg AS (
+  SELECT DISTINCT unnest({_DK_GRAMS}) AS g FROM btok),
+cg AS (
+  SELECT doc_id, {_DK_GRAMS} AS grams
+  FROM (SELECT doc_id, {_DK_TOK} AS tk FROM documents)),
+m AS (
+  SELECT doc_id, count(DISTINCT g) AS mg
+  FROM (SELECT doc_id, unnest(grams) AS g FROM cg)
+  JOIN bg USING (g)
+  GROUP BY doc_id)
+SELECT cg.doc_id,
+       CAST(len(grams) AS BIGINT)        AS total_grams,
+       CAST(coalesce(mg, 0) AS BIGINT)   AS matched_grams,
+       floor((CASE WHEN len(grams) > 0
+              THEN coalesce(mg, 0) / len(grams) ELSE 0.0 END)
+             * 1000000 + 0.5) / 1000000  AS contamination_ratio,
+       coalesce(mg, 0) >= 1              AS is_contaminated
+FROM cg LEFT JOIN m USING (doc_id)
+""")
+def q52_contamination_report(spark, sf_dir):
+    """GPT-3-appendix-C-style benchmark decontamination, driver-graded:
+    benchmark = every ~97th document (deterministic, guarantees
+    overlap), corpus = all documents; per-doc distinct-8-gram overlap
+    report.  The benchmark gram table BROADCASTS — the corpus never
+    shuffles by gram (the 100 TB-critical property, plan-asserted in
+    tests/test_decontam.py).  Ratio rounded floor(x*1e6+0.5)/1e6 on
+    both engines (round() halves diverge — q13's lesson)."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_gram_table, contamination_report,
+    )
+    d = _t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    rep = contamination_report(d, benchmark_gram_table(bench, "text", 8),
+                               id_col="doc_id", text_col="text", n=8)
+    return rep.select(
+        "doc_id",
+        F.col("total_grams").cast("long").alias("total_grams"),
+        F.col("matched_grams").cast("long").alias("matched_grams"),
+        (F.floor(F.col("contamination_ratio") * 1000000 + 0.5) / 1000000)
+        .alias("contamination_ratio"),
+        "is_contaminated")
+
+
+@_register("q53_bm25_search", f"""
+WITH nz AS (
+  SELECT doc_id, tk, len(tk) AS dl
+  FROM (SELECT doc_id, {_DK_TOK} AS tk FROM documents)
+  WHERE len(tk) > 0),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM nz),
+post AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(tk) AS term FROM nz)
+  WHERE term IN ('hash', 'join', 'partition', 'window')
+  GROUP BY doc_id, dl, term),
+idf AS (
+  SELECT term,
+         ln(1.0 + ((SELECT n FROM stats) - count(DISTINCT doc_id) + 0.5)
+                  / (count(DISTINCT doc_id) + 0.5)) AS idf
+  FROM post GROUP BY term)
+SELECT doc_id,
+       round(sum(idf * (tf * (1.2 + 1))
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * dl
+                                / (SELECT avgdl FROM stats)))), 6)
+         AS score,
+       count(DISTINCT term) AS matched_terms
+FROM post JOIN idf USING (term)
+GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC
+LIMIT 20
+""")
+def q53_bm25_search(spark, sf_dir):
+    """BM25 lexical top-20 for a fixed 4-term query (one term absent
+    from the corpus — both engines must drop df=0 terms identically).
+    The oracle spells Robertson/Sparck-Jones idf and k1/b saturation
+    with the same literal arithmetic (1.2 + 1, not 2.2: the folded
+    constant must be the engine-computed double).  Postings are one
+    map-side-combined shuffle; the query touches only its terms'
+    slivers (persisted-layout pruning asserted in tests/test_search)."""
+    from trial_data_ingestion_spark.operators.search import bm25_topk
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(d, "hash join partition window", k=20)
+
+
+@_register("q54_stratified_sample", """
+WITH b AS (
+  SELECT doc_id, lang,
+         CAST('0x' || substr(md5('r5|' || CAST(doc_id AS VARCHAR)), 1, 15)
+              AS BIGINT) % 1000000 AS bk
+  FROM documents)
+SELECT 'bernoulli' AS method, doc_id, lang FROM b WHERE bk < 300000
+UNION ALL
+SELECT 'stratified' AS method, doc_id, lang FROM b
+WHERE bk < CAST(round((CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                       WHEN 'zh' THEN 0.2 ELSE 0.1 END) * 1000000)
+                AS BIGINT)
+""")
+def q54_stratified_sample(spark, sf_dir):
+    """Content-stable sampling, driver-graded row-by-row (not just
+    counts, unlike q43): a Bernoulli-by-key arm and a per-stratum-rate
+    arm from the SAME md5 bucket, so the oracle verifies the exact
+    membership arithmetic of operators/sampling.py.  Both arms are
+    pure pushed-down filters — zero shuffles at any scale."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        hash_sample, stratified_sample,
+    )
+    d = _t(spark, sf_dir, "documents")
+    bern = (hash_sample(d, "doc_id", 0.3, seed="r5")
+            .select(F.lit("bernoulli").alias("method"), "doc_id", "lang"))
+    strat = (stratified_sample(d, "lang",
+                               {"en": 0.5, "de": 1.0, "zh": 0.2},
+                               key_col="doc_id", default_fraction=0.1,
+                               seed="r5")
+             .select(F.lit("stratified").alias("method"), "doc_id", "lang"))
+    return bern.unionAll(strat)
+
+
+@_register("q55_packing_invariants", """
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tokens > 64 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated,
+       CAST(0 AS BIGINT) AS over_budget_seqs
+FROM t GROUP BY lang
+""")
+def q55_packing_invariants(spark, sf_dir):
+    """FFD sequence packing, driver-graded through its invariants:
+    the full pack_sequences kernel runs (sharded applyInPandas), then
+    the graded output checks conservation (every doc packed exactly
+    once, token totals preserved, per lang), the truncation contract
+    (a doc over the 64-token budget becomes exactly one flagged
+    singleton), and the budget bound (zero non-truncated sequences
+    over 64 tokens — the oracle's literal 0).  The seq assignment
+    itself is FFD-dependent and deliberately not hashed."""
+    from trial_data_ingestion_spark.operators.packing import (
+        pack_sequences, packing_stats,
+    )
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"),
+                        lambda x: x != "")).cast("long").alias("n_tokens"))
+    packed = pack_sequences(toks, id_col="doc_id", token_col="n_tokens",
+                            max_tokens=64, num_shards=8)
+    per_lang = packed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+         .alias("n_truncated"))
+    over = (packing_stats(packed, token_col="n_tokens", max_tokens=64)
+            .where((F.col("total_tokens") > 64) & ~F.col("truncated"))
+            .agg(F.count(F.lit(1)).alias("over_budget_seqs")))
+    return per_lang.crossJoin(F.broadcast(over))
+
+
+#: Every query, graded or retired — tests run parity over all of them.
+ALL_QUERIES: dict = {**RETIRED_QUERIES, **QUERIES}
+ALL_ORACLE: dict = {**RETIRED_ORACLE, **ORACLE}
 
 
 # ===========================================================================

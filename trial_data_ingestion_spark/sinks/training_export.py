@@ -45,11 +45,17 @@ def shuffled_shards(df: DataFrame, key_col: str, n_shards: int,
     ordk = _order_key(F.col(key_col), seed)
     shard = (F.conv(F.substring(ordk, 1, 15), 16, 10).cast("long")
              % n_shards).cast("int")
+    # duplicate key_col values tie on __ord; break the tie with a hash
+    # over the full row so intra-shard order never depends on the
+    # incoming shuffle (rows identical in every column remain
+    # interchangeable — output is still bit-identical)
+    tiebreak = F.xxhash64(*[F.col(c) for c in df.columns])
     return (df.withColumn("__ord", ordk)
+              .withColumn("__tb", tiebreak)
               .withColumn("shard", shard)
               .repartition(n_shards, "shard")
-              .sortWithinPartitions("shard", "__ord")
-              .drop("__ord"))
+              .sortWithinPartitions("shard", "__ord", "__tb")
+              .drop("__ord", "__tb"))
 
 
 def write_training_shards(df: DataFrame, path: str, key_col: str,
