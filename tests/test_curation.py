@@ -27,6 +27,56 @@ def _rows():
     return rows
 
 
+def test_curate_tolerates_signal_name_collisions(spark):
+    """documents.parquet itself carries a `lang` column; curate must
+    drop the input's copy and attach its own signals without producing
+    ambiguous duplicate names (round-4 advice finding)."""
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    assert "lang" in docs.columns            # the collision exists
+    out = curate(docs, config=CurationConfig(lid="native"))
+    assert out.columns.count("lang") == 1
+    # downstream selects on the attached signal must resolve
+    langs = {r["lang"] for r in out.select("lang").distinct().collect()}
+    assert langs and langs <= {"en", "es", "fr", "de", "it", "pt"}
+    assert out.count() > 0
+
+
+def test_curate_composed_plan_census(spark):
+    """The end-to-end plan a user actually runs, pinned at the wide-op
+    level: 2 fingerprint-dedup exchanges + 1 matched-gram aggregate
+    exchange + 1 benchmark-gram distinct exchange, 2 broadcasts (gram
+    table, flagged ids), and NOTHING else wide — no sort-merge join,
+    no cartesian, no corpus-side gram shuffle, and the corpus subtree
+    evaluated twice (decontam matched + anti-join left), not three
+    times (the report's totals branch is deliberately not composed —
+    see operators.decontam.decontaminate)."""
+    import re
+
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    out = curate(docs, benchmark=bench,
+                 config=CurationConfig(lid="native"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    census = {op: len(re.findall(op, plan)) for op in (
+        "Exchange hashpartitioning", "BroadcastExchange",
+        "SortMergeJoin", "CartesianProduct", "BatchEvalPython")}
+    assert census == {"Exchange hashpartitioning": 4,
+                      "BroadcastExchange": 2,
+                      "SortMergeJoin": 0,
+                      "CartesianProduct": 0,
+                      "BatchEvalPython": 0}, (census, plan[:2000])
+    # corpus parquet scanned twice + benchmark once
+    assert len(re.findall(r"FileScan parquet", plan)) == 3
+
+
 def test_curate_end_to_end(spark):
     from trial_data_ingestion_spark.pipelines.curation import (
         CurationConfig, curate,

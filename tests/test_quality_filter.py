@@ -62,6 +62,35 @@ def test_quality_filter_learns_and_generalizes(spark):
     assert all(0.0 <= r["keep_prob"] <= 1.0 for r in got)
 
 
+def test_quality_filter_model_save_load_round_trip(spark, tmp_path):
+    """The persistence contract the docstring claims: at 100 TB the
+    artifact a sweep reuses is the saved model, not the fit.  Scores
+    after save/PipelineModel.load must equal the in-memory model's."""
+    from pyspark.ml import PipelineModel
+
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        apply_quality_filter, fit_quality_filter,
+    )
+    from trial_data_ingestion_spark.operators.textstats import (
+        hygiene_report,
+    )
+    rows = _corpus(n=120)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    rep = hygiene_report(df, lid="native").join(
+        df.select("doc_id", "label"), "doc_id")
+    model = fit_quality_filter(rep)
+    path = str(tmp_path / "quality_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    unlabeled = rep.drop("label")
+    before = sorted((r["doc_id"], r["keep_prob"], r["keep"]) for r in
+                    apply_quality_filter(unlabeled, model).collect())
+    after = sorted((r["doc_id"], r["keep_prob"], r["keep"]) for r in
+                   apply_quality_filter(unlabeled, reloaded).collect())
+    assert before == after
+    assert len(before) == 120
+
+
 def test_quality_filter_scoring_stays_jvm_side(spark):
     from trial_data_ingestion_spark.operators.quality_filter import (
         apply_quality_filter, fit_quality_filter,

@@ -81,11 +81,7 @@ def contamination_report(corpus: DataFrame, bench_grams: DataFrame,
         token_ngrams(F.col(text_col), n).alias("__grams"))
     totals = grams.select(
         id_col, F.size("__grams").alias("total_grams"))
-    matched = (grams
-               .select(id_col, F.explode("__grams").alias("g"))
-               .join(F.broadcast(bench_grams), "g")
-               .groupBy(id_col)
-               .agg(F.count_distinct("g").alias("matched_grams")))
+    matched = _matched_grams(grams, bench_grams, id_col)
     return (totals
             .join(matched, id_col, "left")
             .withColumn("matched_grams",
@@ -99,15 +95,38 @@ def contamination_report(corpus: DataFrame, bench_grams: DataFrame,
                         F.col("matched_grams") >= min_matches))
 
 
+def _matched_grams(grams: DataFrame, bench_grams: DataFrame,
+                   id_col: str) -> DataFrame:
+    """(id, matched_grams): distinct overlapping n-grams per doc.
+    ``array_distinct`` BEFORE the explode dedups narrowly per row, so
+    the aggregate is a plain count — one exchange on ``id_col``
+    instead of a two-level count-distinct shuffle."""
+    return (grams
+            .select(id_col,
+                    F.explode(F.array_distinct("__grams")).alias("g"))
+            .join(F.broadcast(bench_grams), "g")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("matched_grams")))
+
+
 def decontaminate(corpus: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text",
                   n: int = 8, min_matches: int = 1) -> DataFrame:
     """Corpus minus contaminated docs (original columns preserved).
     One broadcast join + one per-doc aggregate + one left-anti join —
-    no corpus-side gram shuffle at any size."""
-    grams = benchmark_gram_table(bench, bench_text_col, n)
-    report = contamination_report(corpus, grams, id_col, text_col,
-                                  n, min_matches)
-    flagged = report.where("is_contaminated").select(id_col)
+    no corpus-side gram shuffle at any size.
+
+    Deliberately does NOT route through :func:`contamination_report`:
+    the removal decision needs only the matched-gram counts, and the
+    report's total/ratio branch would add a third full evaluation of
+    the (possibly expensive) upstream corpus plan when composed in a
+    pipeline (pipelines.curation plan-census test pins this)."""
+    bg = benchmark_gram_table(bench, bench_text_col, n)
+    grams = corpus.select(
+        F.col(id_col),
+        token_ngrams(F.col(text_col), n).alias("__grams"))
+    flagged = (_matched_grams(grams, bg, id_col)
+               .where(F.col("matched_grams") >= min_matches)
+               .select(id_col))
     return corpus.join(flagged, id_col, "left_anti")

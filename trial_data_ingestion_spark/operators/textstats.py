@@ -291,11 +291,18 @@ def fingerprint(text: Column) -> Column:
 
 
 def hygiene_report(df, id_col: str = "doc_id", text_col: str = "text",
-                   lid: str = "arrow"):
+                   lid: str = "arrow",
+                   keep_cols: list[str] | None = None):
     """One-pass training-data hygiene report: per document, language,
     quality score, token/char counts, repetition signals, PII flags,
     and the dedup fingerprint — every signal this module exposes, in
     a SINGLE projection.
+
+    ``keep_cols`` passes input columns through alongside the signals,
+    so a caller that needs both (e.g. pipelines.curation) gates on
+    the SAME projection instead of re-joining the signals onto the
+    corpus — at 100 TB that re-join is a corpus-sized shuffle this
+    parameter exists to delete.
 
     Scale shape: zero shuffles, zero joins; one scan computes all
     signals (the language ID is the only non-codegen piece — the
@@ -308,6 +315,7 @@ def hygiene_report(df, id_col: str = "doc_id", text_col: str = "text",
               else detect_language_ngram)
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (keep_cols or [])],
         lid_fn(t).alias("lang"),
         F.round(quality_score(t), 6).alias("quality"),
         token_count(t).alias("n_tokens"),

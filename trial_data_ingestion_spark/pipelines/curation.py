@@ -53,20 +53,28 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     ``split`` attached.  Returns a DataFrame; callers export with
     ``sinks.training_export.write_training_shards`` per split."""
     cfg = config or CurationConfig()
+    # the attached signal columns win over same-named input columns
+    # (documents.parquet itself carries a `lang`): drop the input's
+    # copies up front so no stage sees ambiguous duplicate names
+    signal_names = {"lang", "quality", "n_tokens", "n_subwords",
+                    "n_chars", "punct_ratio", "repeated_line_ratio",
+                    "top_bigram_ratio", "has_email", "has_ip",
+                    "fingerprint"}
+    clash = [c for c in docs.columns if c in signal_names]
+    docs = docs.drop(*clash)
+    # signals ride the SAME projection as the document columns
+    # (keep_cols), so the hygiene gate is a pure filter — re-joining
+    # the report onto the corpus would be a corpus-sized shuffle
+    passthrough = [c for c in docs.columns if c != cfg.id_col]
     rep = hygiene_report(docs, id_col=cfg.id_col,
-                         text_col=cfg.text_col, lid=cfg.lid)
-    kept_ids = rep.where(
+                         text_col=cfg.text_col, lid=cfg.lid,
+                         keep_cols=passthrough)
+    gated = rep.where(
         F.col("lang").isin(*cfg.languages)
         & (F.col("quality") >= cfg.min_quality)
         & (F.col("repeated_line_ratio") <= cfg.max_repeated_line_ratio)
         & (F.col("n_tokens") >= cfg.min_tokens)
-    ).select(cfg.id_col, "lang", "quality", "fingerprint")
-    # the attached signal columns win over same-named input columns
-    # (documents.parquet itself carries a `lang`): drop the input's
-    # copies so the join can't produce ambiguous duplicate names
-    clash = [c for c in ("lang", "quality", "fingerprint")
-             if c in docs.columns]
-    gated = docs.drop(*clash).join(kept_ids, cfg.id_col)
+    ).select(cfg.id_col, *passthrough, "lang", "quality", "fingerprint")
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     if benchmark is not None:
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
