@@ -64,6 +64,53 @@ def test_packing_flags_oversize_as_singletons(spark):
     assert not rows["a"]["truncated"] and not rows["b"]["truncated"]
 
 
+def test_packing_fill_ratio_gate_at_bench_scale(spark):
+    """The FFD efficiency claim (packing.py docstring), measured on
+    the realistic distribution: sf0.1 documents token-chunked 50/10
+    (8k chunks, ~37k tokens/shard at 8 shards = 73 bins/shard, well
+    inside the shard-sizing rule).  Measured 0.9898 when the gate was
+    set; gate at >= 0.98 corpus-level mean fill."""
+    from trial_data_ingestion_spark.operators.chunking import chunk_by_tokens
+    from trial_data_ingestion_spark.operators.packing import (
+        pack_sequences, packing_stats,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "text"))
+    chunks = (chunk_by_tokens(docs, "text", "doc_id", max_tokens=50,
+                              overlap=10).select("chunk_id", "n_tokens"))
+    packed = pack_sequences(chunks, max_tokens=512, num_shards=8)
+    row = (packing_stats(packed, max_tokens=512)
+           .agg(F.avg("fill_ratio").alias("mean_fill")).collect()[0])
+    assert row["mean_fill"] >= 0.98, (
+        f"mean fill_ratio {row['mean_fill']:.4f} < 0.98 gate "
+        "(was 0.9898 at 8 shards/512 budget when gated)")
+
+
+def test_packing_fill_degrades_only_via_tail_bins(spark):
+    """The shard-sizing rule's failure mode, pinned: the SAME corpus
+    at 64 shards x 2048 budget has ~2.3 bins/shard, so per-shard tail
+    sequences dominate and mean fill drops.  Waste must track the
+    predicted num_shards * max_tokens / 2 tail bound — if fill falls
+    further than that, FFD itself (not sharding) regressed."""
+    from trial_data_ingestion_spark.operators.chunking import chunk_by_tokens
+    from trial_data_ingestion_spark.operators.packing import (
+        pack_sequences, packing_stats,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+            .select("doc_id", "text"))
+    chunks = (chunk_by_tokens(docs, "text", "doc_id", max_tokens=50,
+                              overlap=10).select("chunk_id", "n_tokens"))
+    budget, shards = 2048, 64
+    packed = pack_sequences(chunks, max_tokens=budget, num_shards=shards)
+    row = (packing_stats(packed, max_tokens=budget)
+           .agg(F.sum("total_tokens").alias("tok"),
+                F.count(F.lit(1)).alias("n_seqs")).collect()[0])
+    minimal = -(-row["tok"] // budget)              # ceil
+    # every extra sequence beyond the lower bound is a shard tail;
+    # FFD should open at most ~1 underfull tail per shard
+    assert row["n_seqs"] - minimal <= shards, (row["n_seqs"], minimal)
+
+
 def test_packing_end_to_end_from_token_chunks(spark):
     """Real pipeline shape: documents -> token chunks (C4) -> packed
     sequences; every chunk packed once, budget respected."""

@@ -16,6 +16,13 @@ Scale design (100 TB):
     parallel, ONE shuffle by shard key, shard count chosen so a
     shard's (id, n_tokens) rows fit executor memory comfortably
     (rows are ~16 B each; 2^20 rows/shard is nothing).
+  * Shard-sizing rule (measured, tests/test_packing.py): each shard
+    ends with one partially-filled tail sequence, so waste is about
+    ``num_shards * max_tokens / (2 * total_tokens)``.  Keep
+    ``total_tokens / num_shards >= ~50 * max_tokens`` and mean fill
+    stays >= 0.98; violate it (tiny corpus, huge budget, many
+    shards) and the tail dominates — at 100 TB any sane shard count
+    satisfies the rule with orders of magnitude to spare.
   * The kernel is Arrow-batched pandas (same split as the C4 token
     chunker: plan-transparent native ops where possible, vectorized
     Python where the algorithm is inherently sequential).

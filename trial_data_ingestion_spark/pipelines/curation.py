@@ -46,6 +46,40 @@ class CurationConfig:
     lid: str = "arrow"
 
 
+#: columns hygiene_report attaches — same-named input columns are
+#: dropped up front so no stage sees ambiguous duplicate names
+_SIGNAL_NAMES = {"lang", "quality", "n_tokens", "n_subwords",
+                 "n_chars", "punct_ratio", "repeated_line_ratio",
+                 "top_bigram_ratio", "has_email", "has_ip",
+                 "fingerprint"}
+
+
+def hygiene_gate(docs: DataFrame,
+                 config: CurationConfig | None = None) -> DataFrame:
+    """Hygiene-gated corpus with ``lang``/``quality``/``fingerprint``
+    attached: every document column plus the signals, filtered by the
+    language/quality/repetition/length gates.
+
+    Entirely narrow (one projection + one filter — the signals ride
+    the same projection via ``keep_cols``, never a re-join), so it
+    works identically on batch AND streaming DataFrames; the
+    streaming curation slice (streaming/documents.py) runs this exact
+    function over a file-source stream."""
+    cfg = config or CurationConfig()
+    clash = [c for c in docs.columns if c in _SIGNAL_NAMES]
+    docs = docs.drop(*clash)
+    passthrough = [c for c in docs.columns if c != cfg.id_col]
+    rep = hygiene_report(docs, id_col=cfg.id_col,
+                         text_col=cfg.text_col, lid=cfg.lid,
+                         keep_cols=passthrough)
+    return rep.where(
+        F.col("lang").isin(*cfg.languages)
+        & (F.col("quality") >= cfg.min_quality)
+        & (F.col("repeated_line_ratio") <= cfg.max_repeated_line_ratio)
+        & (F.col("n_tokens") >= cfg.min_tokens)
+    ).select(cfg.id_col, *passthrough, "lang", "quality", "fingerprint")
+
+
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            config: CurationConfig | None = None) -> DataFrame:
     """Curated corpus: input rows that survive hygiene gates, exact
@@ -53,28 +87,7 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     ``split`` attached.  Returns a DataFrame; callers export with
     ``sinks.training_export.write_training_shards`` per split."""
     cfg = config or CurationConfig()
-    # the attached signal columns win over same-named input columns
-    # (documents.parquet itself carries a `lang`): drop the input's
-    # copies up front so no stage sees ambiguous duplicate names
-    signal_names = {"lang", "quality", "n_tokens", "n_subwords",
-                    "n_chars", "punct_ratio", "repeated_line_ratio",
-                    "top_bigram_ratio", "has_email", "has_ip",
-                    "fingerprint"}
-    clash = [c for c in docs.columns if c in signal_names]
-    docs = docs.drop(*clash)
-    # signals ride the SAME projection as the document columns
-    # (keep_cols), so the hygiene gate is a pure filter — re-joining
-    # the report onto the corpus would be a corpus-sized shuffle
-    passthrough = [c for c in docs.columns if c != cfg.id_col]
-    rep = hygiene_report(docs, id_col=cfg.id_col,
-                         text_col=cfg.text_col, lid=cfg.lid,
-                         keep_cols=passthrough)
-    gated = rep.where(
-        F.col("lang").isin(*cfg.languages)
-        & (F.col("quality") >= cfg.min_quality)
-        & (F.col("repeated_line_ratio") <= cfg.max_repeated_line_ratio)
-        & (F.col("n_tokens") >= cfg.min_tokens)
-    ).select(cfg.id_col, *passthrough, "lang", "quality", "fingerprint")
+    gated = hygiene_gate(docs, cfg)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     if benchmark is not None:
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,

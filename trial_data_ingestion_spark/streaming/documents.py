@@ -1,0 +1,73 @@
+"""Streaming corpus curation: the hygiene + dedup slice of
+pipelines.curation as a Structured Stream (§2.10 applied to the
+training-data tier).
+
+An ingest directory fills with document files; one ``availableNow``
+(or continuous micro-batch) stream gates each arriving document with
+the SAME :func:`pipelines.curation.hygiene_gate` the batch pipeline
+runs — it is a single narrow projection + filter, so the code path is
+shared, not twinned — then deduplicates exactly by content
+fingerprint.
+
+Scale notes:
+  * hygiene signals are per-row expressions: no state at all.
+  * dedup state is one fingerprint key per distinct document.  With
+    an ingest-time column, ``dropDuplicatesWithinWatermark`` bounds
+    that state to the watermark horizon — the right contract for a
+    forever-running ingest (a duplicate arriving months later is
+    exact-dedup's batch sweep's job, not the stream's).  Without one,
+    ``dropDuplicates`` keeps all keys: fine for bounded backfills,
+    documented unbounded for infinite streams.
+  * decontamination/split are deliberately NOT in the stream: the
+    split is content-stable (identical whenever it runs), and
+    decontamination's per-doc gram aggregate + anti-join is a batch
+    shape; run them on the stream's output table.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from trial_data_ingestion_spark.pipelines.curation import (
+    CurationConfig, hygiene_gate,
+)
+
+DOC_SCHEMA = ("doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def read_document_stream(spark: SparkSession, path: str,
+                         schema: str = DOC_SCHEMA,
+                         fmt: str = "parquet",
+                         max_files_per_trigger: Optional[int] = None
+                         ) -> DataFrame:
+    """File-source document stream (the ingest-directory pattern —
+    same shape as streaming.events.read_event_stream)."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    return reader.load(path)
+
+
+def curated_document_stream(docs: DataFrame,
+                            config: CurationConfig | None = None,
+                            ingest_ts_col: str | None = None,
+                            dedup_horizon: str = "24 hours"
+                            ) -> DataFrame:
+    """Hygiene-gate + exact-dedup an incoming document stream.
+
+    With ``ingest_ts_col`` the fingerprint state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``); without it, state grows with
+    distinct documents — acceptable for bounded backfill runs only.
+    Which arrival of a duplicate family survives depends on arrival
+    order (streams have no "min doc_id yet to come"); the surviving
+    fingerprint SET equals the batch pipeline's (parity-tested in
+    tests/test_streaming.py)."""
+    gated = hygiene_gate(docs, config)
+    if ingest_ts_col is not None:
+        return (gated.withWatermark(ingest_ts_col, dedup_horizon)
+                .dropDuplicatesWithinWatermark(["fingerprint"]))
+    return gated.dropDuplicates(["fingerprint"])
