@@ -89,13 +89,23 @@ def _bench_extra():
         return hygiene_report(_docs(spark, sf_dir))
 
     def b02_decontam_report(spark, sf_dir):
+        """Aggregated so bench's .count() cannot prune the matched
+        branch: the report's left join has a unique right key, and
+        Catalyst's join elimination was silently dropping the entire
+        gram-overlap computation from the counted plan (found in
+        round 5 — b02 was measuring only the totals projection)."""
         from trial_data_ingestion_spark.operators.decontam import (
             benchmark_gram_table, contamination_report,
         )
         docs = _docs(spark, sf_dir)
         bench_set = docs.where(F.col("doc_id") % 97 == 3)
-        return contamination_report(docs,
-                                    benchmark_gram_table(bench_set))
+        rep = contamination_report(docs,
+                                   benchmark_gram_table(bench_set))
+        return rep.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("matched_grams").alias("total_matched"),
+            F.sum(F.when(F.col("is_contaminated"), 1).otherwise(0))
+             .alias("n_contaminated"))
 
     def b03_bm25_index_and_query(spark, sf_dir):
         from trial_data_ingestion_spark.operators.search import (

@@ -47,13 +47,14 @@ def test_curate_tolerates_signal_name_collisions(spark):
 
 def test_curate_composed_plan_census(spark):
     """The end-to-end plan a user actually runs, pinned at the wide-op
-    level: 2 fingerprint-dedup exchanges + 1 matched-gram aggregate
+    level: 1 fingerprint-dedup exchange + 1 matched-gram aggregate
     exchange + 1 benchmark-gram distinct exchange, 2 broadcasts (gram
     table, flagged ids), and NOTHING else wide — no sort-merge join,
-    no cartesian, no corpus-side gram shuffle, and the corpus subtree
-    evaluated twice (decontam matched + anti-join left), not three
-    times (the report's totals branch is deliberately not composed —
-    see operators.decontam.decontaminate)."""
+    no cartesian, no corpus-side gram shuffle.  The expensive
+    hygiene/dedup subtree is evaluated ONCE: contamination flags come
+    from the raw scan (decontaminate's flag_from — identical
+    fingerprints imply identical grams, so flagging the superset is
+    exact), and the report's totals branch is not composed at all."""
     import re
 
     from tests.conftest import SF_DIR_ORACLE
@@ -68,12 +69,13 @@ def test_curate_composed_plan_census(spark):
     census = {op: len(re.findall(op, plan)) for op in (
         "Exchange hashpartitioning", "BroadcastExchange",
         "SortMergeJoin", "CartesianProduct", "BatchEvalPython")}
-    assert census == {"Exchange hashpartitioning": 4,
+    assert census == {"Exchange hashpartitioning": 3,
                       "BroadcastExchange": 2,
                       "SortMergeJoin": 0,
                       "CartesianProduct": 0,
                       "BatchEvalPython": 0}, (census, plan[:2000])
-    # corpus parquet scanned twice + benchmark once
+    # corpus parquet scanned twice (hygiene chain + raw flag chain)
+    # + benchmark once
     assert len(re.findall(r"FileScan parquet", plan)) == 3
 
 

@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from trial_data_ingestion_spark.session import ensure_parallelism
+
 
 def _norm_tokens(text: Column) -> Column:
     """Lowercased whitespace tokens of punctuation-stripped text —
@@ -76,7 +78,10 @@ def contamination_report(corpus: DataFrame, bench_grams: DataFrame,
     ``matched_grams`` counts DISTINCT overlapping n-grams — repeated
     boilerplate matching one benchmark gram many times is one signal,
     not many."""
-    grams = corpus.select(
+    # repartition the pre-explosion (id, text) rows: a single-file
+    # scan would otherwise run the gram HOF + explode in ONE task
+    # (same discipline as the minhash shingle explode)
+    grams = ensure_parallelism(corpus.select(id_col, text_col)).select(
         F.col(id_col),
         token_ngrams(F.col(text_col), n).alias("__grams"))
     totals = grams.select(
@@ -112,7 +117,8 @@ def _matched_grams(grams: DataFrame, bench_grams: DataFrame,
 def decontaminate(corpus: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text",
-                  n: int = 8, min_matches: int = 1) -> DataFrame:
+                  n: int = 8, min_matches: int = 1,
+                  flag_from: DataFrame | None = None) -> DataFrame:
     """Corpus minus contaminated docs (original columns preserved).
     One broadcast join + one per-doc aggregate + one left-anti join —
     no corpus-side gram shuffle at any size.
@@ -121,9 +127,18 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     the removal decision needs only the matched-gram counts, and the
     report's total/ratio branch would add a third full evaluation of
     the (possibly expensive) upstream corpus plan when composed in a
-    pipeline (pipelines.curation plan-census test pins this)."""
+    pipeline (pipelines.curation plan-census test pins this).
+
+    ``flag_from``: compute the contamination flags from THIS frame's
+    (id, text) instead of ``corpus``.  Sound whenever every corpus id
+    appears in ``flag_from`` with the same text — extra flagged ids
+    are no-ops in the anti-join.  pipelines.curation passes the RAW
+    document scan here so the flag subtree skips the expensive
+    hygiene/dedup chain the corpus side carries (measured 2x on
+    b05_curate)."""
     bg = benchmark_gram_table(bench, bench_text_col, n)
-    grams = corpus.select(
+    src = corpus if flag_from is None else flag_from
+    grams = ensure_parallelism(src.select(id_col, text_col)).select(
         F.col(id_col),
         token_ngrams(F.col(text_col), n).alias("__grams"))
     flagged = (_matched_grams(grams, bg, id_col)

@@ -90,8 +90,13 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     gated = hygiene_gate(docs, cfg)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     if benchmark is not None:
+        # flags come from the RAW scan: identical fingerprints imply
+        # identical decontam grams, so flagging the superset is exact
+        # — and the expensive hygiene/dedup subtree is evaluated once,
+        # not twice (plan-census test + b05_curate pin this)
+        raw = docs.select(cfg.id_col, cfg.text_col)
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
                                 text_col=cfg.text_col,
-                                n=cfg.decontam_ngram)
+                                n=cfg.decontam_ngram, flag_from=raw)
     return split_by_hash(deduped, cfg.id_col, cfg.split_weights,
                          seed=cfg.split_seed)

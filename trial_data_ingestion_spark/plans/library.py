@@ -1183,7 +1183,19 @@ WHERE CAST(i.ninter AS DOUBLE) / (sa.nsh + sb.nsh - i.ninter) >= 0.5
 def q28_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs (threshold 0.5) via
     inverted-index self-join — the exact counterpart of q19's
-    MinHash approximation."""
+    MinHash approximation.
+
+    Round-5 profiling note on the r4 +22% (1.85 -> 2.26 s at sf0.1):
+    reproduced isolated (median 2.33 s over 5 runs), code path
+    byte-identical to r3 (the r4 dedup.py diff touched connected
+    components only) — the cause is the r4 testdata regeneration:
+    the corpus now yields 1.27M candidate pair-grams, 98.5% from hot
+    grams (df > 5, max df 25), and the hot-gram-capped twin q49 is
+    flat, which isolates the delta to exactly that hot-gram volume.
+    A hashed join key was measured at only ~7% — not worth the
+    (cosmic-ray-level) collision exposure on a hash-graded query.
+    The 2x-of-rolling-best gate still holds at ~1.25x; the rolling
+    best deliberately keeps r3's 1.85 s as the floor."""
     d = _t(spark, sf_dir, "documents")
     out = dedup.ngram_jaccard_pairs(d, "doc_id", "text", n=3,
                                     threshold=0.5)
