@@ -70,6 +70,7 @@ HEADLINE = [
     "b04_pack_sequences",           # FFD packing of token chunks
     # round-5 additions
     "b05_curate",                   # composed curation DAG end-to-end
+    "b06_substring_dedup",          # exact repeated-substring removal
 ]
 
 
@@ -142,6 +143,21 @@ def _bench_extra():
         return curate(docs, benchmark=bench_set,
                       config=CurationConfig())
 
+    def b06_substring_dedup(spark, sf_dir):
+        """Exact repeated-substring removal (hashed-gram scale path,
+        20-token runs): gram explode + skew-proof first-occurrence
+        aggregate + span rebuild.  Aggregated so .count() cannot
+        prune the rewrite (same lesson as b02)."""
+        from trial_data_ingestion_spark.operators.substring_dedup import (
+            remove_repeated_substrings,
+        )
+        out = remove_repeated_substrings(_docs(spark, sf_dir),
+                                         "doc_id", "text", n=20)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed_tokens").alias("tokens_removed"),
+            F.sum(F.length("text")).alias("total_chars"))
+
     # retired from the graded corpus in round 5 (subsumed by q22/q33)
     # but kept in the bench series so its timing history continues
     from trial_data_ingestion_spark.plans.library import (
@@ -151,7 +167,7 @@ def _bench_extra():
     return {**{f.__name__: f for f in
                (b01_hygiene_sweep, b02_decontam_report,
                 b03_bm25_index_and_query, b04_pack_sequences,
-                b05_curate)},
+                b05_curate, b06_substring_dedup)},
             "q12_running_window": q12_running_window}
 
 STEADY_PASSES = 3

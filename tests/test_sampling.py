@@ -131,6 +131,58 @@ def test_stratified_fixed_n_counts_and_determinism(spark):
            sorted(r["doc_id"] for r in again.collect())
 
 
+def test_mixture_sample_hits_target_composition(spark):
+    """Pretraining-mix construction: 3 sources with unequal targets;
+    the scarcest-relative source (highest weight here, all sources
+    equal-sized) must be kept at 100% and the others downsampled to
+    the target ratio."""
+    import pytest as _pytest
+
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_sample,
+    )
+    d = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .select("doc_id", "source"))
+    out = mixture_sample(d, "source",
+                         {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                         key_col="doc_id")
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n"))
+                 .collect()}
+    base = {r["source"]: r["n"] for r in
+            d.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # equal-sized sources: src0 (highest weight) pins the scale at
+    # count/0.5, so it keeps 100%; others keep weight/0.5 of it
+    assert counts["src0"] == base["src0"]
+    assert set(counts) == {"src0", "src1", "src2"}   # others dropped
+    got_ratio1 = counts.get("src1", 0) / counts["src0"]
+    got_ratio2 = counts.get("src2", 0) / counts["src0"]
+    # small strata -> loose bands; determinism is the hard guarantee
+    assert abs(got_ratio1 - 0.6) < 0.35
+    assert abs(got_ratio2 - 0.4) < 0.35
+    # deterministic under repartitioning
+    again = mixture_sample(d.repartition(9), "source",
+                           {"src0": 0.5, "src1": 0.3, "src2": 0.2},
+                           key_col="doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+    with _pytest.raises(ValueError):
+        mixture_sample(d, "source", {"nope": 1.0}, key_col="doc_id")
+
+
+def test_mixture_sample_max_rows_caps_scale(spark):
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_sample,
+    )
+    d = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .select("doc_id", "source"))
+    out = mixture_sample(d, "source", {"src0": 0.5, "src1": 0.5},
+                         key_col="doc_id", max_rows=20)
+    n = out.count()
+    assert n <= 35          # Bernoulli slack above the 20-row target
+    assert n >= 8
+
+
 def test_hash_sample_is_a_pure_pushed_filter(spark):
     """No shuffle, and the filter sits at the scan: the 100 TB shape."""
     from trial_data_ingestion_spark.operators.sampling import hash_sample

@@ -117,6 +117,49 @@ def stratified_sample(df: DataFrame, strata_col: str,
     return df.where(b < F.round(frac * _BUCKETS).cast("long"))
 
 
+def mixture_sample(df: DataFrame, source_col: str,
+                   target_weights: dict[str, float],
+                   key_col: str,
+                   max_rows: int | None = None,
+                   seed: str = "s0") -> DataFrame:
+    """Domain-mixture sampling: downsample sources so the OUTPUT
+    composition matches ``target_weights`` (e.g. web 0.6, code 0.25,
+    papers 0.15) while keeping as much data as the scarcest source
+    allows — the standard pretraining-mix construction.
+
+    The feasible scale is ``min_s(count_s / weight_s)`` (the source
+    that runs out first pins the total); each source then keeps
+    ``weight_s * scale / count_s`` of its rows by the same stable
+    md5 bucket as every other sampler here.  Sources absent from
+    ``target_weights`` are dropped.  ``max_rows`` caps the total
+    (approximately — membership stays per-row Bernoulli, so the
+    realized count concentrates around the target).
+
+    Scale: ONE tiny aggregate (per-source counts -> driver, one row
+    per source) to derive fractions, then a pure pushed-down filter —
+    the corpus itself never shuffles.  Deterministic for a fixed
+    corpus: same counts -> same fractions -> same md5 membership."""
+    total = sum(target_weights.values())
+    if total <= 0:
+        raise ValueError("target_weights must sum to > 0")
+    weights = {s: w / total for s, w in target_weights.items()}
+    counts = {r["s"]: r["n"] for r in
+              (df.where(F.col(source_col).isin(*weights))
+                 .groupBy(F.col(source_col).alias("s"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect())}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from corpus: {missing}")
+    scale = min(counts[s] / w for s, w in weights.items() if w > 0)
+    if max_rows is not None:
+        scale = min(scale, float(max_rows))
+    fractions = {s: min(1.0, w * scale / counts[s])
+                 for s, w in weights.items()}
+    return stratified_sample(df.where(F.col(source_col).isin(*weights)),
+                             source_col, fractions, key_col=key_col,
+                             default_fraction=0.0, seed=seed)
+
+
 def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
                        key_col: str, seed: str = "s0") -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, drawn uniformly
