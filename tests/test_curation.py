@@ -79,6 +79,35 @@ def test_curate_composed_plan_census(spark):
     assert len(re.findall(r"FileScan parquet", plan)) == 3
 
 
+def test_curate_with_substring_dedup_stage(spark):
+    """The optional within-corpus substring stage: boilerplate shared
+    across surviving docs is removed from all but its first
+    occurrence, doc counts are unchanged (it rewrites, not drops),
+    and decontamination correctly grams the REWRITTEN text (flags
+    cannot come from the raw scan once text changed)."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()
+    boiler = ("the training corpus holds varied useful prose about "
+              "data systems and careful measurement")   # 14 tokens
+    rows = [(i, (t + " . " + boiler) if 10 <= i < 20 else t)
+            for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(lid="native", substring_dedup_ngram=14)
+    out = curate(docs, config=cfg).collect()
+    carriers = [r for r in out if 10 <= r["doc_id"] < 20]
+    assert len(carriers) == 10
+    with_boiler = [r for r in carriers if boiler in r["text"]]
+    assert len(with_boiler) == 1                 # first occurrence only
+    assert min(r["doc_id"] for r in carriers) == \
+        with_boiler[0]["doc_id"]
+    # every later carrier loses at least the 14 boiler tokens (shared
+    # neighbors like the " . " separator legitimately extend the run)
+    assert all(r["n_removed_tokens"] >= 14 for r in carriers
+               if r["doc_id"] != with_boiler[0]["doc_id"])
+
+
 def test_curate_end_to_end(spark):
     from trial_data_ingestion_spark.pipelines.curation import (
         CurationConfig, curate,

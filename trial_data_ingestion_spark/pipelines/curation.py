@@ -44,6 +44,9 @@ class CurationConfig:
     split_seed: str = "s0"
     decontam_ngram: int = 8
     lid: str = "arrow"
+    #: None = off; else remove duplicated token runs of this length
+    #: (50 is the published convention) after exact dedup
+    substring_dedup_ngram: int | None = None
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -89,12 +92,24 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     cfg = config or CurationConfig()
     gated = hygiene_gate(docs, cfg)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
+    rewritten = cfg.substring_dedup_ngram is not None
+    if rewritten:
+        from trial_data_ingestion_spark.operators.substring_dedup import (
+            remove_repeated_substrings,
+        )
+        deduped = remove_repeated_substrings(
+            deduped, cfg.id_col, cfg.text_col,
+            n=cfg.substring_dedup_ngram)
     if benchmark is not None:
         # flags come from the RAW scan: identical fingerprints imply
         # identical decontam grams, so flagging the superset is exact
         # — and the expensive hygiene/dedup subtree is evaluated once,
-        # not twice (plan-census test + b05_curate pin this)
-        raw = docs.select(cfg.id_col, cfg.text_col)
+        # not twice (plan-census test + b05_curate pin this).  When
+        # substring dedup rewrote the text, raw flags would refer to
+        # runs that may no longer exist, so decontam must gram the
+        # rewritten corpus itself.
+        raw = (None if rewritten
+               else docs.select(cfg.id_col, cfg.text_col))
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
                                 text_col=cfg.text_col,
                                 n=cfg.decontam_ngram, flag_from=raw)
