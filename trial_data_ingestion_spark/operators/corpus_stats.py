@@ -1,0 +1,91 @@
+"""Corpus-level analysis: vocabulary statistics and snapshot diffing.
+
+North-star training-data-pipeline tier.  Two operational questions
+every corpus owner asks between pipeline runs:
+
+  * *what does the vocabulary look like* — token frequencies,
+    type/token ratio, head coverage (is the corpus degenerate or
+    diverse, did a scrape flood it with boilerplate tokens);
+  * *what changed since the last snapshot* — docs added/removed, docs
+    whose CONTENT changed under a stable id (upstream re-crawls,
+    silent re-parses), so a training run can be pinned to an exact
+    corpus state.
+
+Both are pure DataFrame aggregations.  Scale: ``vocabulary_stats`` is
+one shuffle keyed by token with map-side combine (the classic
+word-count shape — shuffle volume is O(distinct tokens per
+partition), not O(tokens)); ``corpus_diff`` is one full-outer join on
+the id (content compared by fingerprint, so text never shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators.textstats import fingerprint
+
+
+def vocabulary_stats(df: DataFrame, text_col: str = "text",
+                     lowercase: bool = True) -> DataFrame:
+    """(token, count, doc_freq) over the whitespace token stream —
+    the corpus vocabulary table.  One word-count shuffle."""
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    toks = F.filter(F.split(F.trim(t), r"\s+"), lambda x: x != "")
+    return (df.select(F.monotonically_increasing_id().alias("__doc"),
+                      toks.alias("__toks"))
+            .select("__doc", F.explode("__toks").alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"),
+                 F.count_distinct("__doc").alias("doc_freq")))
+
+
+def vocabulary_summary(df: DataFrame, text_col: str = "text",
+                       top_k: int = 100) -> DataFrame:
+    """One row: total tokens, distinct types, type/token ratio, and
+    the fraction of all tokens covered by the ``top_k`` most frequent
+    types (head coverage — boilerplate floods push it toward 1)."""
+    vocab = vocabulary_stats(df, text_col)
+    top = (vocab.orderBy(F.desc("count"), F.asc("token")).limit(top_k)
+           .agg(F.sum("count").alias("__top")))
+    return (vocab.agg(F.sum("count").alias("n_tokens"),
+                      F.count(F.lit(1)).alias("n_types"))
+            .crossJoin(F.broadcast(top))
+            .select(
+                "n_tokens", "n_types",
+                F.round(F.col("n_types") / F.col("n_tokens"), 6)
+                 .alias("type_token_ratio"),
+                F.round(F.col("__top") / F.col("n_tokens"), 6)
+                 .alias(f"top{top_k}_coverage")))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Per-document change status between two corpus snapshots:
+    (id, status) with status in added / removed / changed /
+    unchanged.  Content equality is by fingerprint (whitespace-
+    normalized md5 — textstats.fingerprint), so the join carries a
+    32-char hash per side, never the text."""
+    o = old.select(F.col(id_col).alias("__id"),
+                   fingerprint(F.col(text_col)).alias("__old_fp"))
+    n = new.select(F.col(id_col).alias("__id"),
+                   fingerprint(F.col(text_col)).alias("__new_fp"))
+    status = (F.when(F.col("__old_fp").isNull(), "added")
+              .when(F.col("__new_fp").isNull(), "removed")
+              .when(F.col("__old_fp") != F.col("__new_fp"), "changed")
+              .otherwise("unchanged"))
+    return (o.join(n, "__id", "full_outer")
+            .select(F.col("__id").alias(id_col),
+                    status.alias("status")))
+
+
+def corpus_diff_summary(old: DataFrame, new: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Counts per change status — the number a retrain decision
+    actually reads."""
+    return (corpus_diff(old, new, id_col, text_col)
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n_docs")))
