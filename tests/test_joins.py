@@ -104,3 +104,26 @@ def test_salted_join_rejects_right_and_full_outer(spark):
     for how in ("right", "full_outer", "full", "right_outer"):
         with pytest.raises(ValueError):
             salted_join(big, small, "k", how=how)
+
+
+def test_key_skew_report_finds_planted_hot_key(spark):
+    """The pre-flight diagnostic for salted_join: a planted hot key
+    must surface first with the right count, share, and skew factor
+    (count / mean-per-key)."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.joins import (
+        key_skew_report,
+    )
+    rows = [(f"k{i % 10}",) for i in range(100)] + [("hot",)] * 900
+    df = spark.createDataFrame(rows, "k string")
+    rep = key_skew_report(df, "k", top_k=3).collect()
+    top = rep[0]
+    assert top["k"] == "hot" and top["n_rows"] == 900
+    assert abs(top["share"] - 0.9) < 1e-9
+    # 11 distinct keys, mean = 1000/11; hot factor = 900/(1000/11) = 9.9
+    assert abs(top["skew_factor"] - 9.9) < 0.01
+    assert len(rep) == 3 and rep[1]["n_rows"] == 10
+    # composite-key form runs too
+    df2 = df.withColumn("g", F.lit(1))
+    assert key_skew_report(df2, ["k", "g"], top_k=1).collect()[0]["n_rows"] == 900

@@ -119,6 +119,44 @@ def test_q46_exists_rewrites_to_semi_anti(spark):
     assert "LeftAnti" in plan
 
 
+def test_q52_decontam_broadcasts_benchmark_grams(spark):
+    """The graded decontam row: benchmark grams must be the broadcast
+    side; a corpus-side shuffle by gram is the 100 TB scale-killer.
+    The only hash exchanges are the per-doc matched aggregate and the
+    benchmark-gram distinct — never keyed by gram over the corpus."""
+    plan = _plan(spark, "q52_contamination_report")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_q53_bm25_no_python_and_broadcast_idf(spark):
+    """BM25 stays fully native; the per-term idf table broadcasts
+    (a handful of rows) rather than shuffling the postings again."""
+    plan = _plan(spark, "q53_bm25_search")
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q54_sampling_is_shuffle_free(spark):
+    """Both sampling arms are pure pushed-down filters — the graded
+    plan must contain NO exchange at all (union of two filtered
+    scans)."""
+    plan = _plan(spark, "q54_stratified_sample")
+    assert "Exchange" not in plan
+    assert "Union" in plan
+
+
+def test_q55_packing_python_is_arrow_batched(spark):
+    """The FFD kernel is the one permitted Python stage — Arrow-
+    batched applyInPandas, never row-at-a-time; everything around it
+    (token counts, invariants) is native."""
+    plan = _plan(spark, "q55_packing_invariants")
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def _df_plan(spark, df, mode="simple"):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString(mode)

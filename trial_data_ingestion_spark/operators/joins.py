@@ -94,3 +94,31 @@ def salted_join(big: DataFrame, small: DataFrame, on: str,
     ss = small.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)])))
     return bs.join(ss, [on, "__salt"], how).drop("__salt")
+
+
+def key_skew_report(df: DataFrame, key_cols: list[str] | str,
+                    top_k: int = 20) -> DataFrame:
+    """Per-key shuffle-pressure diagnostic: the ``top_k`` heaviest
+    join/agg keys with row count, share of the table, and
+    ``skew_factor`` = count / mean-count-per-key.  This is the number
+    that decides the mitigation: factor ~1-10 -> AQE skew splitting
+    suffices; 100+ on a key a reducer must hold -> salt
+    (:func:`salted_join`) or isolate the hot key.
+
+    One keyed aggregate with map-side combine plus two scalar
+    aggregates — runs at full corpus scale as a cheap pre-flight
+    before a big join."""
+    keys = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("__total"),
+        F.avg("n_rows").alias("__mean"))
+    return (counts
+            .crossJoin(F.broadcast(stats))
+            .select(*keys, "n_rows",
+                    F.round(F.col("n_rows") / F.col("__total"), 6)
+                     .alias("share"),
+                    F.round(F.col("n_rows") / F.col("__mean"), 2)
+                     .alias("skew_factor"))
+            .orderBy(F.desc("n_rows"), *[F.asc(k) for k in keys])
+            .limit(top_k))
