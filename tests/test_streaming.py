@@ -343,6 +343,36 @@ def test_streaming_curation_watermarked_dedup(spark, doc_dir, tmp_path):
     assert len(fps) == len(set(fps)) == n_distinct
 
 
+def test_streaming_contamination_quarantine(spark, doc_dir, tmp_path):
+    """The streaming decontam complement: contaminated ids surfacing
+    as a quarantine side-stream must equal the batch contamination
+    flags over the same documents (min_matches=1)."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_gram_table, contamination_report,
+    )
+    from trial_data_ingestion_spark.streaming.documents import (
+        contaminated_document_stream, read_document_stream,
+    )
+    batch_docs = spark.read.parquet(doc_dir)
+    bench = (batch_docs.where(F.col("doc_id") % 97 == 3)
+             .select("doc_id", "text"))
+    bg = benchmark_gram_table(bench, "text", n=8)
+    stream = read_document_stream(spark, doc_dir,
+                                  max_files_per_trigger=2)
+    q = (contaminated_document_stream(stream, bg, n=8)
+         .writeStream.format("memory").queryName("quarantine")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_quar"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"] for r in
+           spark.sql("SELECT * FROM quarantine").collect()}
+    want = {r["doc_id"] for r in
+            contamination_report(batch_docs, bg, n=8)
+            .where("is_contaminated").collect()}
+    assert got == want and len(want) > 0
+
+
 def test_foreach_batch_upsert(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.sinks import read_upsert_table
     from trial_data_ingestion_spark.streaming.events import (

@@ -52,6 +52,38 @@ def read_document_stream(spark: SparkSession, path: str,
     return reader.load(path)
 
 
+def contaminated_document_stream(docs: DataFrame,
+                                 bench_grams: DataFrame,
+                                 id_col: str = "doc_id",
+                                 text_col: str = "text",
+                                 n: int = 8) -> DataFrame:
+    """Streaming benchmark-contamination quarantine: ids of arriving
+    documents sharing >= 1 token-``n``-gram with the (static,
+    broadcast) benchmark gram table.
+
+    A full streaming decontaminate (anti-join the doc stream against
+    this) would be a stream-stream anti join Spark does not support;
+    the operational pattern is instead a QUARANTINE side-stream — the
+    ingest keeps flowing, contaminated ids land in a table the batch
+    sweep (operators.decontam.decontaminate) removes on the next
+    compaction.  Plan: narrow gram explode on the stream, one
+    stream-static LEFT SEMI broadcast join, then streaming
+    ``dropDuplicates`` on the id — that state holds one key per
+    CONTAMINATED document (the quarantine list itself, small by
+    construction), not per document seen."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        token_ngrams,
+    )
+    from pyspark.sql import functions as F
+
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            token_ngrams(F.col(text_col), n))).alias("g"))
+    return (grams.join(F.broadcast(bench_grams), "g", "left_semi")
+            .select(id_col).dropDuplicates([id_col]))
+
+
 def curated_document_stream(docs: DataFrame,
                             config: CurationConfig | None = None,
                             ingest_ts_col: str | None = None,
