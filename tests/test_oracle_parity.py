@@ -144,3 +144,23 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_events_loader_normalizes_all_physical_ts_shapes(spark, tmp_path):
+    """The driver has shipped events.ts as nanos-bigint (r1-r3) and
+    tz-naive micros (r4+); a flip to UTC-adjusted TIMESTAMP is the
+    remaining shape.  _events must normalize every shape to the SAME
+    NTZ wall times so no graded expression breaks on regeneration."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.plans.library import _events
+    ev = _events(spark, SF_DIR_ORACLE)
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    d = str(tmp_path)
+    (ev.limit(200).withColumn("ts", F.to_timestamp(F.col("ts")))
+       .write.mode("overwrite").parquet(f"{d}/events.parquet"))
+    ev2 = _events(spark, d)
+    assert dict(ev2.dtypes)["ts"] == "timestamp_ntz"
+    a = sorted(r[0] for r in ev.limit(200).select("ts").collect())
+    b = sorted(r[0] for r in ev2.select("ts").collect())
+    assert a == b

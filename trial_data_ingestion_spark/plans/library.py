@@ -68,17 +68,31 @@ def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events loader: the driver parquet stores ``ts`` as
-    TIMESTAMP(NANOS), which Spark's vectorized reader rejects.  Read
-    nanos as long (legacy conf, runtime-settable) and truncate to
-    microseconds — the same floor conversion DuckDB applies — so both
-    engines see identical timestamps."""
+    """events loader — the ONLY way queries read the events table.
+
+    The driver regenerates testdata each round and the physical type
+    of ``ts`` has drifted across rounds (r1-r3: TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects -> read nanos as long and
+    floor to micros like DuckDB; r4+: tz-naive micros -> NTZ
+    passthrough).  Handle all three shapes so the next flip is a
+    no-op:
+
+      * bigint (nanosAsLong): floor-convert to micros;
+      * TIMESTAMP_NTZ: already naive wall time, pass through;
+      * tz-adjusted TIMESTAMP (isAdjustedToUTC): convert to NTZ at
+        UTC wall time — DuckDB (TimeZone = UTC in this container)
+        truncs/compares the same instants, and it keeps every graded
+        expression on the NTZ path regardless of Spark session tz."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    if dict(raw.dtypes)["ts"] in ("bigint", "long"):
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type in ("bigint", "long"):
         raw = raw.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000)
                                      .cast("long")))
+    elif ts_type == "timestamp":
+        raw = raw.withColumn(
+            "ts", F.convert_timezone(None, F.lit("UTC"), F.col("ts")))
     return raw
 
 
