@@ -81,3 +81,61 @@ def test_corpus_diff_identical_snapshots(spark):
     counts = {r["status"]: r["n_docs"] for r in
               corpus_diff_summary(docs, docs).collect()}
     assert set(counts) == {"unchanged"}
+
+
+def test_approx_heavy_hitters_two_phase(spark):
+    from trial_data_ingestion_spark.operators.corpus_stats import (
+        approx_heavy_hitters,
+    )
+    rows = ([("hot",)] * 500 + [("warm",)] * 120
+            + [(f"cold{i}",) for i in range(380)])
+    df = spark.createDataFrame(rows, "k string")
+    got = approx_heavy_hitters(df, "k", support=0.1).collect()
+    assert [(r["value"], r["n_rows"]) for r in got] == \
+        [("hot", 500), ("warm", 120)]
+    assert abs(got[0]["share"] - 0.5) < 1e-9
+    # below-support keys never appear even if freqItems over-reported
+    assert all(r["share"] >= 0.1 for r in got)
+
+
+def test_duplicate_family_stats_histogram(spark):
+    from trial_data_ingestion_spark.operators.corpus_stats import (
+        duplicate_family_stats,
+    )
+    # one family {1,2,3} (chain), two pair families {10,11}, {20,21}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)],
+        "doc_a long, doc_b long")
+    got = {r["family_size"]: (r["n_families"], r["n_docs"]) for r in
+           duplicate_family_stats(pairs).collect()}
+    assert got == {3: (1, 3), 2: (2, 4)}
+
+
+def test_compression_ratio_signal(spark):
+    import zlib
+
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.textstats import (
+        compression_ratio, hygiene_report,
+    )
+    varied = ("the quick brown fox jumps over a lazy dog while "
+              "seventeen astronomers catalogue distant quasars "
+              "beneath unusually luminous skies tonight")
+    rows = [(1, "spam spam spam " * 50), (2, varied), (3, ""),
+            (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["r"] for r in
+           df.select("doc_id",
+                     compression_ratio(F.col("text")).alias("r"))
+             .collect()}
+    # repetitive text compresses far below varied prose
+    assert got[1] < 0.2 < got[2]
+    assert got[3] == 1.0 and got[4] is None
+    # exact twin of the python computation
+    raw = varied.encode()
+    assert got[2] == round(len(zlib.compress(raw, 6)) / len(raw), 6)
+    # opt-in column on the hygiene sweep
+    rep = hygiene_report(df.where("text IS NOT NULL"),
+                         lid="native", compression=True)
+    assert "compression_ratio" in rep.columns

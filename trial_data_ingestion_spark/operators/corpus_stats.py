@@ -61,6 +61,58 @@ def vocabulary_summary(df: DataFrame, text_col: str = "text",
                  .alias(f"top{top_k}_coverage")))
 
 
+def approx_heavy_hitters(df: DataFrame, col: str,
+                         support: float = 0.01) -> DataFrame:
+    """Keys with frequency >= ~``support`` of the table, found by the
+    two-phase pattern for EXTREME key cardinality (urls, grams) where
+    even the exact ``groupBy`` of :func:`joins.key_skew_report` is a
+    giant shuffle:
+
+      1. ``df.stat.freqItems`` (single pass, per-partition counting +
+       merge, NO shuffle) yields a superset of candidates — it may
+       over-report, never under-report;
+      2. exact counts for the candidate set only: a broadcast
+       semi-join then one tiny keyed aggregate, so the shuffle is
+       O(candidate rows), not O(distinct keys).
+
+    Returns (value, n_rows, share) for candidates whose EXACT share
+    meets ``support``, heaviest first."""
+    cands = [v for v in
+             df.stat.freqItems([col], support).collect()[0][0]
+             if v is not None]
+    if not cands:
+        return (df.sparkSession.createDataFrame(
+            [], "value string, n_rows long, share double"))
+    total = df.count()
+    exact = (df.where(F.col(col).isin(*cands))
+             .groupBy(F.col(col).alias("value"))
+             .agg(F.count(F.lit(1)).alias("n_rows"))
+             .withColumn("share",
+                         F.round(F.col("n_rows") / F.lit(total), 6))
+             .where(F.col("share") >= support)
+             .orderBy(F.desc("n_rows"), F.asc("value")))
+    return exact
+
+
+def duplicate_family_stats(pairs: DataFrame) -> DataFrame:
+    """Forensics over a verified near-dup pair list (the output shape
+    of minhash/jaccard/simhash/embedding dedup): one row per family
+    size with the number of families and total docs involved — the
+    histogram that distinguishes 'a few mirrored sites' from
+    'systemic template spam'.  Uses the same two-regime connected
+    components as removal, so it scales with the duplicate set."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+    labels = connected_components_min_label(pairs)
+    fams = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("family_size"))
+    return (fams.groupBy("family_size")
+            .agg(F.count(F.lit(1)).alias("n_families"),
+                 F.sum("family_size").alias("n_docs"))
+            .orderBy(F.desc("family_size")))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document change status between two corpus snapshots:

@@ -283,6 +283,35 @@ def detect_language_ngram_arrow(text: Column,
     return _lid(text)
 
 
+def compression_ratio(text: Column) -> Column:
+    """zlib-compressed size / raw UTF-8 size — the published (Gopher/
+    RefinedWeb-family) repetitiveness signal: templated or degenerate
+    text compresses far below ~0.4 while natural prose sits higher.
+    Empty/null-safe (empty -> 1.0, null -> null).
+
+    This is the one hygiene signal with no native expression (Spark
+    has no zlib Column function), so it is an Arrow-batched
+    ``pandas_udf`` — opt-in via ``hygiene_report(compression=True)``
+    to keep the default sweep fully codegen'd."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            raw = x.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+        return s.map(one)
+
+    return _ratio(text)
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the whitespace-normalized,
     lowercased text.  Stable across engines; used for exact-content
@@ -292,7 +321,8 @@ def fingerprint(text: Column) -> Column:
 
 def hygiene_report(df, id_col: str = "doc_id", text_col: str = "text",
                    lid: str = "arrow",
-                   keep_cols: list[str] | None = None):
+                   keep_cols: list[str] | None = None,
+                   compression: bool = False):
     """One-pass training-data hygiene report: per document, language,
     quality score, token/char counts, repetition signals, PII flags,
     and the dedup fingerprint — every signal this module exposes, in
@@ -313,9 +343,12 @@ def hygiene_report(df, id_col: str = "doc_id", text_col: str = "text",
     t = F.col(text_col)
     lid_fn = (detect_language_ngram_arrow if lid == "arrow"
               else detect_language_ngram)
+    extra = ([compression_ratio(t).alias("compression_ratio")]
+             if compression else [])
     return df.select(
         F.col(id_col),
         *[F.col(c) for c in (keep_cols or [])],
+        *extra,
         lid_fn(t).alias("lang"),
         F.round(quality_score(t), 6).alias("quality"),
         token_count(t).alias("n_tokens"),
