@@ -71,6 +71,7 @@ HEADLINE = [
     # round-5 additions
     "b05_curate",                   # composed curation DAG end-to-end
     "b06_substring_dedup",          # exact repeated-substring removal
+    "b07_ngram_lm",                 # bigram LM fit + perplexity score
 ]
 
 
@@ -158,6 +159,22 @@ def _bench_extra():
             F.sum("n_removed_tokens").alias("tokens_removed"),
             F.sum(F.length("text")).alias("total_chars"))
 
+    def b07_ngram_lm(spark, sf_dir):
+        """Bigram LM: fit on the even-id half, score the odd-id half
+        (train/apply split keeps it honest), aggregated so .count()
+        executes the full scoring plan."""
+        from trial_data_ingestion_spark.operators.ngram_lm import (
+            fit_ngram_lm, score_perplexity,
+        )
+        docs = _docs(spark, sf_dir)
+        model = fit_ngram_lm(docs.where("doc_id % 2 = 0"),
+                             vocab_size=20_000)
+        scored = score_perplexity(docs.where("doc_id % 2 = 1"), model)
+        return scored.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("perplexity"), 4).alias("mean_ppl"),
+            F.sum("n_bigrams").alias("n_bigrams"))
+
     # retired from the graded corpus in round 5 (subsumed by q22/q33)
     # but kept in the bench series so its timing history continues
     from trial_data_ingestion_spark.plans.library import (
@@ -167,7 +184,7 @@ def _bench_extra():
     return {**{f.__name__: f for f in
                (b01_hygiene_sweep, b02_decontam_report,
                 b03_bm25_index_and_query, b04_pack_sequences,
-                b05_curate, b06_substring_dedup)},
+                b05_curate, b06_substring_dedup, b07_ngram_lm)},
             "q12_running_window": q12_running_window}
 
 STEADY_PASSES = 3

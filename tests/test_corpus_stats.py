@@ -139,3 +139,39 @@ def test_compression_ratio_signal(spark):
     rep = hygiene_report(df.where("text IS NOT NULL"),
                          lid="native", compression=True)
     assert "compression_ratio" in rep.columns
+
+
+def test_vocabulary_drift_js_divergence(spark):
+    import math
+
+    from trial_data_ingestion_spark.operators.corpus_stats import (
+        vocabulary_drift,
+    )
+    a = spark.createDataFrame(
+        [(1, "alpha alpha beta"), (2, "beta gamma")],
+        "doc_id long, text string")
+    # identical snapshots -> zero divergence, full overlap
+    z = vocabulary_drift(a, a).collect()[0]
+    assert z["js_divergence"] == 0.0
+    assert z["old_types"] == z["new_types"] == z["shared_types"] == 3
+    # disjoint vocabularies -> maximal JS = ln 2
+    b = spark.createDataFrame([(1, "delta epsilon zeta")],
+                              "doc_id long, text string")
+    d = vocabulary_drift(a, b).collect()[0]
+    assert d["js_divergence"] == round(math.log(2), 6)
+    assert d["shared_types"] == 0
+    # known-answer partial drift vs a python reference
+    c = spark.createDataFrame([(1, "alpha beta beta gamma gamma")],
+                              "doc_id long, text string")
+    got = vocabulary_drift(a, c).collect()[0]["js_divergence"]
+    pa = {"alpha": 2 / 5, "beta": 2 / 5, "gamma": 1 / 5}
+    pc = {"alpha": 1 / 5, "beta": 2 / 5, "gamma": 2 / 5}
+    js = 0.0
+    for t in set(pa) | set(pc):
+        p, q = pa.get(t, 0.0), pc.get(t, 0.0)
+        m = (p + q) / 2
+        if p:
+            js += p * math.log(p / m) / 2
+        if q:
+            js += q * math.log(q / m) / 2
+    assert got == round(js, 6)

@@ -113,6 +113,46 @@ def duplicate_family_stats(pairs: DataFrame) -> DataFrame:
             .orderBy(F.desc("family_size")))
 
 
+def vocabulary_drift(old: DataFrame, new: DataFrame,
+                     text_col: str = "text") -> DataFrame:
+    """Distributional drift between two corpus snapshots: one row
+    with the Jensen-Shannon divergence (natural log; 0 = identical,
+    ln 2 upper bound) between their token distributions, plus both
+    vocabulary sizes and the shared-type count.
+
+    A complement to :func:`corpus_diff` (which is per-document):
+    vocabulary drift catches the slow changes document identity
+    misses — a topic shift in replacement crawls, a new boilerplate
+    flood — the signal that a quality model or LM filter
+    (operators.ngram_lm) trained on the OLD snapshot needs refitting.
+    One full-outer join of two word-count tables."""
+    a = (vocabulary_stats(old, text_col)
+         .select("token", F.col("count").alias("ca")))
+    b = (vocabulary_stats(new, text_col)
+         .select("token", F.col("count").alias("cb")))
+    j = (a.join(b, "token", "full_outer")
+         .select("token",
+                 F.coalesce("ca", F.lit(0)).alias("ca"),
+                 F.coalesce("cb", F.lit(0)).alias("cb")))
+    tots = j.agg(F.sum("ca").alias("ta"), F.sum("cb").alias("tb"))
+    p = F.col("ca") / F.col("ta")
+    q = F.col("cb") / F.col("tb")
+    m = (p + q) / 2
+    # 0 * log(0/m) := 0 — guard each side independently
+    kl_p = F.when(F.col("ca") > 0, p * F.log(p / m)).otherwise(0.0)
+    kl_q = F.when(F.col("cb") > 0, q * F.log(q / m)).otherwise(0.0)
+    return (j.crossJoin(F.broadcast(tots))
+            .agg(F.round(F.sum((kl_p + kl_q) / 2), 6)
+                  .alias("js_divergence"),
+                 F.sum(F.when(F.col("ca") > 0, 1).otherwise(0))
+                  .cast("long").alias("old_types"),
+                 F.sum(F.when(F.col("cb") > 0, 1).otherwise(0))
+                  .cast("long").alias("new_types"),
+                 F.sum(F.when((F.col("ca") > 0) & (F.col("cb") > 0), 1)
+                       .otherwise(0)).cast("long")
+                  .alias("shared_types")))
+
+
 def corpus_diff(old: DataFrame, new: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Per-document change status between two corpus snapshots:
