@@ -1,0 +1,103 @@
+"""Incremental MinHash dedup against a persisted signature store:
+parity with full-corpus dedup, partition-pruned probes, append flow."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators.dedup import dedup_minhash
+from trial_data_ingestion_spark.operators.incremental_dedup import (
+    dedup_minhash_incremental, read_minhash_params, write_minhash_index,
+)
+
+THRESH = 0.6
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select("doc_id", "text"))
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def split(docs):
+    corpus = docs.where(F.col("doc_id") < 300)
+    batch = docs.where(F.col("doc_id") >= 300)
+    return corpus, batch
+
+
+@pytest.fixture(scope="module")
+def index_path(tmp_path_factory, split):
+    corpus, _ = split
+    path = str(tmp_path_factory.mktemp("mhidx") / "idx")
+    write_minhash_index(corpus, path, num_buckets=16)
+    return path
+
+
+def test_params_round_trip(spark, index_path):
+    p = read_minhash_params(spark, index_path)
+    assert p == {"k": 8, "num_hashes": 32, "bands": 8,
+                 "num_buckets": 16}
+
+
+def test_incremental_matches_full_corpus_dedup(spark, docs, split,
+                                               index_path):
+    """Survivors of (index corpus A, then incremental batch B) must
+    equal the B-side survivors of one full dedup over A ∪ B.  A's ids
+    are all below B's, so the full run's min-id representatives
+    coincide with the incremental run's corpus-wins rule — the two
+    decision procedures must agree exactly."""
+    corpus, batch = split
+    full = dedup_minhash(docs, "doc_id", "text", threshold=THRESH)
+    full_b_side = {r["doc_id"] for r in
+                   full.where(F.col("doc_id") >= 300)
+                       .select("doc_id").collect()}
+    inc = dedup_minhash_incremental(spark, batch, index_path,
+                                    threshold=THRESH)
+    inc_ids = {r["doc_id"] for r in inc.select("doc_id").collect()}
+    assert inc_ids == full_b_side
+    # sanity: the batch actually contains duplicates to remove
+    assert len(inc_ids) < batch.count()
+
+
+def test_probe_scan_is_partition_pruned(spark, split, index_path):
+    """The cross-candidate scan must read only the partitions of the
+    batch's own bucket hashes — visible as a pbkt filter in the
+    plan's PartitionFilters, not a full-index scan."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        _banded, cross_candidates,
+    )
+    _, batch = split
+    one_doc = batch.orderBy("doc_id").limit(3)
+    nb = _banded(one_doc, "doc_id", "text", 8, 32, 8)
+    cand = cross_candidates(spark, nb, index_path, 16)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "pbkt" in plan
+    # 3 docs x 8 bands = at most 24 distinct pbkt values of 16 total;
+    # the filter must appear as an IN-list partition filter
+    assert "PartitionFilters" in plan
+
+
+def test_append_extends_index(spark, tmp_path, docs, split):
+    """After appending batch B, a rerun of B against the index drops
+    every B doc (each one now collides with its own stored copy)."""
+    corpus, batch = split
+    path = str(tmp_path / "idx2")
+    write_minhash_index(corpus, path, num_buckets=16)
+    survivors = dedup_minhash_incremental(spark, batch, path,
+                                          threshold=THRESH, append=True)
+    assert survivors.count() > 0
+    rerun = dedup_minhash_incremental(spark, batch, path,
+                                      threshold=THRESH)
+    assert rerun.count() == 0
+
+
+def test_empty_batch_is_noop(spark, split, index_path):
+    corpus, batch = split
+    empty = batch.where(F.lit(False))
+    out = dedup_minhash_incremental(spark, empty, index_path,
+                                    threshold=THRESH)
+    assert out.count() == 0

@@ -1,0 +1,117 @@
+"""Product-quantization ANN: recall gates vs exact top-k, encode
+determinism, compression accounting, persisted-index equivalence."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from trial_data_ingestion_spark.operators.quantization import (
+    PQCodebooks, encode_pq, read_pq_codebooks, topk_pq,
+    topk_pq_over_index, train_pq_codebooks, write_pq_index,
+)
+from trial_data_ingestion_spark.operators.similarity import topk_bruteforce
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def queries(spark, emb):
+    rows = emb.orderBy("vec_id").limit(5).collect()
+    return spark.createDataFrame(
+        [(r["vec_id"], list(r["embedding"])) for r in rows],
+        "query_id bigint, query_vec array<float>")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return train_pq_codebooks(emb, dim=DIM, m=8, k=64,
+                              sample_size=1000, seed=7)
+
+
+def _recall(approx, exact, k=10):
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    return len(a & e) / len(e)
+
+
+def test_train_shapes_and_determinism(emb):
+    cb1 = train_pq_codebooks(emb, dim=DIM, m=8, k=16,
+                             sample_size=400, seed=3)
+    cb2 = train_pq_codebooks(emb, dim=DIM, m=8, k=16,
+                             sample_size=400, seed=3)
+    assert cb1.centroids.shape == (8, 16, 8)
+    assert np.array_equal(cb1.centroids, cb2.centroids)
+
+
+def test_train_rejects_indivisible_dim(emb):
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, dim=DIM, m=7)
+
+
+def test_encode_is_deterministic_and_bounded(emb, codebooks):
+    enc = encode_pq(emb, codebooks).select("vec_id", "pq_code")
+    rows1 = {r["vec_id"]: tuple(r["pq_code"]) for r in enc.collect()}
+    rows2 = {r["vec_id"]: tuple(r["pq_code"]) for r in enc.collect()}
+    assert rows1 == rows2
+    assert all(len(c) == 8 for c in rows1.values())
+    assert all(0 <= x < 64 for c in rows1.values() for x in c)
+    # compression accounting: 8 codes of <=1 byte information vs
+    # 64 float32 -> 32x nominal (stored as smallint here: 16x floor)
+    assert len(rows1) == emb.count()
+
+
+def test_pq_recall_vs_bruteforce(emb, queries, codebooks):
+    """With refine at 8x k over a 500-vector corpus the PQ path must
+    agree almost perfectly with the exact scan."""
+    exact = topk_bruteforce(emb, queries, k=10, dim=DIM).collect()
+    approx = topk_pq(emb, queries, codebooks, k=10,
+                     refine_factor=8).collect()
+    rec = _recall(approx, exact)
+    assert rec >= 0.9, f"recall@10 {rec:.3f} < 0.9"
+
+
+def test_pq_scores_are_exact_cosine(emb, queries, codebooks):
+    """Refined scores are the EXACT cosine — for neighbors both paths
+    agree on, the scores must match to double precision."""
+    exact = {(r["query_id"], r["neighbor_id"]): r["score"]
+             for r in topk_bruteforce(emb, queries, k=10,
+                                      dim=DIM).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]): r["score"]
+              for r in topk_pq(emb, queries, codebooks, k=10,
+                               refine_factor=8).collect()}
+    shared = set(exact) & set(approx)
+    assert shared
+    for key in shared:
+        assert exact[key] == pytest.approx(approx[key], abs=1e-9)
+
+
+def test_persisted_index_matches_inmemory(tmp_path, spark, emb,
+                                          queries, codebooks):
+    path = str(tmp_path / "pqidx")
+    write_pq_index(emb, codebooks, path)
+    cb2 = read_pq_codebooks(spark, path)
+    assert np.array_equal(cb2.centroids, codebooks.centroids)
+    assert (cb2.dim, cb2.metric) == (codebooks.dim, codebooks.metric)
+    mem = topk_pq(emb, queries, codebooks, k=10,
+                  refine_factor=4).collect()
+    stored = topk_pq_over_index(spark, path, queries, k=10,
+                                refine_factor=4).collect()
+    assert sorted(map(tuple, mem)) == sorted(map(tuple, stored))
+
+
+def test_l2_metric_path(spark, emb, queries):
+    cb = train_pq_codebooks(emb, dim=DIM, m=8, k=64, metric="l2",
+                            sample_size=1000, seed=7)
+    exact = topk_bruteforce(emb, queries, k=10, metric="l2",
+                            dim=DIM).collect()
+    approx = topk_pq(emb, queries, cb, k=10, refine_factor=8).collect()
+    rec = _recall(approx, exact)
+    assert rec >= 0.9, f"l2 recall@10 {rec:.3f} < 0.9"
