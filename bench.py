@@ -72,6 +72,9 @@ HEADLINE = [
     "b05_curate",                   # composed curation DAG end-to-end
     "b06_substring_dedup",          # exact repeated-substring removal
     "b07_ngram_lm",                 # bigram LM fit + perplexity score
+    "b08_pq_topk",                  # product-quantized ANN build+query
+    "b09_incremental_dedup",        # delta batch vs persisted MinHash store
+    "b10_bpe_train_tokenize",       # BPE train (200 merges) + tokenize
 ]
 
 
@@ -175,6 +178,63 @@ def _bench_extra():
             F.round(F.avg("perplexity"), 4).alias("mean_ppl"),
             F.sum("n_bigrams").alias("n_bigrams"))
 
+    def b08_pq_topk(spark, sf_dir):
+        """Product-quantized ANN end-to-end: train codebooks on a
+        bounded sample, encode the corpus (Arrow pass), ADC-scan +
+        exact refine for 5 queries."""
+        from trial_data_ingestion_spark.operators.quantization import (
+            topk_pq, train_pq_codebooks,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cb = train_pq_codebooks(emb, dim=64, m=8, k=64,
+                                sample_size=2000, iters=10, seed=7)
+        qrows = emb.orderBy("vec_id").limit(5).collect()
+        queries = spark.createDataFrame(
+            [(r["vec_id"], list(r["embedding"])) for r in qrows],
+            "query_id bigint, query_vec array<float>")
+        return topk_pq(emb, queries, cb, k=10, refine_factor=8)
+
+    _mhidx_cache: dict = {}
+
+    def b09_incremental_dedup(spark, sf_dir):
+        """Persisted-MinHash delta dedup: near-dedup the last 20% of
+        the corpus against an index of the first 80% — the 100 TB
+        delta-ingest shape.  The index is built once per sf (the
+        deployment builds once and appends), so the cold pass pays
+        the build and steady passes measure the probe+verify."""
+        import tempfile
+
+        from trial_data_ingestion_spark.operators.incremental_dedup import (
+            dedup_minhash_incremental, write_minhash_index,
+        )
+        docs = _docs(spark, sf_dir)
+        n = docs.count()
+        cut = int(n * 0.8)
+        path = _mhidx_cache.get(sf_dir)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="bench_mhidx_") + "/idx"
+            write_minhash_index(docs.where(F.col("doc_id") < cut), path)
+            _mhidx_cache[sf_dir] = path
+        out = dedup_minhash_incremental(
+            spark, docs.where(F.col("doc_id") >= cut), path,
+            threshold=0.6)
+        return out.agg(F.count(F.lit(1)).alias("survivors"),
+                       F.sum(F.length("text")).alias("chars"))
+
+    def b10_bpe_train_tokenize(spark, sf_dir):
+        """Distributed BPE: word-frequency shuffle + 200 driver
+        merges + Arrow tokenize of the whole corpus, aggregated so
+        .count() executes the tokenization."""
+        from trial_data_ingestion_spark.operators.bpe import (
+            tokenize_bpe, train_bpe, word_frequencies,
+        )
+        docs = _docs(spark, sf_dir)
+        model = train_bpe(word_frequencies(docs), num_merges=200,
+                          max_words=50_000)
+        out = tokenize_bpe(docs, model)
+        return out.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("bpe_tokens_count").alias("n_tokens"))
+
     # retired from the graded corpus in round 5 (subsumed by q22/q33)
     # but kept in the bench series so its timing history continues
     from trial_data_ingestion_spark.plans.library import (
@@ -184,7 +244,9 @@ def _bench_extra():
     return {**{f.__name__: f for f in
                (b01_hygiene_sweep, b02_decontam_report,
                 b03_bm25_index_and_query, b04_pack_sequences,
-                b05_curate, b06_substring_dedup, b07_ngram_lm)},
+                b05_curate, b06_substring_dedup, b07_ngram_lm,
+                b08_pq_topk, b09_incremental_dedup,
+                b10_bpe_train_tokenize)},
             "q12_running_window": q12_running_window}
 
 STEADY_PASSES = 3

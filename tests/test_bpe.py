@@ -1,0 +1,128 @@
+"""BPE tokenizer: indexed trainer vs a from-scratch naive spec,
+segmentation round-trips, distributed apply, save/load."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators.bpe import (
+    END, BPEModel, load_bpe, save_bpe, segment_word, tokenize_bpe,
+    train_bpe, word_frequencies,
+)
+
+
+def naive_train(word_freq: dict, num_merges: int) -> list:
+    """Spec oracle: recompute the full pair-count table from scratch
+    before every merge (the textbook O(merges * corpus) algorithm)."""
+    words = {tuple(w) + (END,): c for w, c in word_freq.items()}
+    merges = []
+    for _ in range(num_merges):
+        stats: dict = {}
+        for syms, freq in words.items():
+            for pair in zip(syms, syms[1:]):
+                stats[pair] = stats.get(pair, 0) + freq
+        if not stats:
+            break
+        best_count = max(stats.values())
+        best = min(p for p, c in stats.items() if c == best_count)
+        merges.append(best)
+        joined = best[0] + best[1]
+        new_words = {}
+        for syms, freq in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i < len(syms) - 1 and syms[i] == best[0]
+                        and syms[i + 1] == best[1]):
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + freq
+        words = new_words
+    return merges
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select("doc_id", "text"))
+    df.cache().count()
+    return df
+
+
+def test_trainer_matches_naive_spec(spark):
+    corpus = {"low": 5, "lower": 2, "newest": 6, "widest": 3,
+              "aaa": 4, "banana": 2}
+    wf = spark.createDataFrame(list(corpus.items()), "word string, cnt long")
+    fast = train_bpe(wf, num_merges=30).merges
+    slow = tuple(naive_train(corpus, 30))
+    assert fast == slow
+
+
+def test_trainer_matches_naive_on_real_text(spark, docs):
+    wf = word_frequencies(docs.limit(40))
+    freq = {r["word"]: r["cnt"] for r in wf.collect()}
+    fast = train_bpe(wf, num_merges=50).merges
+    slow = tuple(naive_train(freq, 50))
+    assert fast == slow
+
+
+def test_segmentation_round_trips(spark, docs):
+    wf = word_frequencies(docs)
+    model = train_bpe(wf, num_merges=200, max_words=20_000)
+    for word in ["the", "information", "unprecedented", "xyzzyq"]:
+        toks = segment_word(word, model.ranks)
+        assert "".join(toks).replace(END, "") == word
+
+
+def test_tokenize_distributed_and_cached_agree(spark, docs, tmp_path):
+    wf = word_frequencies(docs)
+    model = train_bpe(wf, num_merges=100, max_words=20_000)
+    out = tokenize_bpe(docs.limit(50), model)
+    rows = out.select("doc_id", "text", "bpe_tokens",
+                      "bpe_tokens_count").collect()
+    assert len(rows) == 50
+    for r in rows:
+        toks = r["bpe_tokens"]
+        assert r["bpe_tokens_count"] == len(toks)
+        # concatenation reconstructs the lowercased whitespace-joined text
+        rebuilt = "".join(toks).replace(END, " ").rstrip()
+        expect = " ".join((r["text"] or "").lower().split())
+        assert rebuilt == expect
+
+
+def test_more_merges_fewer_tokens(spark, docs):
+    wf = word_frequencies(docs)
+    small = train_bpe(wf, num_merges=20, max_words=20_000)
+    big = train_bpe(wf, num_merges=300, max_words=20_000)
+    sample = docs.limit(30)
+    n_small = (tokenize_bpe(sample, small)
+               .agg(F.sum("bpe_tokens_count")).collect()[0][0])
+    n_big = (tokenize_bpe(sample, big)
+             .agg(F.sum("bpe_tokens_count")).collect()[0][0])
+    assert n_big < n_small
+
+
+def test_save_load_round_trip(spark, docs, tmp_path):
+    wf = word_frequencies(docs.limit(20))
+    model = train_bpe(wf, num_merges=40)
+    path = str(tmp_path / "bpe")
+    save_bpe(model, spark, path)
+    assert load_bpe(spark, path).merges == model.merges
+
+
+def test_word_frequencies_matches_duckdb(spark, sf_dir):
+    import duckdb
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {(r["word"], r["cnt"])
+           for r in word_frequencies(df, min_count=3).collect()}
+    want = set(duckdb.sql(f"""
+        select word, count(*) as cnt from (
+          select unnest(string_split_regex(lower(text), '\\s+')) as word
+          from '{sf_dir}/documents.parquet') t
+        where length(word) > 0
+        group by word having count(*) >= 3
+    """).fetchall())
+    assert got == want

@@ -143,3 +143,72 @@ def test_curate_end_to_end(spark):
                    curate(docs, benchmark=bench,
                           config=CurationConfig(lid="native")).collect())
     assert again == ids
+
+
+def test_curate_incremental_matches_full(spark, tmp_path):
+    """curate(A ∪ B) must equal curate(A) ∪ curate_incremental(B)
+    row-for-row when batch ids sort after corpus ids: the delta path
+    is a pure optimization, not a different policy."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, curate_incremental,
+    )
+    rows = _rows()
+    # make B contain: fresh docs, a dup of an A doc, an in-batch dup
+    b_rows = [(200, "completely new prose about systems and signals "
+               * 8),
+              (201, rows[1][1]),            # dup of A's doc 1
+              (202, "another genuinely new document with plenty of "
+               "words to pass every hygiene gate in the pipeline "
+               * 6),
+              (203, "another genuinely new document with plenty of "
+               "words to pass every hygiene gate in the pipeline "
+               * 6)]                        # in-batch dup of 202
+    cfg = CurationConfig(lid="native")
+    a = spark.createDataFrame(rows, "doc_id long, text string")
+    b = spark.createDataFrame(b_rows, "doc_id long, text string")
+    benchmark = spark.createDataFrame(
+        [(0, rows[2][1])], "bench_id long, text string")
+
+    full = curate(a.unionByName(b), benchmark=benchmark, config=cfg)
+    curated_a_path = str(tmp_path / "curated_a")
+    curate(a, benchmark=benchmark, config=cfg).write.parquet(
+        curated_a_path)
+    curated_a = spark.read.parquet(curated_a_path)
+    inc = curate_incremental(b, curated_a, benchmark=benchmark,
+                             config=cfg)
+
+    full_ids = {r["doc_id"]: r["split"] for r in
+                full.select("doc_id", "split").collect()}
+    a_ids = {r["doc_id"]: r["split"] for r in
+             curated_a.select("doc_id", "split").collect()}
+    inc_ids = {r["doc_id"]: r["split"] for r in
+               inc.select("doc_id", "split").collect()}
+    assert {**a_ids, **inc_ids} == full_ids
+    assert set(inc_ids) & set(a_ids) == set()
+    # the delta really filtered: dup-of-corpus and in-batch dup gone
+    assert 201 not in inc_ids and 203 not in inc_ids
+    assert 200 in inc_ids and 202 in inc_ids
+
+
+def test_curate_incremental_is_idempotent(spark, tmp_path):
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, curate_incremental,
+    )
+    cfg = CurationConfig(lid="native")
+    a = spark.createDataFrame(_rows(), "doc_id long, text string")
+    path = str(tmp_path / "curated")
+    curate(a, config=cfg).write.parquet(path)
+    curated = spark.read.parquet(path)
+    again = curate_incremental(a, curated, config=cfg)
+    assert again.count() == 0
+
+
+def test_curate_incremental_rejects_substring_dedup(spark):
+    import pytest
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate_incremental,
+    )
+    cfg = CurationConfig(substring_dedup_ngram=50)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="corpus-global"):
+        curate_incremental(df, df, config=cfg)

@@ -103,3 +103,48 @@ def test_bib_cross_file_keep_first_deterministic(spark, tmp):
         rows = read_bib(spark, str(tmp)).collect()
         assert len(rows) == 1
         assert rows[0]["journal"] == "From A"
+
+
+def test_orc_round_trip(spark, tmp, sf_dir):
+    from trial_data_ingestion_spark.sources.readers import read_orc
+    from trial_data_ingestion_spark.sinks import write_orc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp / "docs_orc")
+    write_orc(docs, path, partition_by=["lang"])
+    back = read_orc(spark, path)
+    assert back.count() == docs.count()
+    assert set(back.columns) == set(docs.columns)
+    a = sorted(tuple(r) for r in docs.select("doc_id", "n_chars").collect())
+    b = sorted(tuple(r) for r in back.select("doc_id", "n_chars").collect())
+    assert a == b
+
+
+def test_orc_partition_pruning(spark, tmp, sf_dir):
+    # a lang filter over the partitioned layout must prune to that
+    # partition directory, not scan-and-filter
+    from trial_data_ingestion_spark.sources.readers import read_orc
+    from trial_data_ingestion_spark.sinks import write_orc
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp / "docs_orc2")
+    write_orc(docs, path, partition_by=["lang"])
+    q = read_orc(spark, path).where("lang = 'en'")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan
+    assert q.count() == docs.where("lang = 'en'").count()
+
+
+def test_avro_gated_with_clear_error(spark, tmp, sf_dir):
+    from trial_data_ingestion_spark.sources.readers import (
+        _avro_available, read_avro,
+    )
+    from trial_data_ingestion_spark.sinks import write_avro
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    path = str(tmp / "docs_avro")
+    if _avro_available(spark):
+        write_avro(docs, path)
+        assert read_avro(spark, path).count() == docs.count()
+    else:
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            write_avro(docs, path)
+        with pytest.raises(NotImplementedError, match="spark-avro"):
+            read_avro(spark, path)

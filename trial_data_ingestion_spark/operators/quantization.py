@@ -332,6 +332,9 @@ def write_pq_index(embeddings: DataFrame, codebooks: PQCodebooks,
           .withColumn("metric", F.lit(codebooks.metric))
           .coalesce(1)
           .write.mode("overwrite").parquet(path + "/codebooks"))
+    # rebuild-over-existing: invalidate the cached file listing
+    spark.catalog.refreshByPath(path + "/codes")
+    spark.catalog.refreshByPath(path + "/codebooks")
 
 
 def read_pq_codebooks(spark, path: str) -> PQCodebooks:

@@ -460,6 +460,7 @@ def write_ivf_index(embeddings: DataFrame, centroids: DataFrame,
     if dim is not None:
         cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
     (cells.write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    embeddings.sparkSession.catalog.refreshByPath(path)
 
 
 def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
@@ -521,6 +522,7 @@ def write_srp_index(embeddings: DataFrame, path: str, dim: int,
            .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
            .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
     (out.write.mode("overwrite").partitionBy("bucket").parquet(path))
+    embeddings.sparkSession.catalog.refreshByPath(path)
 
 
 def topk_lsh_over_index(spark, index_path: str, queries: DataFrame,

@@ -115,3 +115,46 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                                 n=cfg.decontam_ngram, flag_from=raw)
     return split_by_hash(deduped, cfg.id_col, cfg.split_weights,
                          seed=cfg.split_seed)
+
+
+def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
+                       benchmark: DataFrame | None = None,
+                       config: CurationConfig | None = None) -> DataFrame:
+    """Curate ONLY a delta batch against an already-curated corpus —
+    the 100 TB operating mode: the standing corpus is never
+    re-gated, re-hashed, or re-split; each arriving batch pays cost
+    proportional to the batch.
+
+    Stages: hygiene gate + in-batch exact dedup (identical to
+    :func:`curate`), then a fingerprint anti-join against the
+    existing corpus ("corpus wins" — the scan column-prunes to the
+    single fingerprint column), then decontamination and the
+    content-stable split (the same doc lands in the same split
+    whether it arrived in the initial load or a delta — the md5
+    bucket depends only on the id).
+
+    Exactly equivalent to re-running :func:`curate` over the union
+    when batch ids sort after corpus ids (parity-tested).  Substring
+    dedup is corpus-global (first occurrence across the whole
+    corpus), so it is rejected here — run it in periodic full sweeps
+    instead.  For NEAR-dup incrementality compose with
+    ``operators.incremental_dedup`` (persisted MinHash store) before
+    calling this."""
+    cfg = config or CurationConfig()
+    if cfg.substring_dedup_ngram is not None:
+        raise ValueError(
+            "substring dedup is corpus-global (first occurrence over "
+            "the full corpus) and cannot run incrementally; disable "
+            "it here and run periodic full sweeps.")
+    gated = hygiene_gate(new_docs, cfg)
+    deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
+    fresh = deduped.join(
+        existing_curated.select("fingerprint").distinct(),
+        "fingerprint", "left_anti")
+    if benchmark is not None:
+        raw = new_docs.select(cfg.id_col, cfg.text_col)
+        fresh = decontaminate(fresh, benchmark, id_col=cfg.id_col,
+                              text_col=cfg.text_col,
+                              n=cfg.decontam_ngram, flag_from=raw)
+    return split_by_hash(fresh, cfg.id_col, cfg.split_weights,
+                         seed=cfg.split_seed)

@@ -47,6 +47,28 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: Optional[list] = None) -> None:
+    """ORC sink — columnar twin of :func:`write_parquet` for
+    Hive-interchange corpora."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Avro sink — gated on the spark-avro module like
+    :func:`~.sources.readers.read_avro`."""
+    from trial_data_ingestion_spark.sources.readers import _avro_available
+    if not _avro_available(df.sparkSession):
+        raise NotImplementedError(
+            "Avro sink requires the spark-avro module "
+            "(org.apache.spark:spark-avro); it is not on this "
+            "classpath.")
+    df.write.mode(mode).format("avro").save(path)
+
+
 def write_summary_json(summary: dict, path: str) -> None:
     """K6 — run-summary counters (fulltext_enricher.py:234-249)."""
     with open(path, "w", encoding="utf-8") as f:

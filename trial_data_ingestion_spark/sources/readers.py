@@ -54,6 +54,40 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pruning/pushdown guarantees as
+    parquet (Spark's built-in ORC v2 source); interchange format for
+    Hive-era corpora."""
+    return spark.read.orc(path)
+
+
+def _avro_available(spark: SparkSession) -> bool:
+    """The Avro DataSource lives in the separate ``spark-avro``
+    module; probe Spark's own datasource registry (a bare
+    ``Class.forName`` is not enough — stray avro-core jars make the
+    class resolvable while the source stays unregistered)."""
+    try:
+        spark._jvm.org.apache.spark.sql.execution.datasources \
+            .DataSource.lookupDataSource(
+                "avro", spark._jsparkSession.sessionState().conf())
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro scan — row-oriented interchange (Kafka-era corpora).
+    Requires the ``spark-avro`` module on the classpath; raises a
+    clear error when absent rather than a Java stack trace."""
+    if not _avro_available(spark):
+        raise NotImplementedError(
+            "Avro source requires the spark-avro module "
+            "(org.apache.spark:spark-avro); it is not on this "
+            "classpath. Use parquet/ORC, or add the package to "
+            "spark.jars.packages.")
+    return spark.read.format("avro").load(path)
+
+
 def normalize_articles(df: DataFrame) -> DataFrame:
     """v1 record normalization (normalize.py:36-49): coalesce id/
     full_text aliases into the Article shape.  Missing source columns
