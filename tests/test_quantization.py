@@ -115,3 +115,79 @@ def test_l2_metric_path(spark, emb, queries):
     approx = topk_pq(emb, queries, cb, k=10, refine_factor=8).collect()
     rec = _recall(approx, exact)
     assert rec >= 0.9, f"l2 recall@10 {rec:.3f} < 0.9"
+
+
+class TestIVFPQ:
+    @pytest.fixture(scope="class")
+    def index_path(self, tmp_path_factory, emb):
+        from trial_data_ingestion_spark.operators.quantization import (
+            build_ivfpq,
+        )
+        path = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+        build_ivfpq(emb, dim=DIM, path=path, num_cells=8, m=8, k=64,
+                    sample_size=1000, seed=7)
+        return path
+
+    def test_recall_vs_bruteforce(self, spark, emb, queries, index_path):
+        from trial_data_ingestion_spark.operators.quantization import (
+            topk_ivfpq,
+        )
+        exact = topk_bruteforce(emb, queries, k=10, dim=DIM).collect()
+        # the standard IVF recall/nprobe trade: half the cells probed
+        # -> most neighbors; 3/4 probed -> nearly all (measured 0.78 /
+        # 0.92 on this corpus)
+        half = topk_ivfpq(spark, index_path, queries, k=10,
+                          nprobe=4, refine_factor=8).collect()
+        rec4 = _recall(half, exact)
+        assert rec4 >= 0.75, f"ivfpq nprobe=4 recall {rec4:.3f} < 0.75"
+        most = topk_ivfpq(spark, index_path, queries, k=10,
+                          nprobe=6, refine_factor=8).collect()
+        rec6 = _recall(most, exact)
+        assert rec6 >= 0.9, f"ivfpq nprobe=6 recall {rec6:.3f} < 0.9"
+        assert rec6 >= rec4
+
+    def test_scan_is_partition_pruned(self, spark, queries, index_path):
+        from pyspark.sql import functions as F
+        probed = spark.read.parquet(index_path + "/codes") \
+                      .where(F.col("cell_id").isin([0, 1]))
+        plan = probed._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "cell_id" in plan
+        # only the probed directories' files are actually read
+        # (input_file_name is assigned at read time, post-pruning —
+        # inputFiles() would list the full pre-pruning index)
+        files = {r["f"] for r in probed.select(
+            F.input_file_name().alias("f")).distinct().collect()}
+        assert files and all("/cell_id=0/" in f or "/cell_id=1/" in f
+                             for f in files)
+
+    def test_scores_are_exact_cosine(self, spark, emb, queries,
+                                     index_path):
+        from trial_data_ingestion_spark.operators.quantization import (
+            topk_ivfpq,
+        )
+        exact = {(r["query_id"], r["neighbor_id"]): r["score"]
+                 for r in topk_bruteforce(emb, queries, k=10,
+                                          dim=DIM).collect()}
+        approx = {(r["query_id"], r["neighbor_id"]): r["score"]
+                  for r in topk_ivfpq(spark, index_path, queries, k=10,
+                                      nprobe=4,
+                                      refine_factor=8).collect()}
+        shared = set(exact) & set(approx)
+        assert shared
+        for key in shared:
+            assert exact[key] == pytest.approx(approx[key], rel=1e-6)
+
+    def test_full_probe_equals_bruteforce(self, spark, emb, queries,
+                                          index_path):
+        """nprobe = num_cells and refine over everything must recover
+        the exact result — the index is lossless under full probe."""
+        from trial_data_ingestion_spark.operators.quantization import (
+            topk_ivfpq,
+        )
+        exact = topk_bruteforce(emb, queries, k=10, dim=DIM).collect()
+        full = topk_ivfpq(spark, index_path, queries, k=10, nprobe=8,
+                          refine_factor=50).collect()
+        assert ({(r["query_id"], r["neighbor_id"], r["rank"])
+                 for r in full}
+                == {(r["query_id"], r["neighbor_id"], r["rank"])
+                    for r in exact})

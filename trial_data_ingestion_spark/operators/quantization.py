@@ -366,3 +366,205 @@ def topk_pq_over_index(spark, index_path: str, queries: DataFrame,
                    query_id_col=query_id_col, query_vec_col=query_vec_col,
                    k=k, refine_factor=refine_factor, encoded=stored,
                    exclude_self=exclude_self)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse inverted-file cells + residual product codes — the
+# combined layout (Jegou et al. 2011 §V; the default FAISS index for
+# billion-vector corpora).  The scan prunes to nprobe cell partitions
+# AND reads only 8-byte codes inside them; exact refine restores
+# accuracy on the short candidate list.
+# ---------------------------------------------------------------------------
+
+
+def _unit_vectors(df: DataFrame, id_col: str, vec_col: str,
+                  dim: int) -> DataFrame:
+    """(id, __raw, __unit): unit-normalized vectors — cosine on raw
+    vectors == monotone L2 on the unit sphere (l2^2 = 2 - 2 cos).
+    The norm is materialized as its own column FIRST so the
+    per-element division references a computed value instead of
+    re-evaluating the dim-term sum once per element."""
+    return (df.select(F.col(id_col),
+                      F.col(vec_col).alias("__raw"),
+                      l2_norm_fixed(vec_col, dim).alias("__n"))
+              .select(id_col, "__raw",
+                      F.transform(
+                          "__raw",
+                          lambda x: x.cast("double") / F.when(
+                              F.col("__n") == 0.0,
+                              F.lit(1.0)).otherwise(F.col("__n")))
+                      .alias("__unit")))
+
+
+def build_ivfpq(embeddings: DataFrame, dim: int, path: str,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                num_cells: int = 16, m: int = 8, k: int = 256,
+                seed: int = 42, sample_size: int = 20_000) -> None:
+    """Train + persist an IVF-PQ index under ``path``:
+
+    1. coarse centroids: distributed k-means on the unit-normalized
+       corpus (``similarity.kmeans_centroids``);
+    2. residuals: ``unit_vec - nearest_centroid``, computed natively
+       (broadcast centroid join, codegen'd zip_with subtraction);
+    3. PQ codebooks trained on a bounded residual sample (metric
+       'l2' — residuals are not unit vectors);
+    4. layout: (id, pq_code, raw vector, precomputed norm) parquet
+       partitioned by ``cell_id`` — one file per cell; centroids and
+       codebooks stored beside it.
+
+    Residual coding (not raw-vector coding) is what makes PQ accurate
+    inside a cell: residual magnitudes are ~cell radius, so the same
+    8 bytes quantize a much smaller volume."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        _nearest_cells, kmeans_centroids,
+    )
+    spark = embeddings.sparkSession
+    unit = _unit_vectors(embeddings, id_col, vec_col, dim)
+    centroids = kmeans_centroids(unit, num_cells=num_cells,
+                                 vec_col="__unit", seed=seed)
+    assigned = _nearest_cells(unit, centroids, "__unit", id_col, 1, dim)
+    with_res = (assigned
+                .join(F.broadcast(centroids), "cell_id")
+                .withColumn("__res", F.zip_with(
+                    "__unit", "centroid", lambda x, y: x - y))
+                .drop("centroid"))
+    cb = train_pq_codebooks(with_res, dim=dim, m=m, k=k,
+                            vec_col="__res", metric="l2", seed=seed,
+                            sample_size=sample_size)
+    enc = (encode_pq(with_res, cb, id_col=id_col, vec_col="__res")
+           .select(id_col, "cell_id", "pq_code",
+                   F.col("__raw").alias(vec_col),
+                   l2_norm_fixed("__raw", dim).alias("__nrm")))
+    (enc.repartition("cell_id")
+        .write.mode("overwrite").partitionBy("cell_id")
+        .parquet(path + "/codes"))
+    (centroids.coalesce(1).write.mode("overwrite")
+              .parquet(path + "/centroids"))
+    rows = [(s, c, [float(x) for x in cb.centroids[s][c]])
+            for s in range(cb.m) for c in range(cb.k)]
+    (spark.createDataFrame(rows, "s int, c int, centroid array<double>")
+          .withColumn("dim", F.lit(cb.dim))
+          .withColumn("metric", F.lit(cb.metric))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(path + "/codebooks"))
+    for sub in ("/codes", "/centroids", "/codebooks"):
+        spark.catalog.refreshByPath(path + sub)
+
+
+def topk_ivfpq(spark, index_path: str, queries: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               query_id_col: str = "query_id",
+               query_vec_col: str = "query_vec",
+               k: int = 10, nprobe: int = 4,
+               refine_factor: int = 4,
+               exclude_self: bool = True) -> DataFrame:
+    """Cosine top-k over a :func:`build_ivfpq` layout.
+
+    Per query: the ``nprobe`` nearest cells are found driver-side
+    against the tiny centroid table; the codes scan carries LITERAL
+    ``cell_id`` partition filters (static pruning — only probed
+    directories are read) and the ADC kernel reads just (id, cell,
+    code).  LUTs are per (query, cell) — ``||(q - centroid)_s -
+    codebook[s][j]||^2`` — computed lazily per batch (partitioning by
+    cell makes batches cell-homogeneous).  The exact-cosine refine
+    joins raw vectors for the top ``k * refine_factor`` only."""
+    import pandas as pd
+
+    cb = read_pq_codebooks(spark, index_path)
+    cents = spark.read.parquet(index_path + "/centroids").collect()
+    cent_mat = np.array([r["centroid"] for r in
+                         sorted(cents, key=lambda r: r["cell_id"])],
+                        dtype=np.float64)
+    cell_ids = [r["cell_id"] for r in
+                sorted(cents, key=lambda r: r["cell_id"])]
+    qid_type = queries.schema[query_id_col].dataType.simpleString()
+    query_rows = queries.select(query_id_col, query_vec_col).collect()
+    qmat = np.array([np.asarray(r[query_vec_col], dtype=np.float64)
+                     for r in query_rows])
+    qnrm = np.linalg.norm(qmat, axis=1, keepdims=True)
+    qnrm[qnrm == 0.0] = 1.0
+    qunit = qmat / qnrm
+    # nprobe nearest cells per query (tiny: q x num_cells)
+    d2 = (np.sum(qunit ** 2, axis=1)[:, None]
+          - 2.0 * qunit @ cent_mat.T
+          + np.sum(cent_mat ** 2, axis=1)[None, :])
+    probe_idx = np.argsort(d2, axis=1)[:, :nprobe]
+    probed_cells = sorted({cell_ids[j] for row in probe_idx for j in row})
+    # per (query, cell) LUTs
+    luts: dict = {}
+    for qi in range(len(query_rows)):
+        for j in probe_idx[qi]:
+            res_q = qunit[qi] - cent_mat[j]
+            luts[(qi, cell_ids[j])] = _query_luts(
+                res_q[None, :], cb)[0]
+
+    qids = [r[query_id_col] for r in query_rows]
+    stored = (spark.read.parquet(index_path + "/codes")
+              .where(F.col("cell_id").isin(probed_cells)))
+    id_type = stored.schema[id_col].dataType.simpleString()
+    r = max(k * refine_factor, k)
+    out_schema = (f"{query_id_col} {qid_type}, __nid {id_type},"
+                  f" adc double")
+
+    def kernel(batches):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            codes = np.array([np.asarray(c, dtype=np.int64)
+                              for c in pdf["pq_code"]])
+            cells = pdf["cell_id"].to_numpy()
+            ids = pdf[id_col].to_numpy()
+            out_q, out_i, out_d = [], [], []
+            for qi, qid in enumerate(qids):
+                mask = np.isin(cells,
+                               [cell_ids[j] for j in probe_idx[qi]])
+                if not mask.any():
+                    continue
+                sel = np.flatnonzero(mask)
+                dist = np.zeros(len(sel), dtype=np.float64)
+                for cell in np.unique(cells[sel]):
+                    lut = luts[(qi, int(cell))]
+                    cmask = np.flatnonzero(cells[sel] == cell)
+                    rows_ = sel[cmask]
+                    dsub = np.zeros(len(rows_), dtype=np.float64)
+                    for s in range(cb.m):
+                        dsub += lut[s][codes[rows_, s]]
+                    dist[cmask] = dsub
+                keep = min(r, len(sel))
+                part = np.argpartition(dist, keep - 1)[:keep]
+                out_q.extend([qid] * keep)
+                out_i.extend(ids[sel[part]].tolist())
+                out_d.extend(dist[part].tolist())
+            yield pd.DataFrame({query_id_col: out_q, "__nid": out_i,
+                                "adc": out_d})
+
+    cand = (stored.select(id_col, "cell_id", "pq_code")
+            .mapInPandas(kernel, schema=out_schema))
+    if exclude_self:
+        cand = cand.where(F.col("__nid").cast("string")
+                          != F.col(query_id_col).cast("string"))
+    wq = Window.partitionBy(query_id_col).orderBy(
+        F.col("adc").asc(), F.col("__nid").asc())
+    top = (cand.withColumn("__rn", F.row_number().over(wq))
+               .where(F.col("__rn") <= r)
+               .drop("__rn"))
+    raw = stored.select(F.col(id_col).alias("__nid"),
+                        F.col(vec_col).alias("__v"), "__nrm")
+    qdf = spark.createDataFrame(
+        [(row[query_id_col], [float(x) for x in row[query_vec_col]])
+         for row in query_rows],
+        f"{query_id_col} {qid_type}, __qv array<double>")
+    dim = cb.dim
+    joined = (raw.join(F.broadcast(top), "__nid")
+                 .join(F.broadcast(qdf), query_id_col))
+    score = (dot_fixed("__v", "__qv", dim)
+             / (F.col("__nrm") * l2_norm_fixed("__qv", dim)))
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("score"), F.col("__nid").asc())
+    return (joined.withColumn("score", score)
+                  .withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(query_id_col,
+                          F.col("__nid").alias("neighbor_id"),
+                          "score", "rank"))
