@@ -712,7 +712,7 @@ def q15_fingerprint_dedup(spark, sf_dir):
              .groupBy("fp").agg(F.min("doc_id").alias("doc_id")))
 
 
-@_register("q44_keep_first_dedup", """
+@_retire("q44_keep_first_dedup", """
 SELECT lang, source, doc_id, n_chars FROM (
   SELECT lang, source, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang, source
@@ -727,7 +727,12 @@ def q44_keep_first_dedup(spark, sf_dir):
     file+offset ordinal in ingestion) — the whole surviving row comes
     along, not just the min of one column (contrast q15).  One
     shuffle on the dedup key; at 100 TB identical cost to the
-    groupBy form."""
+    groupBy form.
+
+    Retired in round 5 (still pytest-oracle-verified): its keep-first
+    window shape is graded through q15 (exact dedup) + q05/q33
+    (row_number windows); the freed slot grades the BPE tier's
+    word-frequency stage (q56)."""
     d = _t(spark, sf_dir, "documents")
     w = (Window.partitionBy("lang", "source")
          .orderBy(F.col("doc_id").asc()))
@@ -1817,6 +1822,27 @@ def q55_packing_invariants(spark, sf_dir):
             .where((F.col("total_tokens") > 64) & ~F.col("truncated"))
             .agg(F.count(F.lit(1)).alias("over_budget_seqs")))
     return per_lang.crossJoin(F.broadcast(over))
+
+
+@_register("q56_word_frequencies", """
+SELECT word, CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+      FROM documents) t
+WHERE length(word) > 0
+GROUP BY word
+HAVING count(*) >= 5
+""")
+def q56_word_frequencies(spark, sf_dir):
+    """The BPE tier's corpus-scale stage, driver-graded row-by-row:
+    the word-frequency table (operators/bpe.word_frequencies) that
+    tokenizer training consumes.  ONE shuffle with map-side partial
+    aggregation; the min_count filter rides the aggregate.  The
+    driver-side merge learning and the Arrow tokenize kernel are
+    covered by tests/test_bpe.py (vs a from-scratch spec trainer) —
+    this slot pins the distributed stage's exact counts."""
+    from trial_data_ingestion_spark.operators.bpe import word_frequencies
+    return word_frequencies(_t(spark, sf_dir, "documents"),
+                            min_count=5)
 
 
 #: Every query, graded or retired — tests run parity over all of them.
