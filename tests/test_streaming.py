@@ -387,3 +387,33 @@ def test_foreach_batch_upsert(spark, event_dir, tmp_path):
     q.awaitTermination(120)
     n = read_upsert_table(spark, store).count()
     assert n == spark.read.parquet(event_dir).count()
+
+
+def test_streaming_bpe_tokenize_matches_batch(spark, doc_dir, tmp_path):
+    """Tokenization is stateless, so the stream must emit exactly the
+    batch kernel's rows — same merges, same tokens, same counts."""
+    from trial_data_ingestion_spark.operators.bpe import (
+        tokenize_bpe, train_bpe, word_frequencies,
+    )
+    from trial_data_ingestion_spark.streaming.documents import (
+        read_document_stream, tokenized_document_stream,
+    )
+    batch_docs = spark.read.parquet(doc_dir)
+    model = train_bpe(word_frequencies(batch_docs), num_merges=100,
+                      max_words=20_000)
+    stream = read_document_stream(spark, doc_dir,
+                                  max_files_per_trigger=2)
+    q = (tokenized_document_stream(stream, model)
+         .select("doc_id", "bpe_tokens", "bpe_tokens_count")
+         .writeStream.format("memory").queryName("s_bpe")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_bpe"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (tuple(r["bpe_tokens"]), r["bpe_tokens_count"])
+           for r in spark.sql("SELECT * FROM s_bpe").collect()}
+    want = {r["doc_id"]: (tuple(r["bpe_tokens"]), r["bpe_tokens_count"])
+            for r in tokenize_bpe(batch_docs, model)
+            .select("doc_id", "bpe_tokens", "bpe_tokens_count")
+            .collect()}
+    assert got == want

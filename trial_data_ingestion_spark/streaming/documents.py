@@ -103,3 +103,16 @@ def curated_document_stream(docs: DataFrame,
         return (gated.withWatermark(ingest_ts_col, dedup_horizon)
                 .dropDuplicatesWithinWatermark(["fingerprint"]))
     return gated.dropDuplicates(["fingerprint"])
+
+
+def tokenized_document_stream(docs: DataFrame, model,
+                              text_col: str = "text",
+                              out_col: str = "bpe_tokens") -> DataFrame:
+    """BPE-tokenize an arriving document stream with a pre-trained
+    merge table (train on a batch corpus snapshot with
+    ``operators.bpe.train_bpe``; tokenization itself is a stateless
+    Arrow kernel, so the streaming and batch code paths are the SAME
+    function — ``mapInPandas`` runs unchanged on a streaming
+    DataFrame, no watermark or state required)."""
+    from trial_data_ingestion_spark.operators.bpe import tokenize_bpe
+    return tokenize_bpe(docs, model, text_col=text_col, out_col=out_col)
