@@ -126,3 +126,66 @@ def test_word_frequencies_matches_duckdb(spark, sf_dir):
         group by word having count(*) >= 3
     """).fetchall())
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Property tests (driver-side: segment_word + trainer invariants)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd"),
+                           max_codepoint=0x2FF),
+    min_size=1, max_size=24)
+
+
+class _ModelCache:
+    model = None
+
+
+def _model(spark, docs):
+    if _ModelCache.model is None:
+        wf = word_frequencies(docs)
+        _ModelCache.model = train_bpe(wf, num_merges=150,
+                                      max_words=20_000)
+    return _ModelCache.model
+
+
+@settings(max_examples=300, deadline=None)
+@given(word=_word)
+def test_segment_always_round_trips(word):
+    """For ANY word — seen in training or not — concatenating the
+    segments and stripping the end marker reconstructs the word, and
+    every segment is non-empty."""
+    model = _ModelCache.model
+    if model is None:   # hypothesis runs before the spark fixture:
+        return          # covered by the seeded call in the test below
+    toks = segment_word(word, model.ranks)
+    assert all(toks)
+    assert "".join(toks).replace(END, "") == word
+
+
+def test_property_round_trip_with_real_model(spark, docs):
+    """Seed the module-level model, then drive the hypothesis
+    property above explicitly so it runs against the real merges."""
+    _model(spark, docs)
+    test_segment_always_round_trips()
+
+
+@settings(max_examples=100, deadline=None)
+@given(words=st.lists(_word, min_size=1, max_size=8))
+def test_trainer_merges_are_well_formed(words):
+    """Trainer invariants on arbitrary tiny corpora: every merge pair
+    was adjacent in some segmentation (so replaying merges never
+    stalls), and ranks are unique."""
+    freq = {}
+    for w in words:
+        freq[w] = freq.get(w, 0) + 1
+    merges = naive_train(freq, 20)
+    assert len(set(merges)) == len(merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in words:
+        toks = segment_word(w, ranks)
+        assert "".join(toks).replace(END, "") == w

@@ -4,6 +4,8 @@ equality, persisted-index partition pruning, deterministic ties."""
 from __future__ import annotations
 
 import math
+
+import pytest
 import re
 from collections import Counter
 
@@ -102,3 +104,65 @@ def test_bm25_empty_query_raises(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         bm25_search(None, [], 1, 1.0)
+
+
+def test_rrf_fuse_known_answer(spark):
+    """Hand-computed RRF over two 3-doc rankings (rrf_k=60)."""
+    from trial_data_ingestion_spark.operators.search import rrf_fuse
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(3, 1), (1, 2), (4, 3)],
+                              "doc_id long, rank int")
+    got = {r["doc_id"]: (round(r["rrf_score"], 9), r["lists_hit"],
+                         r["rank"])
+           for r in rrf_fuse([a, b], k=10).collect()}
+    exp_scores = {1: 1 / 61 + 1 / 62, 3: 1 / 63 + 1 / 61,
+                  2: 1 / 62, 4: 1 / 63}
+    order = sorted(exp_scores, key=lambda d: (-exp_scores[d], d))
+    want = {d: (round(exp_scores[d], 9), 2 if d in (1, 3) else 1,
+                order.index(d) + 1)
+            for d in exp_scores}
+    assert got == want
+
+
+def test_rrf_fuse_rejects_empty(spark):
+    from trial_data_ingestion_spark.operators.search import rrf_fuse
+    with pytest.raises(ValueError):
+        rrf_fuse([])
+
+
+def test_hybrid_topk_unions_both_modalities(spark, sf_dir):
+    """A doc ranked #1 lexically and a doc ranked #1 by vector must
+    both fuse into the hybrid top-k, and two-list hits outrank
+    single-list hits at equal positions."""
+    from trial_data_ingestion_spark.operators.search import (
+        bm25_topk, hybrid_topk,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qtext = "data systems measurement"
+    qvec = emb.orderBy("vec_id").limit(1).collect()[0]["embedding"]
+
+    fused = hybrid_topk(docs, emb, qtext, list(qvec), dim=64, k=10)
+    rows = fused.collect()
+    ids = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert len(ids) == 10 and len(set(ids)) == 10
+
+    lex_top = bm25_topk(docs, qtext, k=30).collect()[0]["doc_id"]
+    q = spark.createDataFrame([("q0", list(qvec))],
+                              "query_id string, query_vec array<float>")
+    vec_top = [r["neighbor_id"] for r in
+               topk_bruteforce(emb, q, id_col="vec_id", k=30, dim=64,
+                               exclude_self=False).collect()
+               if r["rank"] == 1][0]
+    assert lex_top in ids and vec_top in ids
+
+    # determinism
+    again = [r["doc_id"] for r in
+             sorted(hybrid_topk(docs, emb, qtext, list(qvec), dim=64,
+                                k=10).collect(),
+                    key=lambda r: r["rank"])]
+    assert again == ids

@@ -30,6 +30,7 @@ import re
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from trial_data_ingestion_spark.operators.decontam import _norm_tokens
 
@@ -132,3 +133,79 @@ def _bucket_of(term: str, num_term_buckets: int) -> int:
     to prune as plain literals."""
     digest = hashlib.md5(term.encode("utf-8")).hexdigest()
     return int(digest[:15], 16) % num_term_buckets
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of lexical + vector
+# rankings (Cormack, Clarke, Buettcher, SIGIR 2009 — the standard
+# score-free fusion; robust because it needs no score calibration
+# between BM25 and cosine).
+# ---------------------------------------------------------------------------
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id",
+             rrf_k: int = 60, k: int = 10) -> DataFrame:
+    """Fuse ranked lists into (id, rrf_score, lists_hit, rank).
+
+    Each input DataFrame carries (``id_col``, ``rank``) with rank
+    1-based; a doc absent from a list contributes nothing for it
+    (the standard convention).  rrf_score = sum over lists of
+    1 / (rrf_k + rank); ties broken by id for determinism.
+
+    Scale shape: each ranked list is already top-k' (tiny), so the
+    union + groupBy is driver-trivial; fusion cost never touches the
+    corpus."""
+    if not rankings:
+        raise ValueError("rrf_fuse: no rankings")
+    tagged = [
+        r.select(F.col(id_col),
+                 (F.lit(1.0) / (F.lit(float(rrf_k)) + F.col("rank")))
+                 .alias("__c"))
+        for r in rankings
+    ]
+    allr = tagged[0]
+    for t in tagged[1:]:
+        allr = allr.unionByName(t)
+    fused = (allr.groupBy(id_col)
+             .agg(F.sum("__c").alias("rrf_score"),
+                  F.count(F.lit(1)).alias("lists_hit")))
+    w = Window.orderBy(F.desc("rrf_score"), F.asc(id_col))
+    return (fused.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k))
+
+
+def hybrid_topk(docs: DataFrame, embeddings: DataFrame,
+                query_text: str, query_vec: list, dim: int,
+                k: int = 10, rrf_k: int = 60,
+                candidates_per_list: int | None = None,
+                id_col: str = "doc_id", text_col: str = "text",
+                vec_id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """Lexical (BM25) + vector (exact cosine) retrieval fused by RRF.
+
+    Each list retrieves ``candidates_per_list`` (default 3k)
+    candidates; fusion keeps the top ``k``.  Vector ids must live in
+    the same id space as ``docs[id_col]``.  For repeated query
+    workloads, swap the internals for the persisted layouts
+    (``bm25_postings`` partitioned by term_bucket;
+    ``quantization.topk_ivfpq`` / ``similarity.topk_lsh_over_index``)
+    — the fusion contract (id, rank) is index-agnostic."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+    cpl = candidates_per_list or 3 * k
+    lex = bm25_topk(docs, query_text, k=cpl, id_col=id_col,
+                    text_col=text_col)
+    wlex = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex_ranked = (lex.withColumn("rank", F.row_number().over(wlex))
+                     .select(F.col("doc_id").alias(id_col), "rank"))
+    spark = docs.sparkSession
+    qdf = spark.createDataFrame(
+        [("q0", [float(x) for x in query_vec])],
+        "query_id string, query_vec array<float>")
+    vec_ranked = (topk_bruteforce(embeddings, qdf, id_col=vec_id_col,
+                                  vec_col=vec_col, k=cpl, dim=dim,
+                                  exclude_self=False)
+                  .select(F.col("neighbor_id").alias(id_col), "rank"))
+    return rrf_fuse([lex_ranked, vec_ranked], id_col=id_col,
+                    rrf_k=rrf_k, k=k)
