@@ -101,3 +101,70 @@ def test_empty_batch_is_noop(spark, split, index_path):
     out = dedup_minhash_incremental(spark, empty, index_path,
                                     threshold=THRESH)
     assert out.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Embedding incremental (persisted SRP layout)
+# ---------------------------------------------------------------------------
+
+EMB_THRESH = 0.4
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def test_embedding_incremental_matches_full(spark, emb, tmp_path):
+    """Same contract as the MinHash parity test: indexing A then
+    incrementally deduping B must keep exactly the B-side survivors
+    of one full near-dedup over A ∪ B (A ids sort first)."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        drop_non_representatives,
+    )
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups, write_srp_index,
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "srp")
+    write_srp_index(corpus, path, dim=DIM)
+
+    pairs = embedding_near_dups(emb, dim=DIM, threshold=EMB_THRESH)
+    assert pairs.count() > 0          # the corpus has planted dups
+    full = drop_non_representatives(emb, pairs, "vec_id")
+    full_b = {r["vec_id"] for r in
+              full.where(F.col("vec_id") >= 300)
+                  .select("vec_id").collect()}
+    inc = embedding_near_dups_incremental(spark, batch, path, DIM,
+                                          threshold=EMB_THRESH)
+    inc_ids = {r["vec_id"] for r in inc.select("vec_id").collect()}
+    assert inc_ids == full_b
+    assert len(inc_ids) < batch.count()
+
+
+def test_embedding_incremental_append_then_rerun_is_noop(spark, emb,
+                                                         tmp_path):
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "srp2")
+    write_srp_index(corpus, path, dim=DIM)
+    first = embedding_near_dups_incremental(spark, batch, path, DIM,
+                                            threshold=EMB_THRESH,
+                                            append=True)
+    assert first.count() > 0
+    rerun = embedding_near_dups_incremental(spark, batch, path, DIM,
+                                            threshold=EMB_THRESH)
+    assert rerun.count() == 0

@@ -139,6 +139,35 @@ def cross_candidates(spark, new_banded: DataFrame, index_path: str,
                .distinct())
 
 
+def _corpus_wins_survivors(new_docs: DataFrame, confirmed: DataFrame,
+                           corpus_nodes: DataFrame,
+                           id_col: str) -> DataFrame:
+    """Cluster-correct incremental removal, shared by the MinHash and
+    embedding incremental paths: connected components over the
+    confirmed pair graph; a new doc survives iff its component holds
+    no corpus doc ("corpus wins" — persisted docs are never
+    retracted) and it is the min-id new doc of its component.
+    ``corpus_nodes``: one ``doc`` column of corpus-side candidate
+    ids."""
+    labels = connected_components_min_label(
+        confirmed.select("doc_a", "doc_b").localCheckpoint())
+    new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
+    # components touching ANY corpus doc: every new member drops
+    corpus_comps = (labels.join(corpus_nodes, "doc")
+                          .select("label").distinct())
+    new_labeled = labels.join(new_ids, "doc")
+    reps = (new_labeled.join(corpus_comps, "label", "left_anti")
+            .groupBy("label").agg(F.min("doc").alias("rep")))
+    drops = (new_labeled.join(corpus_comps, "label", "left_semi")
+             .select("doc")
+             .union(new_labeled.join(reps, "label")
+                    .where(F.col("doc") != F.col("rep"))
+                    .select("doc"))
+             .distinct()
+             .withColumnRenamed("doc", id_col))
+    return new_docs.join(drops, id_col, "left_anti")
+
+
 def dedup_minhash_incremental(spark, new_docs: DataFrame,
                               index_path: str,
                               id_col: str = "doc_id",
@@ -204,25 +233,9 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                  .distinct())
     confirmed = jaccard_verify(union_df, all_cands, id_col, text_col,
                                k, threshold)
-    labels = connected_components_min_label(
-        confirmed.select("doc_a", "doc_b").localCheckpoint())
-
-    new_ids = new_docs.select(F.col(id_col).alias("doc")).distinct()
-    corpus_nodes = cand_corpus.select("doc").distinct()
-    # components touching ANY corpus doc: every new member drops
-    corpus_comps = (labels.join(corpus_nodes, "doc")
-                          .select("label").distinct())
-    new_labeled = labels.join(new_ids, "doc")
-    reps = (new_labeled.join(corpus_comps, "label", "left_anti")
-            .groupBy("label").agg(F.min("doc").alias("rep")))
-    drops = (new_labeled.join(corpus_comps, "label", "left_semi")
-             .select("doc")
-             .union(new_labeled.join(reps, "label")
-                    .where(F.col("doc") != F.col("rep"))
-                    .select("doc"))
-             .distinct()
-             .withColumnRenamed("doc", id_col))
-    survivors = new_docs.join(drops, id_col, "left_anti")
+    survivors = _corpus_wins_survivors(
+        new_docs, confirmed, cand_corpus.select("doc").distinct(),
+        id_col)
     if append:
         # the survivor plan lazily re-reads the index (seen filter,
         # candidate fetch) — pin the decision BEFORE mutating it
@@ -235,4 +248,89 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                             num_buckets=num_buckets, mode="append")
     nb.unpersist()
     cross.unpersist()
+    return survivors
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup, incremental: the same delta-batch contract over
+# the persisted SRP layout (similarity.write_srp_index) — bucket-
+# partitioned unit hyperplane signs instead of MinHash bands.
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
+                                    index_path: str, dim: int,
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding",
+                                    threshold: float = 0.9,
+                                    num_planes: int = 8,
+                                    append: bool = False) -> DataFrame:
+    """New-batch vectors surviving embedding-cosine near-dedup
+    against BOTH a persisted :func:`~.similarity.write_srp_index`
+    corpus and the batch itself.
+
+    The corpus side is a literal-bucket-pruned scan of the stored
+    layout (projections and norms were paid at build time — the
+    corpus never recomputes a plane); the batch side is hashed once
+    and broadcast.  Components are resolved with the same
+    corpus-wins rule as :func:`dedup_minhash_incremental`.  Identical
+    vectors hash to identical buckets, so the seen-id resume filter
+    also rides the pruned scan."""
+    from trial_data_ingestion_spark.functions.vector import (
+        dot_fixed, l2_norm_fixed,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        srp_bucket, write_srp_index,
+    )
+
+    nb = (new_embeddings
+          .select(F.col(id_col).alias("doc"),
+                  F.col(vec_col).alias("v"),
+                  l2_norm_fixed(vec_col, dim).alias("nrm"),
+                  srp_bucket(vec_col, dim, num_planes).alias("bucket"))
+          .persist())
+    buckets = sorted(r["bucket"] for r in
+                     nb.select("bucket").distinct().collect())
+    idx = (spark.read.parquet(index_path)
+           .where(F.col("bucket").isin(buckets))
+           .select(F.col(id_col).alias("doc"),
+                   F.col(vec_col).alias("v"),
+                   F.col("__nrm").alias("nrm"), "bucket"))
+
+    # resume: ids already stored are not "new"
+    seen = idx.select(F.col("doc").alias(id_col)).distinct()
+    new_embeddings = new_embeddings.join(seen, id_col, "left_anti")
+    nb_fresh = nb.join(seen.withColumnRenamed(id_col, "doc"), "doc",
+                       "left_anti")
+
+    a, b = nb_fresh.alias("a"), nb_fresh.alias("b")
+    batch_pairs = (
+        a.join(b, on=[F.col("a.bucket") == F.col("b.bucket"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                     / (F.col("a.nrm") * F.col("b.nrm")))
+         .where(F.col("cos") >= threshold)
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b")))
+    cross_pairs = (
+        idx.alias("c").join(F.broadcast(nb_fresh.alias("n")),
+                            on=[F.col("c.bucket") == F.col("n.bucket"),
+                                F.col("c.doc") != F.col("n.doc")])
+           .withColumn("cos", dot_fixed("c.v", "n.v", dim)
+                       / (F.col("c.nrm") * F.col("n.nrm")))
+           .where(F.col("cos") >= threshold)
+           .select(F.col("c.doc").alias("doc_a"),
+                   F.col("n.doc").alias("doc_b"))
+           .distinct())
+    corpus_nodes = cross_pairs.select(F.col("doc_a").alias("doc")) \
+                              .distinct()
+    confirmed = batch_pairs.unionByName(cross_pairs).distinct()
+    survivors = _corpus_wins_survivors(new_embeddings, confirmed,
+                                       corpus_nodes, id_col)
+    if append:
+        survivors = survivors.localCheckpoint()
+        to_add = new_embeddings.localCheckpoint()
+        write_srp_index(to_add, index_path, dim, id_col=id_col,
+                        vec_col=vec_col, num_planes=num_planes)
+    nb.unpersist()
     return survivors
