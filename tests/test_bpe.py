@@ -189,3 +189,55 @@ def test_trainer_merges_are_well_formed(words):
     for w in words:
         toks = segment_word(w, ranks)
         assert "".join(toks).replace(END, "") == w
+
+
+def test_vocab_and_id_encoding_round_trip(spark, docs):
+    """encode_ids must be tokenize_bpe mapped through a stable vocab:
+    decoding ids through the vocab reproduces the token stream, and
+    with a word_freqs-extended alphabet nothing is UNK."""
+    from trial_data_ingestion_spark.operators.bpe import (
+        encode_ids, vocab_table,
+    )
+    wf = word_frequencies(docs)
+    model = train_bpe(wf, num_merges=150, max_words=20_000)
+    vocab = vocab_table(model, word_freqs=wf)
+    assert len(vocab) == len(set(vocab))     # ids are unambiguous
+    sample = docs.limit(40)
+    toks = {r["doc_id"]: r["bpe_tokens"]
+            for r in tokenize_bpe(sample, model)
+            .select("doc_id", "bpe_tokens").collect()}
+    ids = {r["doc_id"]: r["token_ids"]
+           for r in encode_ids(sample, model, vocab)
+           .select("doc_id", "token_ids").collect()}
+    unk = len(vocab)
+    for doc_id, id_list in ids.items():
+        assert unk not in id_list
+        assert [vocab[i] for i in id_list] == toks[doc_id]
+
+
+def test_bpe_token_counts_feed_packing(spark, docs):
+    """The tokenizer's counts drive FFD packing end-to-end:
+    conservation (every doc packed once, token totals preserved) over
+    BPE counts instead of whitespace counts."""
+    from pyspark.sql import functions as FF
+    from trial_data_ingestion_spark.operators.packing import (
+        pack_sequences,
+    )
+    wf = word_frequencies(docs)
+    model = train_bpe(wf, num_merges=150, max_words=20_000)
+    counted = (tokenize_bpe(docs, model)
+               .select("doc_id",
+                       FF.col("bpe_tokens_count").cast("long")
+                       .alias("n_tokens")))
+    packed = pack_sequences(counted, id_col="doc_id",
+                            token_col="n_tokens", max_tokens=512,
+                            num_shards=4)
+    assert packed.count() == docs.count()
+    t_in = counted.agg(FF.sum("n_tokens")).collect()[0][0]
+    t_out = packed.agg(FF.sum("n_tokens")).collect()[0][0]
+    assert t_in == t_out
+    over = (packed.where((FF.col("n_tokens") <= 512))
+            .groupBy("seq_id")
+            .agg(FF.sum("n_tokens").alias("t"))
+            .where(FF.col("t") > 512).count())
+    assert over == 0

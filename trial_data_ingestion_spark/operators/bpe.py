@@ -220,3 +220,73 @@ def save_bpe(model: BPEModel, spark, path: str) -> None:
 def load_bpe(spark, path: str) -> BPEModel:
     rows = spark.read.parquet(path).orderBy("rank").collect()
     return BPEModel(merges=tuple((r["left"], r["right"]) for r in rows))
+
+
+def vocab_table(model: BPEModel, word_freqs: DataFrame | None = None
+                ) -> list:
+    """Deterministic token vocabulary: single characters observed in
+    the merge table plus every merged symbol, id-ordered (chars
+    lexicographic, then merges by rank — the GPT-2 convention of
+    base alphabet + merges).  Pass ``word_freqs`` to extend the base
+    alphabet with characters the merges never touched (rare chars in
+    never-merged words)."""
+    base = {END}
+    for a, b in model.merges:
+        for sym in (a, b):
+            if len(sym) == 1:
+                base.add(sym)
+    if word_freqs is not None:
+        from pyspark.sql import functions as FF
+        chars = (word_freqs
+                 .select(FF.explode(FF.split("word", "")).alias("c"))
+                 .where(FF.length("c") > 0)
+                 .distinct().collect())
+        base.update(r["c"] for r in chars)
+    vocab = sorted(base) + [a + b for a, b in model.merges]
+    return vocab
+
+
+def encode_ids(df: DataFrame, model: BPEModel, vocab: list,
+               text_col: str = "text", out_col: str = "token_ids",
+               unk_id: int | None = None,
+               lowercase: bool = True) -> DataFrame:
+    """Attach ``out_col`` (array<int>) — the training-shard payload:
+    BPE segments mapped through the vocab.  Out-of-vocab segments
+    (possible when the vocab was built without ``word_freqs``) map to
+    ``unk_id``; default is ``len(vocab)`` (a dedicated trailing UNK
+    slot).  Same Arrow shape as :func:`tokenize_bpe` — stateless, no
+    shuffle, streaming-safe."""
+    import pandas as pd
+    from functools import lru_cache
+
+    ranks = model.ranks
+    tok2id = {t: i for i, t in enumerate(vocab)}
+    unk = len(vocab) if unk_id is None else unk_id
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = (f"{fields}, {out_col} array<int>,"
+                  f" {out_col}_count int")
+
+    def kernel(batches):
+        @lru_cache(maxsize=65536)
+        def seg(word: str) -> tuple:
+            return tuple(tok2id.get(t, unk)
+                         for t in segment_word(word, ranks))
+
+        for pdf in batches:
+            ids_col, cnt_col = [], []
+            for text in pdf[text_col]:
+                text = text or ""
+                if lowercase:
+                    text = text.lower()
+                ids: list = []
+                for w in text.split():
+                    ids.extend(seg(w))
+                ids_col.append(ids)
+                cnt_col.append(len(ids))
+            pdf = pdf.copy()
+            pdf[out_col] = ids_col
+            pdf[out_col + "_count"] = cnt_col
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
