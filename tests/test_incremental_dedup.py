@@ -168,3 +168,56 @@ def test_embedding_incremental_append_then_rerun_is_noop(spark, emb,
     rerun = embedding_near_dups_incremental(spark, batch, path, DIM,
                                             threshold=EMB_THRESH)
     assert rerun.count() == 0
+
+
+def test_compact_minhash_index(spark, docs, split, tmp_path):
+    """After appends fragment the partitions, compaction to a new
+    root must preserve answers exactly and leave one file per
+    partition directory."""
+    import glob
+    from collections import Counter
+
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        compact_minhash_index,
+    )
+    corpus, batch = split
+    path = str(tmp_path / "fragidx")
+    write_minhash_index(corpus, path, num_buckets=16)
+    # two appends -> up to 3 files per touched partition dir
+    half = batch.where(F.col("doc_id") < 400)
+    rest = batch.where(F.col("doc_id") >= 400)
+    dedup_minhash_incremental(spark, half, path, threshold=THRESH,
+                              append=True)
+    dedup_minhash_incremental(spark, rest, path, threshold=THRESH,
+                              append=True)
+    frag_counts = Counter(
+        f.rsplit("/", 2)[1]
+        for f in glob.glob(f"{path}/bands/pbkt=*/part-*.parquet"))
+    assert max(frag_counts.values()) > 1      # fragmentation exists
+
+    out = str(tmp_path / "compactidx")
+    compact_minhash_index(spark, path, out)
+    comp_counts = Counter(
+        f.rsplit("/", 2)[1]
+        for f in glob.glob(f"{out}/bands/pbkt=*/part-*.parquet"))
+    assert max(comp_counts.values()) == 1     # one file per dir
+
+    # identical content and identical probe answers
+    a = {tuple(r) for r in
+         spark.read.parquet(path + "/bands").collect()}
+    b = {tuple(r) for r in
+         spark.read.parquet(out + "/bands").collect()}
+    assert a == b
+    # fresh ids carrying stored docs' text: the probe must traverse
+    # the real candidate path (not the seen-id shortcut) identically
+    probe = (docs.where(F.col("doc_id") < 10)
+             .select((F.col("doc_id") + 10_000).alias("doc_id"),
+                     "text"))
+    r1 = {r["doc_id"] for r in dedup_minhash_incremental(
+        spark, probe, path, threshold=THRESH).collect()}
+    r2 = {r["doc_id"] for r in dedup_minhash_incremental(
+        spark, probe, out, threshold=THRESH).collect()}
+    assert r1 == r2
+
+    with pytest.raises(ValueError):
+        compact_minhash_index(spark, out, out)

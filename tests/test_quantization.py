@@ -191,3 +191,20 @@ class TestIVFPQ:
                  for r in full}
                 == {(r["query_id"], r["neighbor_id"], r["rank"])
                     for r in exact})
+
+
+def test_pq_adc_scan_column_prunes_vectors(tmp_path, spark, emb,
+                                           queries, codebooks):
+    """The ADC pass over a persisted PQ index must read ONLY
+    (id, pq_code) — the raw vector column stays untouched until the
+    refine join (that's the 32x IO claim, visible in ReadSchema)."""
+    from trial_data_ingestion_spark.operators.quantization import (
+        write_pq_index,
+    )
+    path = str(tmp_path / "pq_prune")
+    write_pq_index(emb, codebooks, path)
+    stored = spark.read.parquet(path + "/codes")
+    scan = stored.select("vec_id", "pq_code")
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    m = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert m and "pq_code" in m[0] and "embedding" not in m[0]

@@ -334,3 +334,33 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
                         vec_col=vec_col, num_planes=num_planes)
     nb.unpersist()
     return survivors
+
+
+def compact_minhash_index(spark, index_path: str, out_path: str) -> None:
+    """Rewrite an append-accumulated index at ``index_path`` into a
+    fresh layout at ``out_path`` with one file per partition again.
+
+    Frequent small delta appends leave each ``pbkt``/``dbkt``
+    directory holding one file per append; probe cost grows with
+    file count, not data.  Compaction is a pure re-write (no
+    re-hashing — signatures are already stored), so it is cheap
+    enough to schedule periodically.  Writing to a NEW root keeps
+    the operation atomic-by-rename for the caller and sidesteps
+    Spark's cached-listing hazards of in-place rewrites (see
+    ``write_minhash_index``)."""
+    if out_path.rstrip("/") == index_path.rstrip("/"):
+        raise ValueError(
+            "compact_minhash_index: out_path must differ from "
+            "index_path (atomic swap by rename is the caller's step)")
+    bands = spark.read.parquet(index_path + "/bands")
+    (bands.repartition("pbkt")
+          .write.mode("overwrite").partitionBy("pbkt")
+          .parquet(out_path + "/bands"))
+    docs = spark.read.parquet(index_path + "/docs")
+    (docs.repartition("dbkt")
+         .write.mode("overwrite").partitionBy("dbkt")
+         .parquet(out_path + "/docs"))
+    (spark.read.parquet(index_path + "/params")
+     .coalesce(1).write.mode("overwrite").parquet(out_path + "/params"))
+    for sub in ("/bands", "/docs", "/params"):
+        spark.catalog.refreshByPath(out_path + sub)
