@@ -128,3 +128,63 @@ def test_packing_end_to_end_from_token_chunks(spark):
     stats = packing_stats(packed, max_tokens=1024)
     bad = stats.where("NOT truncated AND total_tokens > 1024").count()
     assert bad == 0
+
+
+def test_materialize_sequences_end_to_end(spark):
+    """Payload assembly: budget respected, tokens conserved, one EOD
+    per member doc, and splitting on EOD recovers every document's
+    exact token array."""
+    import random
+
+    from trial_data_ingestion_spark.operators.packing import (
+        materialize_sequences,
+    )
+    rng = random.Random(11)
+    rows = [(f"d{i:03d}",
+             [rng.randrange(0, 50_000) for _ in
+              range(rng.randrange(1, 120))])
+            for i in range(80)]
+    rows.append(("dbig", [7] * 400))          # oversize -> truncated
+    df = spark.createDataFrame(rows, "chunk_id string, token_ids array<int>")
+    EOD = 50_256
+    out = materialize_sequences(df, eod_id=EOD, max_tokens=256,
+                                num_shards=4)
+    seqs = out.collect()
+
+    for r in seqs:
+        assert r["n_tokens"] == len(r["token_ids"])
+        assert r["token_ids"].count(EOD) == r["n_docs"]
+        if not r["truncated"]:
+            assert r["n_tokens"] <= 256
+    assert sum(r["n_docs"] for r in seqs) == len(rows)
+    assert (sum(r["n_tokens"] for r in seqs)
+            == sum(len(t) + 1 for _, t in rows))
+
+    # EOD-split recovery: the multiset of document payloads survives
+    def split_docs(ids):
+        docs, cur = [], []
+        for x in ids:
+            if x == EOD:
+                docs.append(tuple(cur))
+                cur = []
+            else:
+                cur.append(x)
+        assert cur == []          # sequences end on an EOD
+        return docs
+
+    got = sorted(d for r in seqs for d in split_docs(r["token_ids"]))
+    want = sorted(tuple(t) for _, t in rows)
+    assert got == want
+
+
+def test_materialize_sequences_without_eod(spark):
+    from trial_data_ingestion_spark.operators.packing import (
+        materialize_sequences,
+    )
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("b", [4, 5]), ("c", [6])],
+        "chunk_id string, token_ids array<int>")
+    out = materialize_sequences(df, eod_id=None, max_tokens=6,
+                                num_shards=1).collect()
+    assert sum(r["n_tokens"] for r in out) == 6
+    assert all(r["n_tokens"] <= 6 for r in out)

@@ -126,3 +126,50 @@ def packing_stats(packed: DataFrame, token_col: str = "n_tokens",
             .withColumn("fill_ratio",
                         F.least(F.col("total_tokens").cast("double")
                                 / max_tokens, F.lit(1.0))))
+
+
+def materialize_sequences(token_rows: DataFrame,
+                          id_col: str = "chunk_id",
+                          ids_col: str = "token_ids",
+                          eod_id: int | None = None,
+                          max_tokens: int = 2048,
+                          num_shards: int = 64) -> DataFrame:
+    """The final mile: turn per-document token-id arrays into the
+    fixed-context training rows a dataloader reads.
+
+    Input: (id, token-id array) — e.g. ``bpe.encode_ids`` output.
+    Each document's LENGTH feeds :func:`pack_sequences` (FFD over
+    counts, never over payloads), then one shuffle on ``seq_id``
+    assembles each sequence: members concatenated in ``seq_pos``
+    order with ``eod_id`` appended after every document when given
+    (the GPT-style end-of-document separator — counted against the
+    budget via the +1 per member).
+
+    Output: (seq_id, token_ids, n_tokens, n_docs, truncated) — one
+    row per packed sequence, ``n_tokens <= max_tokens`` except
+    flagged singleton oversize docs.  Payload bytes move through
+    exactly ONE exchange (the seq_id groupBy); the packing decision
+    itself moved only counts."""
+    sep = 1 if eod_id is not None else 0
+    counted = token_rows.select(
+        F.col(id_col),
+        (F.size(ids_col) + F.lit(sep)).cast("long").alias("__n"))
+    packed = pack_sequences(counted, id_col=id_col, token_col="__n",
+                            max_tokens=max_tokens,
+                            num_shards=num_shards)
+    joined = packed.join(token_rows.select(id_col, ids_col), id_col)
+    body = (F.concat(F.col(ids_col), F.array(F.lit(eod_id)))
+            if eod_id is not None else F.col(ids_col))
+    per_member = joined.select(
+        "seq_id", "seq_pos", "truncated", body.alias("__body"))
+    return (per_member
+            .groupBy("seq_id")
+            .agg(F.flatten(F.array_sort(F.collect_list(
+                     F.struct("seq_pos", "__body"))).getField("__body"))
+                 .alias(ids_col),
+                 F.max(F.col("truncated").cast("int")).cast("boolean")
+                  .alias("truncated"),
+                 F.count(F.lit(1)).alias("n_docs"))
+            .withColumn("n_tokens", F.size(ids_col))
+            .select("seq_id", ids_col, "n_tokens", "n_docs",
+                    "truncated"))
