@@ -171,3 +171,24 @@ def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
     return (df.withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= n_per_stratum)
               .drop("__rk"))
+
+
+def cap_per_group(df: DataFrame, group_col: str, n: int,
+                  key_col: str, seed: str = "s0") -> DataFrame:
+    """At most ``n`` rows per group, chosen content-stably (the
+    per-domain cap of web curation: no single site dominates the
+    corpus).
+
+    Selection order inside a group is the stable hash of ``key_col``
+    (ties by key), so the kept set is a uniform without-replacement
+    draw that survives reruns, repartitioning, and engine swaps —
+    same contract as :func:`stratified_fixed_n`, but keyed by an
+    arbitrary grouping expression and keeping every input column.
+    One shuffle on ``group_col``."""
+    if n < 1:
+        raise ValueError("cap_per_group: n must be >= 1")
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col), seed).asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= n)
+              .drop("__rn"))
