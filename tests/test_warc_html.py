@@ -125,3 +125,24 @@ def test_crawl_to_curation_composition(spark, warc_dir):
     kept = {r["target_uri"]: r for r in gated.collect()}
     assert "http://example.org/a" in kept
     assert kept["http://example.org/a"]["lang"] == "en"
+
+
+def test_streaming_warc_matches_batch(spark, warc_dir, tmp_path):
+    """The crawl-drop directory as a stream: availableNow over the
+    same files must emit exactly the batch reader's rows (shared
+    kernel, so anything else is a harness bug)."""
+    from trial_data_ingestion_spark.sources.warc import read_warc_stream
+    q = (read_warc_stream(spark, warc_dir, max_files_per_trigger=1)
+         .selectExpr("target_uri", "http_status",
+                     "CAST(payload AS STRING) AS body")
+         .writeStream.format("memory").queryName("s_warc")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_warc"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["target_uri"], r["http_status"], r["body"])
+           for r in spark.sql("SELECT * FROM s_warc").collect()}
+    want = {(r["target_uri"], r["http_status"],
+             bytes(r["payload"]).decode())
+            for r in read_warc(spark, warc_dir).collect()}
+    assert got == want and len(got) == 2

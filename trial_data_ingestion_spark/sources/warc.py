@@ -105,6 +105,13 @@ def read_warc(spark: SparkSession, path: str,
     ``response`` records, ``http_status``/``http_content_type`` are
     parsed and ``payload`` is the HTTP BODY; for other types the
     payload is the raw record block."""
+    files = (spark.read.format("binaryFile").load(path)
+             .select("path", "content"))
+    return _records_kernel(files, types)
+
+
+def _records_kernel(files: DataFrame, types: tuple) -> DataFrame:
+    """Shared batch/streaming record-walk (see :func:`read_warc`)."""
     import pandas as pd
 
     want = {t.lower() for t in types} if types else None
@@ -142,6 +149,24 @@ def read_warc(spark: SparkSession, path: str,
                     out["payload"].append(body)
             yield pd.DataFrame(out)
 
-    files = (spark.read.format("binaryFile").load(path)
-             .select("path", "content"))
     return files.mapInPandas(kernel, schema=WARC_SCHEMA)
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     types: tuple = ("response",),
+                     max_files_per_trigger: int | None = None
+                     ) -> DataFrame:
+    """Streaming twin of :func:`read_warc`: a crawl-drop directory
+    consumed as a file-source stream (``binaryFile`` is a supported
+    streaming source; the record-walk kernel is stateless, so the
+    batch and streaming paths share the exact same code).  Pair with
+    ``availableNow`` for catch-up batches or leave running for
+    continuous ingest."""
+    reader = (spark.readStream.format("binaryFile")
+              .schema("path string, modificationTime timestamp, "
+                      "length long, content binary"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return _records_kernel(files, types)
