@@ -76,6 +76,7 @@ HEADLINE = [
     "b09_incremental_dedup",        # delta batch vs persisted MinHash store
     "b10_bpe_train_tokenize",       # BPE train (200 merges) + tokenize
     "b11_ivfpq_topk",               # IVF-PQ pruned-scan ANN query
+    "b12_fuzzy_join",               # lossless-blocked edit-distance join
 ]
 
 
@@ -261,10 +262,25 @@ def _bench_extra():
         return topk_ivfpq(spark, path, queries, k=10, nprobe=6,
                           refine_factor=8)
 
-    # retired from the graded corpus in round 5 (subsumed by q22/q33)
-    # but kept in the bench series so its timing history continues
+    def b12_fuzzy_join(spark, sf_dir):
+        """Edit-distance join (q57's shape at bench scale): q-gram
+        blocked + levenshtein verify over 40-char text prefixes,
+        even ids vs odd ids, d <= 3."""
+        from trial_data_ingestion_spark.operators.fuzzy_join import (
+            fuzzy_join_pairs,
+        )
+        d = _docs(spark, sf_dir)
+        left = (d.where("doc_id % 2 = 0")
+                .select("doc_id", F.substring("text", 1, 40).alias("t")))
+        right = (d.where("doc_id % 2 = 1")
+                 .select("doc_id", F.substring("text", 1, 40).alias("t")))
+        return fuzzy_join_pairs(left, right, "doc_id", "t",
+                                "doc_id", "t", max_distance=3)
+
+    # retired from the graded corpus in round 5 (q05/q12 subsumed by
+    # q33/q35/q22) but kept in the bench series so timing continues
     from trial_data_ingestion_spark.plans.library import (
-        q12_running_window,
+        q05_top_orders_per_customer, q12_running_window,
     )
 
     return {**{f.__name__: f for f in
@@ -272,7 +288,9 @@ def _bench_extra():
                 b03_bm25_index_and_query, b04_pack_sequences,
                 b05_curate, b06_substring_dedup, b07_ngram_lm,
                 b08_pq_topk, b09_incremental_dedup,
-                b10_bpe_train_tokenize, b11_ivfpq_topk)},
+                b10_bpe_train_tokenize, b11_ivfpq_topk,
+                b12_fuzzy_join)},
+            "q05_top_orders_per_customer": q05_top_orders_per_customer,
             "q12_running_window": q12_running_window}
 
 STEADY_PASSES = 3

@@ -202,7 +202,7 @@ def q04_priority_semijoin(spark, sf_dir):
     )
 
 
-@_register("q05_top_orders_per_customer", """
+@_retire("q05_top_orders_per_customer", """
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rnk
 FROM (SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey
@@ -211,7 +211,13 @@ FROM (SELECT o_custkey, o_orderkey, o_totalprice,
 WHERE rnk <= 3
 """)
 def q05_top_orders_per_customer(spark, sf_dir):
-    """Top-k per group via ranking window (deterministic tiebreak)."""
+    """Top-k per group via ranking window (deterministic tiebreak).
+
+    Retired in round 5 (still pytest-oracle-verified): its
+    partitioned ranking-window shape is graded through q33 (window
+    analytics) + q35 (global top-n) + q54/q56's grouped shapes; the
+    freed slot grades the fuzzy edit-distance join (q57), an operator
+    family the corpus didn't cover at all."""
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"),
                                                 F.asc("o_orderkey"))
@@ -1843,6 +1849,37 @@ def q56_word_frequencies(spark, sf_dir):
     from trial_data_ingestion_spark.operators.bpe import word_frequencies
     return word_frequencies(_t(spark, sf_dir, "documents"),
                             min_count=5)
+
+
+@_register("q57_fuzzy_title_join", """
+SELECT a.doc_id AS left_id, b.doc_id AS right_id,
+       CAST(levenshtein(a.t, b.t) AS INT) AS distance
+FROM (SELECT doc_id, substr(text, 1, 40) AS t FROM documents
+      WHERE doc_id % 2 = 0) a
+JOIN (SELECT doc_id, substr(text, 1, 40) AS t FROM documents
+      WHERE doc_id % 2 = 1) b
+  ON levenshtein(a.t, b.t) <= 3
+""")
+def q57_fuzzy_title_join(spark, sf_dir):
+    """Fuzzy record linkage, driver-graded: edit-distance join of
+    even-id vs odd-id 40-char text prefixes at distance <= 3.  The
+    oracle is DuckDB's full quadratic levenshtein join; the engine
+    answers with operators/fuzzy_join.py's LOSSLESS q-gram pigeonhole
+    blocking + native levenshtein verify — a hash match here proves
+    the blocking misses nothing, not just that the arithmetic
+    agrees."""
+    from trial_data_ingestion_spark.operators.fuzzy_join import (
+        fuzzy_join_pairs,
+    )
+    d = _t(spark, sf_dir, "documents")
+    left = (d.where("doc_id % 2 = 0")
+            .select("doc_id", F.substring("text", 1, 40).alias("t")))
+    right = (d.where("doc_id % 2 = 1")
+             .select("doc_id", F.substring("text", 1, 40).alias("t")))
+    out = fuzzy_join_pairs(left, right, "doc_id", "t", "doc_id", "t",
+                           max_distance=3)
+    return out.select("left_id", "right_id",
+                      F.col("distance").cast("int").alias("distance"))
 
 
 #: Every query, graded or retired — tests run parity over all of them.
