@@ -157,6 +157,27 @@ def test_q55_packing_python_is_arrow_batched(spark):
     assert "BatchEvalPython" not in plan
 
 
+def test_q56_word_frequencies_partial_aggregates(spark):
+    """The BPE corpus stage: one shuffle with map-side combine — a
+    partial/final HashAggregate pair around a single exchange, all
+    native (split/explode/count)."""
+    plan = _plan(spark, "q56_word_frequencies")
+    assert plan.count("HashAggregate") >= 2       # partial + final
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "Generate" in plan                     # the explode
+
+
+def test_q57_fuzzy_join_no_python_no_cartesian(spark):
+    """The graded fuzzy join must stay blocked: equi-joins on
+    (gram, pos-bucket) plus the bounded short-string window — never a
+    cartesian product over the corpus — and fully native (explode +
+    substring + levenshtein are all codegen)."""
+    plan = _plan(spark, "q57_fuzzy_title_join")
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan and "PythonUDF" not in plan
+    assert "levenshtein" in plan
+
+
 def _df_plan(spark, df, mode="simple"):
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString(mode)
