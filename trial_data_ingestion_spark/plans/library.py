@@ -183,7 +183,7 @@ def q03_region_rollup(spark, sf_dir):
     )
 
 
-@_register("q04_priority_semijoin", """
+@_retire("q04_priority_semijoin", """
 SELECT o_orderpriority, count(*) AS n_orders
 FROM orders
 WHERE EXISTS (SELECT 1 FROM lineitem
@@ -191,7 +191,13 @@ WHERE EXISTS (SELECT 1 FROM lineitem
 GROUP BY o_orderpriority
 """)
 def q04_priority_semijoin(spark, sf_dir):
-    """Left-semi join (EXISTS) then count per priority."""
+    """Left-semi join (EXISTS) then count per priority.
+
+    Retired from the graded 50 in round 5: the left-semi (EXISTS)
+    shape stays driver-graded through q46_exists_subqueries (EXISTS +
+    NOT EXISTS over the same orders/lineitem keys) and q24's semi-join
+    resume path; the freed slot grades corpus-wide exact line dedup
+    (q58), a training-data-tier operator with no prior graded row."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (
@@ -1880,6 +1886,55 @@ def q57_fuzzy_title_join(spark, sf_dir):
                            max_distance=3)
     return out.select("left_id", "right_id",
                       F.col("distance").cast("int").alias("distance"))
+
+
+@_register("q58_line_dedup", """
+WITH base AS (
+  SELECT doc_id,
+         concat(text, chr(10), substr(text, 1, 60), chr(10), text) AS text
+  FROM documents WHERE text IS NOT NULL
+), split AS (
+  SELECT doc_id, string_split(text, chr(10)) AS parts FROM base
+), exploded AS (
+  SELECT doc_id, unnest(parts) AS line,
+         unnest(range(1, len(parts) + 1)) AS i
+  FROM split
+), occ AS (
+  SELECT doc_id, i - 1 AS pos, line,
+         CASE WHEN length(trim(line)) >= 10 THEN row_number()
+              OVER (PARTITION BY CASE WHEN length(trim(line)) >= 10
+                                      THEN line END
+                    ORDER BY doc_id, i) END AS rn
+  FROM exploded
+)
+SELECT doc_id,
+       coalesce(string_agg(line, chr(10) ORDER BY pos)
+                FILTER (WHERE rn IS NULL OR rn = 1), '') AS text,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed_lines
+FROM occ GROUP BY doc_id
+""")
+def q58_line_dedup(spark, sf_dir):
+    """Corpus-wide exact line dedup (C4/RefinedWeb-style boilerplate
+    removal), driver-graded.  The synthetic documents are single-line,
+    so the query constructs a 3-line corpus in-plan — full text, its
+    60-char prefix, full text again — giving within-doc duplicate
+    lines everywhere plus cross-doc duplicates wherever the corpus
+    repeats texts; line_dedup must keep exactly the corpus-first
+    occurrence of each eligible line (first = min (doc_id, pos)).
+    The engine runs the hashed SCALE path (8-byte xxhash64 shuffle
+    keys); the oracle recomputes first occurrences over the exact
+    strings with a window — a hash match proves the hashed path loses
+    nothing.  Replaces the retired q04 (semi join, still graded via
+    q46's EXISTS)."""
+    from trial_data_ingestion_spark.operators.line_dedup import line_dedup
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("text").isNotNull())
+         .select("doc_id",
+                 F.concat_ws("\n", "text",
+                             F.substring("text", 1, 60),
+                             "text").alias("text")))
+    return line_dedup(d, min_chars=10, hash_lines=True) \
+        .select("doc_id", "text", "n_removed_lines")
 
 
 #: Every query, graded or retired — tests run parity over all of them.
