@@ -77,6 +77,8 @@ HEADLINE = [
     "b10_bpe_train_tokenize",       # BPE train (200 merges) + tokenize
     "b11_ivfpq_topk",               # IVF-PQ pruned-scan ANN query
     "b12_fuzzy_join",               # lossless-blocked edit-distance join
+    "b13_semantic_dedup",           # k-means-blocked SemDeDup sweep
+    "b14_line_dedup",               # corpus-wide exact line dedup
 ]
 
 
@@ -277,6 +279,38 @@ def _bench_extra():
         return fuzzy_join_pairs(left, right, "doc_id", "t",
                                 "doc_id", "t", max_distance=3)
 
+    def b13_semantic_dedup(spark, sf_dir):
+        """SemDeDup sweep end-to-end: k-means codebook (distributed
+        Lloyd fit), broadcast cell assignment, per-cell exact cosine
+        pairs, driver components, representative filter.  Aggregated
+        so .count() executes the anti-join."""
+        from trial_data_ingestion_spark.operators.semantic_dedup import (
+            semantic_dedup,
+        )
+        emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        out = semantic_dedup(emb, dim=64, num_clusters=16, eps=0.4,
+                             seed=7)
+        return out.agg(F.count(F.lit(1)).alias("survivors"))
+
+    def b14_line_dedup(spark, sf_dir):
+        """Corpus-wide exact line dedup (q58's shape at bench scale):
+        hashed-line scale path over the constructed 3-line corpus.
+        Aggregated so .count() cannot prune the rewrite."""
+        from trial_data_ingestion_spark.operators.line_dedup import (
+            line_dedup,
+        )
+        d = (_docs(spark, sf_dir)
+             .where(F.col("text").isNotNull())
+             .select("doc_id",
+                     F.concat_ws("\n", "text",
+                                 F.substring("text", 1, 60),
+                                 "text").alias("text")))
+        out = line_dedup(d, min_chars=10, hash_lines=True)
+        return out.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("n_removed_lines").alias("lines_removed"),
+                       F.sum(F.length("text")).alias("total_chars"))
+
     # retired from the graded corpus in round 5 (q05/q12 subsumed by
     # q33/q35/q22) but kept in the bench series so timing continues
     from trial_data_ingestion_spark.plans.library import (
@@ -289,7 +323,7 @@ def _bench_extra():
                 b05_curate, b06_substring_dedup, b07_ngram_lm,
                 b08_pq_topk, b09_incremental_dedup,
                 b10_bpe_train_tokenize, b11_ivfpq_topk,
-                b12_fuzzy_join)},
+                b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup)},
             "q05_top_orders_per_customer": q05_top_orders_per_customer,
             "q12_running_window": q12_running_window}
 

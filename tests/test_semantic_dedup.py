@@ -1,0 +1,210 @@
+"""Semantic dedup: known answers on handcrafted geometry, parity with
+the global exact near-dup graph on separated clusters (real corpus),
+the paper's farthest-from-centroid representative rule, determinism,
+and the equi-join (not nested-loop) plan shape."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR_ORACLE
+
+DIM = 4
+
+
+def _vec(theta: float, scale: float = 1.0):
+    # unit-ish vectors in a 2D subspace of R^4: cosine == angle diff
+    return [scale * math.cos(theta), scale * math.sin(theta), 0.0, 0.0]
+
+
+def _toy(spark):
+    # two tight angular groups around 0 and pi/2, plus a lone vector:
+    # within-group cosines ~0.999+, across-group ~0 — any sane k=2
+    # clustering separates them.
+    rows = [
+        (1, _vec(0.00)), (2, _vec(0.02)), (3, _vec(0.04, 2.0)),
+        (10, _vec(math.pi / 2)), (11, _vec(math.pi / 2 + 0.03)),
+        (99, _vec(math.pi / 4)),
+    ]
+    return spark.createDataFrame(rows,
+                                 "vec_id long, embedding array<float>")
+
+
+def test_semantic_dedup_known_answers(spark):
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+    df = _toy(spark)
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, dim=DIM, num_clusters=2,
+                                 eps=0.99).collect())
+    # min-id representative per duplicate group; the lone vector at
+    # pi/4 is nobody's epsilon-neighbor and survives
+    assert kept == [1, 10, 99]
+
+
+def test_semantic_dup_pairs_cosine_values(spark):
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    df = _toy(spark)
+    cents = kmeans_centroids(df, 2)
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos"] for r in
+             semantic_dup_pairs(df, cents, DIM, eps=0.99).collect()}
+    assert set(pairs) == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    # exact cosine: angle difference, scale-invariant (doc 3 has
+    # scale 2 and must still match at its angular cosine)
+    assert abs(pairs[(1, 3)] - math.cos(0.04)) < 1e-6
+    assert abs(pairs[(10, 11)] - math.cos(0.03)) < 1e-6
+
+
+def test_semantic_dedup_exact_over_blocked_pairs_on_corpus(spark):
+    """Real embeddings at the corpus's own (loose, cosine ~0.4)
+    neighbor structure: the removal set must EQUAL connected
+    components over exactly the same-cell subset of the global
+    epsilon graph — the blocking contract, verified not assumed —
+    and the blocking must retain a measured fraction of all pairs.
+    (Losslessness at the paper's tight operating point is
+    test_semantic_dedup_lossless_on_planted_dups.)"""
+    from trial_data_ingestion_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        assign_cells,
+        semantic_dedup,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_exact,
+        kmeans_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    eps = 0.4
+    gpairs = embedding_near_dups_exact(emb, threshold=eps, dim=dim) \
+        .select("doc_a", "doc_b").collect()
+    assert len(gpairs) > 0, "fixture must exercise removal"
+    cents = kmeans_centroids(emb, 5, seed=7)
+    cells = {r["vec_id"]: r["cell_id"]
+             for r in assign_cells(emb, cents, dim=dim).collect()}
+    same_cell = [(r["doc_a"], r["doc_b"]) for r in gpairs
+                 if cells[r["doc_a"]] == cells[r["doc_b"]]]
+    recall = len(same_cell) / len(gpairs)
+    assert recall >= 0.5, f"cell blocking recall {recall:.2f}"
+    labels = connected_components_min_label(
+        spark.createDataFrame(same_cell, "doc_a long, doc_b long"))
+    want_drop = {r["doc"] for r in labels.collect()
+                 if r["doc"] != r["label"]}
+    assert want_drop, "fixture must exercise removal"
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    kept = {r["vec_id"] for r in
+            semantic_dedup(emb, dim=dim, eps=eps,
+                           centroids=cents).collect()}
+    assert kept == all_ids - want_drop
+
+
+def test_semantic_dedup_lossless_on_planted_dups(spark):
+    """The paper's operating regime: duplicate groups tight (cosine
+    >= ~0.995) relative to cluster separation (~60 degrees).  With
+    well-separated centroids every epsilon-pair is same-cell, so the
+    removal set must EQUAL the GLOBAL exact graph's — blocking loses
+    nothing."""
+    import numpy as np
+
+    from trial_data_ingestion_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+    rng = np.random.default_rng(11)
+    dim, n_groups, copies = 16, 8, 3
+    bases = rng.normal(size=(n_groups, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows, cents = [], []
+    for g in range(n_groups):
+        cents.append((g, [float(x) for x in bases[g]]))
+        for c in range(copies):
+            v = bases[g] + rng.normal(scale=0.01, size=dim)
+            rows.append((g * 10 + c, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    centroids = spark.createDataFrame(
+        cents, "cell_id int, centroid array<double>")
+    eps = 0.98
+    gpairs = embedding_near_dups_exact(emb, threshold=eps, dim=dim) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components_min_label(gpairs)
+    want_drop = {r["doc"] for r in labels.collect()
+                 if r["doc"] != r["label"]}
+    assert len(want_drop) == n_groups * (copies - 1)
+    kept = {r["vec_id"] for r in
+            semantic_dedup(emb, dim=dim, eps=eps,
+                           centroids=centroids).collect()}
+    assert kept == {r[0] for r in rows} - want_drop
+
+
+def test_semantic_dedup_farthest_rule(spark):
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+    # group around theta=0: member 3 sits FARTHEST from the group
+    # mean (largest angle) -> it is the survivor under the paper's
+    # rule, not min id
+    rows = [
+        (1, _vec(0.00)), (2, _vec(0.01)), (3, _vec(0.10)),
+        (10, _vec(math.pi / 2)), (11, _vec(math.pi / 2 + 0.03)),
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, dim=DIM, num_clusters=2,
+                                 eps=0.98, keep="farthest").collect())
+    assert kept == [3, 10]
+
+
+def test_semantic_dedup_deterministic(spark):
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    a = sorted(r["vec_id"] for r in
+               semantic_dedup(emb, dim=dim, eps=0.4, num_clusters=10, seed=5).collect())
+    b = sorted(r["vec_id"] for r in
+               semantic_dedup(emb, dim=dim, eps=0.4, num_clusters=10, seed=5).collect())
+    assert a == b and 0 < len(a) < emb.count()
+
+
+def test_semantic_dedup_plan_shape(spark):
+    """The cell self-join must be an equi-join (shuffle/broadcast
+    hash or sort-merge — AQE-skew-splittable), never a nested loop;
+    no Python anywhere."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = first_id_centroids(emb, 4).select(
+        "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
+    plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan
+    # the centroid argmin is the only nested loop (broadcast, k rows);
+    # the candidate join itself must key on cell_id
+    assert "SortMergeJoin [cell_id" in plan \
+        or "ShuffledHashJoin [cell_id" in plan \
+        or "BroadcastHashJoin [cell_id" in plan

@@ -1,0 +1,216 @@
+"""Semantic deduplication: k-means-clustered embedding space, exact
+cosine verification inside each cluster, one representative kept per
+epsilon-connected duplicate group (the SemDeDup recipe).
+
+Training-data-pipeline tier.  Near-dedup (dedup.py, similarity.py)
+targets REDUNDANT text — copies and near-copies.  Semantic dedup
+targets REDUNDANT MEANING: paraphrases, templated rewrites,
+re-crawls with different boilerplate, which published work (SemDeDup,
+Abbas et al. 2023, arXiv:2303.09540) shows can be removed at high
+rates with little quality loss.  The mechanics differ from
+`embedding_near_dups` only in the blocking geometry — and that
+difference is the point:
+
+  * SRP buckets (near-dup path) are DATA-INDEPENDENT slices; a pair
+    at cosine 0.9 lands in one bucket with probability that decays
+    with the plane count, so recall needs multi-table unions.
+  * k-means cells (this path) are DATA-ADAPTIVE: semantically close
+    points sit in the same cell by construction, so one blocking
+    pass catches epsilon-pairs at much lower epsilon (0.7-0.95 —
+    the SemDeDup operating range, far below where SRP blocking has
+    usable recall).
+
+Pipeline: assign each vector to its nearest trained centroid
+(broadcast crossJoin against k centers — the corpus never shuffles
+for assignment); self-join within each cell (equi-join on cell_id,
+``id_a < id_b``); exact cosine >= eps; connected components over the
+verified pairs (driver union-find for realistic dup-graph sizes);
+keep one representative per component.
+
+Representative rules:
+  * ``keep="min_id"`` (default): the lowest id — deterministic and
+    DuckDB-reproducible, mirrors every other dedup family here.
+  * ``keep="farthest"``: the member with the LOWEST cosine to its
+    cluster centroid — the paper's choice (retains the least
+    prototypical example, biasing kept data away from dense modes).
+
+Scale notes (100 TB):
+  * centroids train on a sample (`sample_fraction`) with distributed
+    Lloyd iterations; only k centers return to the driver.
+  * per-cell candidate volume is O(sum_c n_c^2): pick
+    ``num_clusters`` so the expected cell population is 10^3-10^4
+    (the paper used 11k clusters for 100M points).  Hot cells are
+    split by AQE skew handling on the equi-join.
+  * the pair list (verified dups only) is orders below the corpus;
+    components resolve on the driver exactly like the MinHash path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.functions.vector import (
+    dot_fixed,
+    l2_norm_fixed,
+)
+from trial_data_ingestion_spark.operators.dedup import (
+    connected_components_min_label,
+)
+from trial_data_ingestion_spark.operators.similarity import (
+    _nearest_cells,
+    kmeans_centroids,
+)
+
+
+def _with_unit(df: DataFrame, vec_col: str, dim: int,
+               out: str = "__u") -> DataFrame:
+    """Attach the unit-sphere projection of ``vec_col`` as ``out``.
+    Duplicate geometry here is COSINE: clustering/assignment must be
+    scale-invariant or a vector that is angularly identical but twice
+    the norm drifts into another L2 cell and its epsilon-pairs are
+    never candidates (zero vectors have no direction and come out
+    null — they join no cell and are never dedup candidates).
+
+    Two projections on purpose: the norm lands in its own column
+    first, so the divide lambda references a slot, not the 64-term
+    sqrt-of-sum expression — inlined per element that becomes a
+    dim^2-term tree that falls out of codegen (measured ~30x slower
+    on 64-dim)."""
+    nrm = f"{out}_nrm"
+    return (df.withColumn(nrm, l2_norm_fixed(vec_col, dim))
+            .withColumn(out, F.when(
+                F.col(nrm) > 0,
+                F.transform(F.col(vec_col),
+                            lambda x: x.cast("double") / F.col(nrm))))
+            .drop(nrm))
+
+
+def assign_cells(embeddings: DataFrame, centroids: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 dim: int = 0) -> DataFrame:
+    """Each row with its nearest ``cell_id`` attached (broadcast
+    centroid crossJoin + per-row argmin over the unit-normalized
+    vector; no corpus shuffle)."""
+    assigned = _nearest_cells(
+        _with_unit(embeddings, vec_col, dim),
+        centroids, "__u", id_col, n_keep=1, dim=dim)
+    return assigned.drop("__u")
+
+
+def sampled_kmeans_centroids(embeddings: DataFrame, dim: int,
+                             num_clusters: int = 16,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             sample_size: int = 20_000,
+                             iters: int = 20,
+                             seed: int = 42) -> DataFrame:
+    """Spherical codebook from a bounded content-stable sample:
+    deterministic driver-side Lloyd (quantization's ``_lloyd``) over
+    at most ``sample_size`` unit-normalized vectors, picked by
+    ``xxhash64(id)`` order (same draw on any partitioning).
+
+    This is the default trainer for :func:`semantic_dedup`: a few
+    hundred points per cell bounds the fit at any corpus scale, and
+    the 20-iteration numpy Lloyd on a 20k sample runs in tens of
+    milliseconds where MLlib's distributed fit pays ~1 s of job
+    scheduling PER ITERATION (measured 19 s vs 0.1 s on 5k x 64 —
+    the distributed fit only wins when the training set itself
+    cannot fit one machine, which a bounded sample never hits).
+    ``kmeans_centroids`` (MLlib) remains for full-corpus fits."""
+    import numpy as np
+
+    from trial_data_ingestion_spark.operators.quantization import _lloyd
+
+    rows = (_with_unit(embeddings, vec_col, dim)
+            .select(F.col(id_col), "__u")
+            .where(F.col("__u").isNotNull())
+            .orderBy(F.xxhash64(F.col(id_col)))
+            .limit(sample_size).collect())
+    pts = np.array([r["__u"] for r in rows], dtype=np.float64)
+    cent = _lloyd(pts, num_clusters, iters,
+                  np.random.default_rng(seed))
+    return embeddings.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent)],
+        "cell_id int, centroid array<double>")
+
+
+def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
+                       dim: int, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       eps: float = 0.9) -> DataFrame:
+    """Verified semantic-duplicate pairs ``(doc_a, doc_b, cos)``:
+    same-cell candidates only, exact cosine >= eps.
+
+    Norms are computed once per vector before the pair join (O(n),
+    and it keeps the per-pair expression inside janino's codegen
+    method limit — see embedding_near_dups)."""
+    # materialize the assignment once: the self-join would otherwise
+    # execute the centroid argmin subtree (crossJoin + per-row window)
+    # once per branch — at any scale that is the single most expensive
+    # narrow stage here, and it is identical on both sides
+    emb = (assign_cells(embeddings, centroids, id_col, vec_col, dim)
+           .select(F.col(id_col).alias("doc"),
+                   F.col(vec_col).alias("v"),
+                   l2_norm_fixed(vec_col, dim).alias("nrm"),
+                   "cell_id")
+           .localCheckpoint())
+    a, b = emb.alias("a"), emb.alias("b")
+    return (
+        a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                     / (F.col("a.nrm") * F.col("b.nrm")))
+         .where(F.col("cos") >= eps)
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"), F.col("cos"))
+    )
+
+
+def semantic_dedup(embeddings: DataFrame, dim: int,
+                   num_clusters: int = 16, eps: float = 0.9,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   keep: str = "min_id", seed: int = 42,
+                   sample_size: int = 20_000,
+                   centroids: DataFrame | None = None) -> DataFrame:
+    """Corpus with semantic duplicates removed: one representative
+    survives per epsilon-connected same-cell duplicate group; rows in
+    no duplicate pair pass through untouched.  Pass ``centroids`` to
+    reuse a trained codebook across sweeps (at scale the codebook,
+    like the quality-filter model, is a persisted artifact)."""
+    if keep not in ("min_id", "farthest"):
+        raise ValueError(f"keep must be min_id|farthest, got {keep!r}")
+    if centroids is None:
+        centroids = sampled_kmeans_centroids(
+            embeddings, dim, num_clusters, id_col, vec_col,
+            sample_size=sample_size, seed=seed)
+    pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
+                               vec_col, eps) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components_min_label(pairs)
+    if keep == "min_id":
+        drops = (labels.where(F.col("label") != F.col("doc"))
+                 .select(F.col("doc").alias(id_col)))
+    else:
+        # cosine of each component member to its OWN cell centroid;
+        # representative = lexicographic min of (cos, id) — the least
+        # prototypical member, deterministic under ties
+        member = (assign_cells(embeddings, centroids, id_col, vec_col,
+                               dim)
+                  .join(labels.withColumnRenamed("doc", id_col),
+                        id_col)
+                  .join(centroids.select("cell_id",
+                                         F.col("centroid").alias("c")),
+                        "cell_id")
+                  .select(id_col, "label",
+                          (dot_fixed(vec_col, "c", dim)
+                           / (l2_norm_fixed(vec_col, dim)
+                              * l2_norm_fixed("c", dim))).alias("cc")))
+        reps = (member.groupBy("label")
+                .agg(F.min(F.struct("cc", id_col)).alias("__rep"))
+                .select(F.col(f"__rep.{id_col}").alias("__keep_id")))
+        drops = (member.join(reps,
+                             member[id_col] == reps["__keep_id"],
+                             "left_anti")
+                 .select(id_col))
+    return embeddings.join(drops, id_col, "left_anti")
