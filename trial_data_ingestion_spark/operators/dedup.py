@@ -174,6 +174,61 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     return hashed.groupBy("doc").agg(*aggs)
 
 
+def lsh_candidate_probability(s: float, bands: int,
+                              rows_per_band: int) -> float:
+    """P(a pair at Jaccard similarity ``s`` becomes an LSH candidate)
+    under ``bands`` bands of ``rows_per_band`` MinHashes each — the
+    standard S-curve 1 - (1 - s^r)^b (Mining of Massive Datasets,
+    ch. 3).  Driver-side arithmetic for planning and tests."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
+def lsh_plan(threshold: float, num_hashes: int = 128,
+             false_negative_weight: float = 5.0) -> dict:
+    """Choose (bands, rows_per_band) for a target Jaccard threshold:
+    the banding whose S-curve loses the least probability mass to the
+    wrong side of ``threshold`` — integrated false-negative mass
+    above it (pairs the blocking MISSES, weighted
+    ``false_negative_weight`` because dedup silently keeping a
+    duplicate costs more than verifying a spurious candidate) plus
+    false-positive mass below it.
+
+    Returns ``{bands, rows_per_band, num_hashes, midpoint}`` with
+    ``num_hashes = bands * rows_per_band`` (<= the requested budget;
+    only exact factorizations are considered) and ``midpoint`` the
+    similarity where the curve crosses 1/2 — the classic
+    ``(1/b)^(1/r)`` rule-of-thumb anchor, within a few percent of
+    ``threshold`` for any sane budget.  Feed the result straight into
+    :func:`dedup_minhash` / :func:`minhash_lsh_candidates`.
+
+    At 100 TB the planner matters because bands trade shuffle volume
+    (b bucket rows per doc) against verify volume (candidate pairs):
+    picking b, r by curve fit instead of folklore keeps both sides
+    budgeted as the threshold moves."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 200
+    best = None
+    for r in range(1, num_hashes + 1):
+        b = num_hashes // r
+        if b < 1:
+            break
+        # integrate |curve - ideal step at threshold| on a grid
+        cost = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = lsh_candidate_probability(s, b, r)
+            if s >= threshold:
+                cost += false_negative_weight * (1.0 - p)
+            else:
+                cost += p
+        if best is None or cost < best[0]:
+            best = (cost, b, r)
+    _, b, r = best
+    return {"bands": b, "rows_per_band": r, "num_hashes": b * r,
+            "midpoint": (1.0 / b) ** (1.0 / r)}
+
+
 def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
                            k: int = 8, num_hashes: int = 32,
                            bands: int = 8) -> DataFrame:

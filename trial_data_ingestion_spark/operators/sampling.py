@@ -160,6 +160,35 @@ def mixture_sample(df: DataFrame, source_col: str,
                              default_fraction=0.0, seed=seed)
 
 
+def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
+                        alpha: float = 0.7,
+                        max_rows: int | None = None,
+                        seed: str = "s0") -> DataFrame:
+    """Temperature-flattened domain mixture: target weights
+    proportional to ``count_s ** alpha`` — the multilingual /
+    multi-domain rebalancing rule (alpha=1 keeps natural proportions,
+    alpha->0 approaches uniform over sources; pretraining mixes
+    typically sit at 0.5-0.8 to stop a giant head domain drowning the
+    tail).  Sampling itself can only DOWNSAMPLE, so flattening works
+    by trimming the head: weights derive from observed counts, then
+    :func:`mixture_sample` pins the feasible scale to the scarcest
+    source and keeps every source content-stable.
+
+    One per-source count aggregate (one row per source to the
+    driver), then the pushed-down filter — identical scale shape to
+    mixture_sample itself."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    counts = {r["s"]: r["n"] for r in
+              df.groupBy(F.col(source_col).alias("s"))
+                .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if not counts:
+        raise ValueError("empty corpus")
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    return mixture_sample(df, source_col, weights, key_col,
+                          max_rows=max_rows, seed=seed)
+
+
 def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
                        key_col: str, seed: str = "s0") -> DataFrame:
     """Exactly min(n, |stratum|) rows per stratum, drawn uniformly
