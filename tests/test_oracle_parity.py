@@ -114,7 +114,7 @@ def test_window_query_parity_at_bench_scale(spark, name):
 # actually fill.  Value-hash these against DuckDB at bench scale too.
 DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  "q29_embedding_dups", "q48_embedding_dups_blocked",
-                 "q49_ngram_jaccard_capped"]
+                 "q49_ngram_jaccard_capped", "q58_line_dedup"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

@@ -76,15 +76,23 @@ def duplicated_line_occurrences(df: DataFrame, id_col: str = "doc_id",
             .select("doc", "pos"))
 
 
-def line_dedup(df: DataFrame, id_col: str = "doc_id",
-               text_col: str = "text", min_chars: int = 10,
-               hash_lines: bool = True) -> DataFrame:
-    """Rewrite ``text_col`` with corpus-duplicated lines removed
-    (first occurrence kept), adding ``n_removed_lines``.  All other
-    columns pass through; documents with no duplicated lines keep
-    ``text_col`` byte-identical."""
-    dups = duplicated_line_occurrences(df, id_col, text_col,
-                                       min_chars, hash_lines)
+def _eligible_occurrences(df: DataFrame, id_col: str, text_col: str,
+                          min_chars: int) -> DataFrame:
+    """(doc, pos, line=xxhash64) for every eligible line occurrence
+    (trimmed length >= min_chars) — the hashed scale path's unit."""
+    return (ensure_parallelism(df.select(id_col, text_col))
+            .select(F.col(id_col).alias("doc"),
+                    F.posexplode(F.split(text_col, "\n", -1))
+                     .alias("pos", "line"))
+            .where(F.length(F.trim("line")) >= min_chars)
+            .withColumn("line", F.xxhash64("line")))
+
+
+def _apply_drops(df: DataFrame, dups: DataFrame, id_col: str,
+                 text_col: str) -> DataFrame:
+    """Shared rewrite: join the (doc, pos) drop list per doc, filter
+    the split array natively, count removals.  Docs with no drops
+    pass through byte-identical."""
     drops = (dups.groupBy(F.col("doc").alias(id_col))
              .agg(F.collect_list("pos").alias("__drop")))
     out = df.join(drops, id_col, "left")
@@ -98,3 +106,107 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
                 F.when(F.col("__drop").isNull(), F.col(text_col))
                  .otherwise(F.array_join(kept, "\n")))
             .drop("__drop"))
+
+
+def write_line_index(df: DataFrame, path: str, id_col: str = "doc_id",
+                     text_col: str = "text", min_chars: int = 10,
+                     num_buckets: int = 64,
+                     mode: str = "overwrite") -> None:
+    """Persist the corpus's eligible-line key set: DISTINCT xxhash64
+    line keys partitioned by ``pbkt = pmod(key, num_buckets)``.  This
+    is line dedup's entire standing state — 8 bytes per distinct
+    line, append-friendly, probe-prunable — the incremental-tier
+    sibling of the MinHash band store (incremental_dedup.py)."""
+    lines = (_eligible_occurrences(df, id_col, text_col, min_chars)
+             .select("line").distinct()
+             .withColumn("pbkt", F.pmod(F.col("line"),
+                                        F.lit(num_buckets))))
+    (lines.repartition("pbkt")
+     .write.mode(mode).partitionBy("pbkt").parquet(path + "/lines"))
+    spark = df.sparkSession
+    (spark.createDataFrame([(min_chars, num_buckets)],
+                           "min_chars int, num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+    for sub in ("/lines", "/params"):
+        spark.catalog.refreshByPath(path + sub)
+
+
+def probe_line_store(spark, occ: DataFrame, index_path: str,
+                     num_buckets: int) -> DataFrame:
+    """Distinct batch line keys already present in the store: the
+    store is scanned only in the partitions named by the batch's own
+    bucket hashes (literal ``pbkt`` filter — static partition
+    pruning) with the batch's distinct keys broadcast, so the
+    store side never shuffles."""
+    probe = (occ.select("line").distinct()
+             .withColumn("pbkt", F.pmod(F.col("line"),
+                                        F.lit(num_buckets))))
+    pbkts = sorted(r["pbkt"]
+                   for r in probe.select("pbkt").distinct().collect())
+    store = spark.read.parquet(index_path + "/lines")
+    if pbkts:
+        store = store.where(F.col("pbkt").isin(pbkts))
+    return (store.join(F.broadcast(probe), ["line", "pbkt"],
+                       "left_semi")
+            .select("line").distinct())
+
+
+def line_dedup_incremental(spark, new_docs: DataFrame, index_path: str,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           append: bool = False) -> DataFrame:
+    """Delta-batch line dedup against a persisted line store: a batch
+    occurrence is dropped iff its line is already IN the store
+    ("store wins" — persisted text is never retracted) or it is not
+    the batch-first occurrence of a store-new line.  With ``append``
+    the surviving first-occurrence keys extend the store, so the next
+    batch sees them.
+
+    EQUAL to re-running :func:`line_dedup` (hashed path) over
+    corpus + batch and keeping the batch docs, whenever corpus doc
+    ids order before batch ids — the append-flow invariant every
+    incremental path here shares.
+
+    Scale: the store is scanned only in the partitions named by the
+    batch's own bucket hashes (static pruning) with the batch's
+    distinct keys broadcast; store-side data never shuffles, and the
+    per-batch cost is O(batch lines + matched keys)."""
+    params = spark.read.parquet(index_path + "/params").collect()[0]
+    min_chars, num_buckets = params["min_chars"], params["num_buckets"]
+    occ = _eligible_occurrences(new_docs, id_col, text_col,
+                                min_chars).localCheckpoint()
+    # materialized once: reused by the drop predicate AND the append
+    # branch — without the checkpoint each use re-scans the store
+    seen = probe_line_store(spark, occ, index_path,
+                            num_buckets).localCheckpoint()
+    firsts = (occ.groupBy("line")
+              .agg(F.min(F.struct("doc", "pos")).alias("__first")))
+    dups = (occ.join(seen.withColumn("__seen", F.lit(True)),
+                     "line", "left")
+            .join(firsts, "line")
+            .where(F.col("__seen").isNotNull()
+                   | (F.col("doc") != F.col("__first.doc"))
+                   | (F.col("pos") != F.col("__first.pos")))
+            .select("doc", "pos"))
+    if append:
+        fresh = (firsts.join(seen, "line", "left_anti")
+                 .select("line").distinct()
+                 .withColumn("pbkt", F.pmod(F.col("line"),
+                                            F.lit(num_buckets))))
+        (fresh.repartition("pbkt")
+         .write.mode("append").partitionBy("pbkt")
+         .parquet(index_path + "/lines"))
+        spark.catalog.refreshByPath(index_path + "/lines")
+    return _apply_drops(new_docs, dups, id_col, text_col)
+
+
+def line_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", min_chars: int = 10,
+               hash_lines: bool = True) -> DataFrame:
+    """Rewrite ``text_col`` with corpus-duplicated lines removed
+    (first occurrence kept), adding ``n_removed_lines``.  All other
+    columns pass through; documents with no duplicated lines keep
+    ``text_col`` byte-identical."""
+    dups = duplicated_line_occurrences(df, id_col, text_col,
+                                       min_chars, hash_lines)
+    return _apply_drops(df, dups, id_col, text_col)
