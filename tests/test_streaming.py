@@ -417,3 +417,71 @@ def test_streaming_bpe_tokenize_matches_batch(spark, doc_dir, tmp_path):
             .select("doc_id", "bpe_tokens", "bpe_tokens_count")
             .collect()}
     assert got == want
+
+
+def test_streaming_line_dedup_across_batches(spark, tmp_path):
+    """Corpus-wide line dedup as a stream (the persisted line store
+    IS the state): multi-line docs whose lines repeat across files;
+    after the availableNow run every eligible line survives EXACTLY
+    once corpus-wide, ineligible lines always survive, and a second
+    stream over all-duplicate content drops every eligible line —
+    store-wins across stream restarts."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.line_dedup import (
+        write_line_index,
+    )
+    from trial_data_ingestion_spark.streaming.documents import (
+        line_deduped_document_sink, read_document_stream,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+            .where("doc_id < 150").select("doc_id", "text").collect())
+    texts = {}
+    for r in docs:
+        toks = r["text"].split()
+        texts[r["doc_id"]] = "\n".join(
+            " ".join(toks[i:i + 7]) for i in range(0, len(toks), 7))
+    src = str(tmp_path / "lined_src")
+    lined = spark.createDataFrame(sorted(texts.items()),
+                                  "doc_id long, text string")
+    lined.repartition(5).write.mode("overwrite").parquet(src)
+    idx, out = str(tmp_path / "lidx"), str(tmp_path / "lout")
+    write_line_index(lined.limit(0), idx, min_chars=10)   # empty store
+    stream = read_document_stream(spark, src,
+                                  schema="doc_id long, text string",
+                                  max_files_per_trigger=1)
+    q = (line_deduped_document_sink(stream, idx, out)
+         .option("checkpointLocation", str(tmp_path / "ckpt_ld"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2      # really crossed batches
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == len(texts)
+    kept_eligible, removed = [], 0
+    for r in got:
+        orig_lines = texts[r["doc_id"]].split("\n")
+        out_lines = r["text"].split("\n") if r["text"] else []
+        # ineligible lines all survive, order preserved
+        assert [l for l in out_lines if len(l.strip()) < 10] == \
+            [l for l in orig_lines if len(l.strip()) < 10]
+        kept_eligible += [l for l in out_lines if len(l.strip()) >= 10]
+        removed += r["n_removed_lines"]
+    # every distinct eligible line survives exactly once corpus-wide
+    all_eligible = [l for t in texts.values() for l in t.split("\n")
+                    if len(l.strip()) >= 10]
+    assert sorted(kept_eligible) == sorted(set(all_eligible))
+    assert removed == len(all_eligible) - len(set(all_eligible)) > 0
+
+    # restart with all-duplicate content: the store remembers
+    src2, out2 = str(tmp_path / "src2"), str(tmp_path / "lout2")
+    lined.limit(20).write.mode("overwrite").parquet(src2)
+    stream2 = read_document_stream(spark, src2,
+                                   schema="doc_id long, text string")
+    q2 = (line_deduped_document_sink(stream2, idx, out2)
+          .option("checkpointLocation", str(tmp_path / "ckpt_ld2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    for r in spark.read.parquet(out2).collect():
+        assert not [l for l in r["text"].split("\n")
+                    if len(l.strip()) >= 10], r["doc_id"]

@@ -143,7 +143,11 @@ def probe_line_store(spark, occ: DataFrame, index_path: str,
                                         F.lit(num_buckets))))
     pbkts = sorted(r["pbkt"]
                    for r in probe.select("pbkt").distinct().collect())
-    store = spark.read.parquet(index_path + "/lines")
+    # explicit schema: a store initialized over an empty corpus has
+    # no files to infer from (the streaming sink starts that way)
+    store = (spark.read.schema("line long, pbkt int")
+             .option("basePath", index_path + "/lines")
+             .parquet(index_path + "/lines"))
     if pbkts:
         store = store.where(F.col("pbkt").isin(pbkts))
     return (store.join(F.broadcast(probe), ["line", "pbkt"],

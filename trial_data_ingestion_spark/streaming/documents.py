@@ -116,3 +116,33 @@ def tokenized_document_stream(docs: DataFrame, model,
     DataFrame, no watermark or state required)."""
     from trial_data_ingestion_spark.operators.bpe import tokenize_bpe
     return tokenize_bpe(docs, model, text_col=text_col, out_col=out_col)
+
+
+def line_deduped_document_sink(docs: DataFrame, index_path: str,
+                               out_path: str,
+                               id_col: str = "doc_id",
+                               text_col: str = "text"):
+    """Streaming corpus-wide line dedup: every micro-batch runs
+    ``operators.line_dedup.line_dedup_incremental`` against the
+    persisted line store (probe pruned to the batch's buckets) with
+    ``append=True``, so lines first seen in one batch suppress their
+    recurrences in every later batch — and across stream restarts,
+    because the store IS the state (no Spark state store involved;
+    watermarks cannot bound corpus-wide line dedup anyway, a footer
+    repeats forever).
+
+    Initialize the store once with ``write_line_index`` (over the
+    standing corpus, or over a zero-row frame to start empty); the
+    rewritten batches append as parquet at ``out_path``.  Returns the
+    ``DataStreamWriter`` — caller picks the trigger."""
+    from trial_data_ingestion_spark.operators.line_dedup import (
+        line_dedup_incremental,
+    )
+
+    def sink(batch_df, batch_id):
+        out = line_dedup_incremental(batch_df.sparkSession, batch_df,
+                                     index_path, id_col=id_col,
+                                     text_col=text_col, append=True)
+        out.write.mode("append").parquet(out_path)
+
+    return docs.writeStream.foreachBatch(sink)
