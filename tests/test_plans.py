@@ -9,8 +9,10 @@ from tests.conftest import SF_DIR_ORACLE
 
 
 def _plan(spark, name, mode="simple"):
-    from trial_data_ingestion_spark.plans import QUERIES
-    df = QUERIES[name](spark, SF_DIR_ORACLE)
+    # ALL_QUERIES: plan gates keep protecting queries rotated out of
+    # the graded 50 into the retired registry
+    from trial_data_ingestion_spark.plans.library import ALL_QUERIES
+    df = ALL_QUERIES[name](spark, SF_DIR_ORACLE)
     jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode \
         .fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)

@@ -146,3 +146,57 @@ def test_streaming_warc_matches_batch(spark, warc_dir, tmp_path):
              bytes(r["payload"]).decode())
             for r in read_warc(spark, warc_dir).collect()}
     assert got == want and len(got) == 2
+
+
+def test_extract_links_known_answers():
+    from trial_data_ingestion_spark.functions.html_text import (
+        extract_links,
+    )
+    html = """
+    <html><body>
+      <a href="/docs/intro">intro</a>
+      <a href="https://other.org/page?x=1">abs</a>
+      <a href="#frag">frag-only</a>
+      <a href="mailto:a@b.c">mail</a>
+      <a href="javascript:void(0)">js</a>
+      <a href="/docs/intro">dup</a>
+      <a>no href</a>
+    </body></html>"""
+    got = extract_links(html, base_url="https://example.com/start")
+    assert got == ["https://example.com/docs/intro",
+                   "https://other.org/page?x=1"]
+    # no base: relative links pass through only if already http(s)
+    assert extract_links(html) == ["https://other.org/page?x=1"]
+    # hostile/truncated markup: no raise
+    assert extract_links("<a href='x" ) == []
+
+
+def test_html_links_to_domain_pagerank(spark):
+    """The crawl loop end-to-end: html -> links -> registrable-domain
+    edges -> pagerank.  The most-cited domain ranks first."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.functions.html_text import (
+        html_to_links,
+    )
+    from trial_data_ingestion_spark.operators.graph import (
+        domain_edges,
+        pagerank,
+    )
+    pages = [
+        ("https://a.com/1", '<a href="https://hub.org/x">h</a>'
+                            '<a href="https://b.net/y">b</a>'),
+        ("https://b.net/1", '<a href="https://hub.org/z">h</a>'),
+        ("https://c.io/1",  '<a href="https://hub.org/w">h</a>'
+                            '<a href="/self">rel</a>'),
+    ]
+    df = spark.createDataFrame(pages, "url string, html string")
+    linked = html_to_links(df)
+    got = {r["url"]: r["links"] for r in linked.collect()}
+    assert got["https://c.io/1"] == ["https://hub.org/w",
+                                     "https://c.io/self"]
+    edges = domain_edges(
+        linked.select("url", F.explode("links").alias("link")))
+    ranks = {r["node"]: r["rank"]
+             for r in pagerank(edges, num_iter=10).collect()}
+    assert max(ranks, key=ranks.get) == "hub.org"

@@ -78,6 +78,76 @@ def extract_text(html: str) -> tuple:
     return title, "\n".join(lines)
 
 
+class _LinkExtractor(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.hrefs: list = []
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            for k, v in attrs:
+                if k == "href" and v:
+                    self.hrefs.append(v)
+
+
+def extract_links(html: str, base_url: str | None = None) -> list:
+    """Ordered, de-duplicated outbound link URLs from anchor hrefs;
+    relative hrefs resolve against ``base_url`` (RFC 3986 join);
+    fragment-only and non-http(s) schemes (mailto:, javascript:)
+    are dropped."""
+    from urllib.parse import urljoin, urlparse
+
+    p = _LinkExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass
+    out, seen = [], set()
+    for h in p.hrefs:
+        h = h.strip()
+        if not h or h.startswith("#"):
+            continue
+        u = urljoin(base_url, h) if base_url else h
+        scheme = urlparse(u).scheme
+        if scheme not in ("http", "https"):
+            continue
+        if u not in seen:
+            seen.add(u)
+            out.append(u)
+    return out
+
+
+def html_to_links(df: DataFrame, html_col: str = "html",
+                  base_url_col: str | None = "url",
+                  out_col: str = "links") -> DataFrame:
+    """Attach ``out_col array<string>`` of outbound absolute URLs —
+    the crawl-side feed for ``operators.graph.domain_edges`` /
+    ``pagerank`` (same stateless Arrow kernel contract as
+    ``html_to_text``)."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = f"{fields}, {out_col} array<string>"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            links = []
+            bases = (pdf[base_url_col] if base_url_col in pdf.columns
+                     else [None] * len(pdf))
+            for h, b in zip(pdf[html_col], bases):
+                if isinstance(h, (bytes, bytearray)):
+                    h = bytes(h).decode("utf-8", "replace")
+                links.append(extract_links(
+                    h, b if isinstance(b, str) else None))
+            pdf = pdf.copy()
+            pdf[out_col] = links
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 def html_to_text(df: DataFrame, html_col: str = "html",
                  text_col: str = "text",
                  title_col: str = "title") -> DataFrame:
