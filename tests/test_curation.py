@@ -212,3 +212,41 @@ def test_curate_incremental_rejects_substring_dedup(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="corpus-global"):
         curate_incremental(df, df, config=cfg)
+
+
+def test_curate_with_line_dedup_stage(spark):
+    """The optional corpus-wide line-dedup stage: a banner line shared
+    across surviving multi-line docs survives exactly once corpus-wide,
+    doc counts are unchanged (rewrite, not drop), short separator
+    lines are untouched, and the n_removed_lines bookkeeping column
+    does not leak into the curated schema."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()
+    banner = "subscribe to our newsletter for updates"
+    rows = [(i, (banner + "\n---\n" + t) if 10 <= i < 20 else t)
+            for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(lid="native", line_dedup_min_chars=10)
+    out = curate(docs, config=cfg).collect()
+    assert "n_removed_lines" not in out[0].asDict()
+    carriers = [r for r in out if 10 <= r["doc_id"] < 20]
+    assert len(carriers) == 10
+    with_banner = [r for r in carriers if banner in r["text"]]
+    assert len(with_banner) == 1                 # first occurrence only
+    assert min(r["doc_id"] for r in carriers) == \
+        with_banner[0]["doc_id"]
+    # the short separator line is below min_chars: kept everywhere
+    assert all("---" in r["text"] for r in carriers)
+
+
+def test_curate_incremental_rejects_line_dedup(spark):
+    import pytest
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate_incremental,
+    )
+    cfg = CurationConfig(line_dedup_min_chars=10)
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="line_dedup_incremental"):
+        curate_incremental(df, df, config=cfg)

@@ -47,6 +47,10 @@ class CurationConfig:
     #: None = off; else remove duplicated token runs of this length
     #: (50 is the published convention) after exact dedup
     substring_dedup_ngram: int | None = None
+    #: None = off; else corpus-wide exact line dedup (C4/RefinedWeb
+    #: boilerplate removal) after exact dedup: lines with trimmed
+    #: length >= this keep only their corpus-first occurrence
+    line_dedup_min_chars: int | None = None
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -92,8 +96,16 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     cfg = config or CurationConfig()
     gated = hygiene_gate(docs, cfg)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
-    rewritten = cfg.substring_dedup_ngram is not None
-    if rewritten:
+    rewritten = (cfg.substring_dedup_ngram is not None
+                 or cfg.line_dedup_min_chars is not None)
+    if cfg.line_dedup_min_chars is not None:
+        from trial_data_ingestion_spark.operators.line_dedup import (
+            line_dedup,
+        )
+        deduped = line_dedup(deduped, cfg.id_col, cfg.text_col,
+                             min_chars=cfg.line_dedup_min_chars) \
+            .drop("n_removed_lines")
+    if cfg.substring_dedup_ngram is not None:
         from trial_data_ingestion_spark.operators.substring_dedup import (
             remove_repeated_substrings,
         )
@@ -146,6 +158,12 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
             "substring dedup is corpus-global (first occurrence over "
             "the full corpus) and cannot run incrementally; disable "
             "it here and run periodic full sweeps.")
+    if cfg.line_dedup_min_chars is not None:
+        raise ValueError(
+            "line dedup is corpus-global; incrementally, dedup the "
+            "batch against the persisted line store with "
+            "operators.line_dedup.line_dedup_incremental (or the "
+            "streaming sink) before curating it.")
     gated = hygiene_gate(new_docs, cfg)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     fresh = deduped.join(
