@@ -181,3 +181,101 @@ def corpus_diff_summary(old: DataFrame, new: DataFrame,
     return (corpus_diff(old, new, id_col, text_col)
             .groupBy("status")
             .agg(F.count(F.lit(1)).alias("n_docs")))
+
+
+# --------------------------------------------------------------------
+# KMV (k-minimum-values) sketches: cross-corpus overlap WITHOUT a join
+
+def kmv_sketch(df: DataFrame, col: str, k: int = 1024) -> list:
+    """KMV sketch of a column's value SET: the ``k`` smallest distinct
+    ``xxhash64`` values (Bar-Yossef et al. 2002; the mergeable
+    distinct/overlap sketch Theta sketches generalize).
+
+    Scale shape: ``orderBy(h).limit(n)`` plans as TakeOrdered — a
+    per-partition bounded heap merged on the driver, NO shuffle at
+    any corpus size.  Duplicates are deduped driver-side from an
+    8x over-draw; a draw where fewer than ``k`` distinct hashes
+    survive (degenerate value sets) just yields a smaller effective
+    sketch, which every estimator here handles by using the actual
+    length."""
+    rows = (df.select(F.xxhash64(F.col(col)).alias("h"))
+            .orderBy("h").limit(8 * k).collect())
+    out, seen = [], set()
+    for r in rows:
+        h = r["h"]
+        if h not in seen:
+            seen.add(h)
+            out.append(h)
+            if len(out) == k:
+                break
+    return out
+
+
+def _to_unit(h: int) -> float:
+    """Map a signed 64-bit hash onto [0, 1)."""
+    return (h + (1 << 63)) / float(1 << 64)
+
+
+def kmv_distinct_estimate(sketch: list, budget: int | None = None) -> float:
+    """Distinct-count estimate (k-1)/h_(k) over the unit-mapped kth
+    minimum.  Pass the draw ``budget`` (the k requested from
+    :func:`kmv_sketch`): a sketch SMALLER than its budget holds the
+    entire value set, so its length is the exact count."""
+    if not sketch:
+        return 0.0
+    k = len(sketch)
+    if budget is not None and k < budget:
+        return float(k)
+    kth = _to_unit(max(sketch))
+    return (k - 1) / kth if kth > 0 else float(k)
+
+
+def kmv_overlap(sketch_a: list, sketch_b: list,
+                budget: int | None = None) -> dict:
+    """Jaccard / containment / intersection estimates from two KMV
+    sketches (drawn with the same hash, any sizes): the k smallest of
+    the union form a uniform sample of the union; the fraction also
+    present in both sketches estimates J(A, B).
+
+    Returns ``{jaccard, containment_a, containment_b, distinct_a,
+    distinct_b, intersection}`` — ``containment_a`` = |A∩B|/|A|, the
+    "how much of corpus A is inside corpus B" number a contamination
+    estimate wants.  Error ~ 1/sqrt(k)."""
+    if not sketch_a or not sketch_b:
+        return {"jaccard": 0.0, "containment_a": 0.0,
+                "containment_b": 0.0,
+                "distinct_a": kmv_distinct_estimate(sketch_a, budget),
+                "distinct_b": kmv_distinct_estimate(sketch_b, budget),
+                "intersection": 0.0}
+    sa, sb = set(sketch_a), set(sketch_b)
+    da = kmv_distinct_estimate(sketch_a, budget)
+    db = kmv_distinct_estimate(sketch_b, budget)
+    if budget is not None and len(sa) < budget and len(sb) < budget:
+        # both sketches hold their ENTIRE value sets: set arithmetic,
+        # no estimation
+        inter = float(len(sa & sb))
+        j = inter / len(sa | sb)
+    else:
+        k = min(len(sketch_a), len(sketch_b))
+        union_k = sorted(sa | sb)[:k]
+        both = sum(1 for h in union_k if h in sa and h in sb)
+        j = both / k
+        # |A u B| = (|A| + |B|) / (1 + J);  |A n B| = J * |A u B|
+        inter = j * (da + db) / (1.0 + j)
+    return {"jaccard": j,
+            "containment_a": inter / da if da else 0.0,
+            "containment_b": inter / db if db else 0.0,
+            "distinct_a": da, "distinct_b": db,
+            "intersection": inter}
+
+
+def corpus_overlap(df_a: DataFrame, df_b: DataFrame, col: str,
+                   k: int = 1024) -> dict:
+    """Overlap report between two corpora on a value column (doc
+    fingerprints for exact-dup overlap, exploded token n-grams for
+    contamination-style overlap): two TakeOrdered passes, driver
+    arithmetic, NO join — the estimate a 100 TB pipeline runs before
+    deciding whether an exact decontamination sweep is worth its
+    shuffle."""
+    return kmv_overlap(kmv_sketch(df_a, col, k),
+                       kmv_sketch(df_b, col, k), budget=k)
