@@ -79,6 +79,7 @@ HEADLINE = [
     "b12_fuzzy_join",               # lossless-blocked edit-distance join
     "b13_semantic_dedup",           # k-means-blocked SemDeDup sweep
     "b14_line_dedup",               # corpus-wide exact line dedup
+    "b15_unigram_train_tokenize",   # unigram-LM EM train + Viterbi
 ]
 
 
@@ -321,6 +322,21 @@ def _bench_extra():
                        F.sum("n_removed_lines").alias("lines_removed"),
                        F.sum(F.length("text")).alias("total_chars"))
 
+    def b15_unigram_train_tokenize(spark, sf_dir):
+        """Unigram-LM tokenizer end-to-end (b10's sibling family):
+        word-frequency shuffle + driver EM/prune + Viterbi Arrow
+        tokenize of the whole corpus, aggregated so .count()
+        executes the tokenization."""
+        from trial_data_ingestion_spark.operators.unigram_lm import (
+            tokenize_unigram, train_unigram, word_frequencies,
+        )
+        docs = _docs(spark, sf_dir)
+        model = train_unigram(word_frequencies(docs), vocab_size=500,
+                              max_piece_len=8, max_words=50_000)
+        out = tokenize_unigram(docs, model)
+        return out.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("unigram_tokens_count").alias("n_tokens"))
+
     # retired from the graded corpus in round 5 (q05/q12 subsumed by
     # q33/q35/q22) but kept in the bench series so timing continues
     from trial_data_ingestion_spark.plans.library import (
@@ -333,7 +349,8 @@ def _bench_extra():
                 b05_curate, b06_substring_dedup, b07_ngram_lm,
                 b08_pq_topk, b09_incremental_dedup,
                 b10_bpe_train_tokenize, b11_ivfpq_topk,
-                b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup)},
+                b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup,
+                b15_unigram_train_tokenize)},
             "q05_top_orders_per_customer": q05_top_orders_per_customer,
             "q12_running_window": q12_running_window}
 
