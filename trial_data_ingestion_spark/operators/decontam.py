@@ -145,3 +145,94 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
                .where(F.col("matched_grams") >= min_matches)
                .select(id_col))
     return corpus.join(flagged, id_col, "left_anti")
+
+
+def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           bench_text_col: str = "text",
+                           threshold: float = 0.5, k: int = 8,
+                           num_hashes: int = 64,
+                           bands: int = 16) -> DataFrame:
+    """Corpus ids whose char-shingle Jaccard similarity to ANY
+    benchmark item reaches ``threshold`` — the NEAR-duplicate
+    contamination the exact n-gram sweep misses (paraphrases, light
+    rewrites, whitespace-mangled copies).
+
+    Shape: MinHash signatures on BOTH sides; the corpus side's
+    signature groupBy is the one corpus-wide shuffle (num_hashes
+    longs per doc); the benchmark's banded buckets BROADCAST
+    (benchmarks are small by construction — this errors above 1M
+    rows rather than silently planning a fact-fact shuffle), so the
+    candidate join never exchanges the corpus; exact Jaccard then
+    verifies only the bucket-collision pairs.  At low thresholds
+    raise ``bands`` per dedup.lsh_plan so the S-curve keeps
+    recall."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        jaccard_verify,
+        minhash_signatures,
+    )
+    if bench.count() > 1_000_000:
+        raise ValueError(
+            "benchmark side too large to broadcast-band; split it or "
+            "run the exact decontaminate sweep")
+
+    rows_per_band = num_hashes // bands
+
+    def banded(df, idc, txtc, prefix):
+        named = df.select(
+            F.concat(F.lit(prefix), F.col(idc).cast("string"))
+            .alias("doc_id"), F.col(txtc).alias("text"))
+        sig = minhash_signatures(named, "doc_id", "text", k,
+                                 num_hashes)
+        return named, sig.select(
+            F.col("doc").alias("doc_id"),
+            F.explode(F.array(*[
+                F.struct(F.lit(bb).alias("band"),
+                         F.concat_ws(",", *[
+                             F.col(f"h{bb * rows_per_band + r}")
+                             for r in range(rows_per_band)
+                         ]).alias("bucket"))
+                for bb in range(bands)
+            ])).alias("bb"),
+        ).select("doc_id", "bb.band", "bb.bucket")
+
+    bench_ids = bench.select(
+        F.monotonically_increasing_id().alias("__bid"), bench_text_col)
+    c_named, c_banded = banded(corpus, id_col, text_col, "c|")
+    b_named, b_banded = banded(bench_ids, "__bid", bench_text_col,
+                               "b|")
+    cross = (c_banded.join(
+                F.broadcast(b_banded
+                            .withColumnRenamed("doc_id", "doc_b")),
+                ["band", "bucket"])
+             .select(F.col("doc_id").alias("doc_a"), "doc_b")
+             .distinct())
+    both = c_named.unionByName(b_named)
+    verified = jaccard_verify(both, cross, "doc_id", "text", k=k,
+                              threshold=threshold)
+    return (verified.select(
+                F.expr("substring(doc_a, 3)").alias(id_col))
+            .distinct())
+
+
+def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text",
+                        threshold: float = 0.5, k: int = 8,
+                        num_hashes: int = 64,
+                        bands: int = 16) -> DataFrame:
+    """Corpus minus near-duplicate-contaminated docs (original
+    columns preserved): :func:`fuzzy_contaminated_ids` + one
+    left-anti join.  Complements the exact sweep — run both: exact
+    catches verbatim spans inside long documents (where whole-doc
+    Jaccard is low), fuzzy catches whole-item paraphrases (where no
+    8-gram survives verbatim)."""
+    bad = fuzzy_contaminated_ids(corpus, bench, id_col, text_col,
+                                 bench_text_col, threshold, k,
+                                 num_hashes, bands)
+    return corpus.join(
+        bad.select(F.col(id_col).cast(dict(corpus.dtypes)[id_col])
+                   .alias(id_col)),
+        id_col, "left_anti")
