@@ -250,3 +250,26 @@ def test_curate_incremental_rejects_line_dedup(spark):
     df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="line_dedup_incremental"):
         curate_incremental(df, df, config=cfg)
+
+
+def test_curate_with_gopher_stage(spark):
+    """gopher=True composes with the hygiene gate as one narrow
+    filter chain: a 30-word doc passes hygiene (min_tokens=8) but
+    fails the Gopher word-count floor; the prose docs pass both."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()
+    short_prose = " ".join(["the", "training", "and", "of", "data"]
+                           * 6)                       # 30 words
+    rows.append((104, short_prose))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = {r["doc_id"] for r in
+            curate(docs, config=CurationConfig(lid="native")).collect()}
+    assert 104 in base                    # hygiene alone keeps it
+    gophered = {r["doc_id"] for r in
+                curate(docs, config=CurationConfig(
+                    lid="native", gopher=True)).collect()}
+    assert 104 not in gophered
+    assert gophered                       # prose docs survive
+    assert gophered < base

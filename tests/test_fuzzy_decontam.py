@@ -94,3 +94,29 @@ def test_fuzzy_rejects_huge_benchmark(spark):
         F.col("id").cast("string").alias("text"))
     with pytest.raises(ValueError, match="broadcast"):
         fuzzy_contaminated_ids(_docs(spark), big)
+
+
+def test_split_leakage_report(spark):
+    from trial_data_ingestion_spark.operators.decontam import (
+        split_leakage_report,
+    )
+    leak = ("this exact overlapping benchmark sentence appears in "
+            "both train and validation splits verbatim today")
+    rows = [
+        (1, leak + " plus train-only context", "train"),
+        (2, "ordinary training document with unshared content "
+            "entirely its own words here", "train"),
+        (3, leak + " plus extra val words", "val"),          # leaked
+        (4, "clean validation document with its own vocabulary "
+            "and no shared runs at all present", "val"),
+        (5, leak, "test"),                                    # leaked
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, split string")
+    rep = {r["split"]: (r["n_docs"], r["leaked_docs"], r["leak_rate"])
+           for r in split_leakage_report(df, n=8).collect()}
+    assert rep == {"val": (2, 1, 0.5), "test": (1, 1, 1.0)}
+    # plan: train grams join without reshuffling the eval text
+    plan = split_leakage_report(df, n=8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "EvalPython" not in plan

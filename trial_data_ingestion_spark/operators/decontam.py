@@ -236,3 +236,47 @@ def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
         bad.select(F.col(id_col).cast(dict(corpus.dtypes)[id_col])
                    .alias(id_col)),
         id_col, "left_anti")
+
+
+def split_leakage_report(splits: DataFrame, split_col: str = "split",
+                         id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 8,
+                         train_split: str = "train") -> DataFrame:
+    """Cross-split leakage audit: for every non-train split, how many
+    of its documents share >= 1 token-``n``-gram with the TRAIN
+    split — the "did our own splitter leak eval data" check a
+    release pipeline runs after splitting (same defect class as
+    external benchmark contamination, caught with the same gram
+    machinery).
+
+    One row per non-train split: (split, n_docs, leaked_docs,
+    leak_rate).  Plan shape: the train grams aggregate to a DISTINCT
+    gram table that joins broadcast when it fits (Spark's planner
+    decides by size); the eval side never shuffles its text — it
+    grams, semi-joins, and counts.  Content-stable splits
+    (sampling.split_by_hash) make this deterministic."""
+    train_grams = (ensure_parallelism(
+        splits.where(F.col(split_col) == train_split)
+        .select(text_col))
+        .select(F.explode(F.array_distinct(
+            token_ngrams(F.col(text_col), n))).alias("g"))
+        .distinct())
+    evals = splits.where(F.col(split_col) != train_split)
+    egrams = (ensure_parallelism(
+        evals.select(split_col, id_col, text_col))
+        .select(split_col, id_col,
+                F.explode(F.array_distinct(
+                    token_ngrams(F.col(text_col), n))).alias("g")))
+    leaked = (egrams.join(train_grams, "g", "left_semi")
+              .select(split_col, id_col).distinct()
+              .groupBy(split_col)
+              .agg(F.count(F.lit(1)).alias("leaked_docs")))
+    totals = (evals.groupBy(split_col)
+              .agg(F.count(F.lit(1)).alias("n_docs")))
+    return (totals.join(leaked, split_col, "left")
+            .select(split_col, "n_docs",
+                    F.coalesce("leaked_docs", F.lit(0)).cast("long")
+                    .alias("leaked_docs"))
+            .withColumn("leak_rate",
+                        F.round(F.col("leaked_docs")
+                                / F.col("n_docs"), 6)))

@@ -51,6 +51,11 @@ class CurationConfig:
     #: boilerplate removal) after exact dedup: lines with trimmed
     #: length >= this keep only their corpus-first occurrence
     line_dedup_min_chars: int | None = None
+    #: None/False = off; True = Gopher rule bundle at stock
+    #: thresholds; or a gopher_rules.GopherThresholds instance.
+    #: Applied WITH the hygiene gate (both are narrow row filters on
+    #: the same scan — composing them adds no stage)
+    gopher: object = None
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -95,6 +100,14 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     ``sinks.training_export.write_training_shards`` per split."""
     cfg = config or CurationConfig()
     gated = hygiene_gate(docs, cfg)
+    if cfg.gopher:
+        from trial_data_ingestion_spark.operators.gopher_rules import (
+            GopherThresholds,
+            gopher_filter,
+        )
+        t = cfg.gopher if isinstance(cfg.gopher, GopherThresholds) \
+            else None
+        gated = gopher_filter(gated, text_col=cfg.text_col, t=t)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     rewritten = (cfg.substring_dedup_ngram is not None
                  or cfg.line_dedup_min_chars is not None)
@@ -165,6 +178,14 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
             "operators.line_dedup.line_dedup_incremental (or the "
             "streaming sink) before curating it.")
     gated = hygiene_gate(new_docs, cfg)
+    if cfg.gopher:
+        from trial_data_ingestion_spark.operators.gopher_rules import (
+            GopherThresholds,
+            gopher_filter,
+        )
+        t = cfg.gopher if isinstance(cfg.gopher, GopherThresholds) \
+            else None
+        gated = gopher_filter(gated, text_col=cfg.text_col, t=t)
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
     fresh = deduped.join(
         existing_curated.select("fingerprint").distinct(),
