@@ -80,6 +80,7 @@ HEADLINE = [
     "b13_semantic_dedup",           # k-means-blocked SemDeDup sweep
     "b14_line_dedup",               # corpus-wide exact line dedup
     "b15_unigram_train_tokenize",   # unigram-LM EM train + Viterbi
+    "b16_fuzzy_decontam",           # broadcast-banded MinHash sweep
 ]
 
 
@@ -337,6 +338,20 @@ def _bench_extra():
         return out.agg(F.count(F.lit(1)).alias("n_docs"),
                        F.sum("unigram_tokens_count").alias("n_tokens"))
 
+    def b16_fuzzy_decontam(spark, sf_dir):
+        """Fuzzy decontamination sweep: corpus signatures (the one
+        shuffle) vs a 50-item benchmark's broadcast bands + exact
+        Jaccard verify + anti-join.  Aggregated so .count() executes
+        the removal."""
+        from trial_data_ingestion_spark.operators.decontam import (
+            decontaminate_fuzzy,
+        )
+        docs = _docs(spark, sf_dir)
+        bench = docs.where("doc_id % 100 = 7").select("text")
+        out = decontaminate_fuzzy(docs, bench, threshold=0.8)
+        return out.agg(F.count(F.lit(1)).alias("survivors"),
+                       F.sum(F.length("text")).alias("chars"))
+
     # retired from the graded corpus in round 5 (q05/q12 subsumed by
     # q33/q35/q22) but kept in the bench series so timing continues
     from trial_data_ingestion_spark.plans.library import (
@@ -350,7 +365,7 @@ def _bench_extra():
                 b08_pq_topk, b09_incremental_dedup,
                 b10_bpe_train_tokenize, b11_ivfpq_topk,
                 b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup,
-                b15_unigram_train_tokenize)},
+                b15_unigram_train_tokenize, b16_fuzzy_decontam)},
             "q05_top_orders_per_customer": q05_top_orders_per_customer,
             "q12_running_window": q12_running_window}
 
