@@ -114,7 +114,14 @@ def test_window_query_parity_at_bench_scale(spark, name):
 # actually fill.  Value-hash these against DuckDB at bench scale too.
 DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  "q29_embedding_dups", "q48_embedding_dups_blocked",
-                 "q49_ngram_jaccard_capped", "q58_line_dedup"]
+                 "q49_ngram_jaccard_capped", "q58_line_dedup",
+                 # training-data-tier rows whose arithmetic is
+                 # density-sensitive (gram overlap counts, postings,
+                 # bucket membership, rule ratios) — value-hashed at
+                 # bench scale too
+                 "q52_contamination_report", "q53_bm25_search",
+                 "q54_stratified_sample", "q56_word_frequencies",
+                 "q59_gopher_rules"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

@@ -4,8 +4,13 @@ operator tier exists for, composed as one DAG.
     documents
       -> hygiene_report          (one-pass signals, no shuffle)
       -> language/quality gates  (pushed-down filters)
+      -> Gopher rule bundle      (same narrow chain)      [optional]
       -> exact dedup             (fingerprint keep-first, one shuffle)
-      -> decontamination         (broadcast benchmark grams)
+      -> line dedup              (corpus-wide, hashed keys)[optional]
+      -> substring dedup         (duplicated token runs)  [optional]
+      -> decontamination         (broadcast benchmark grams;
+                                  decontaminate_fuzzy composes after
+                                  for paraphrase-level contamination)
       -> train/val/test split    (content-stable hash, no shuffle)
       -> sequence packing        (per-split FFD shards)   [optional]
       -> training-shard export   (deterministic shuffle)  [optional]
