@@ -1,0 +1,133 @@
+"""Perceptual image hashing: python-reference dHash bits, real-BMP
+robustness, pigeonhole losslessness vs brute force, cluster dedup,
+and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.multimodal.codecs import encode_bmp
+from trial_data_ingestion_spark.multimodal.phash import (
+    _band_specs, ahash64, attach_phash, dedup_images, dhash64,
+    image_hasher, phash_near_dups,
+)
+
+
+def _gradient(w=32, h=32, slope=8, noise=0, seed=0):
+    rng = np.random.RandomState(seed)
+    x = (np.arange(w) * slope % 256).astype(np.uint8)
+    img = np.tile(x, (h, 1))
+    if noise:
+        img = np.clip(img.astype(int)
+                      + rng.randint(-noise, noise + 1, img.shape),
+                      0, 255).astype(np.uint8)
+    return np.stack([img, img, img], axis=-1)
+
+
+def _media_df(spark, items):
+    rows = [(mid, bytearray(encode_bmp(px))) for mid, px in items]
+    return spark.createDataFrame(rows, "media_id string, media binary")
+
+
+def test_dhash_matches_bitwise_reference():
+    px = _gradient(18, 16, slope=13, noise=40, seed=3)
+    got = dhash64(px)
+    # independent reference: same resample rule, explicit bit loop
+    gray = px[..., :3].astype(np.float32).mean(axis=-1)
+    h, w = gray.shape
+    rows = (np.arange(8) * h) // 8
+    cols = (np.arange(9) * w) // 9
+    g = gray[rows][:, cols]
+    v = 0
+    for r in range(8):
+        for c in range(8):
+            v = (v << 1) | int(g[r, c] > g[r, c + 1])
+    want = v - (1 << 64) if v >= (1 << 63) else v
+    assert got == want
+    assert isinstance(ahash64(px), int)
+
+
+def test_real_bmp_near_dups_and_robustness(spark):
+    base = _gradient(seed=1)
+    items = [
+        ("a", base),
+        ("b", base.copy()),                       # identical
+        ("c", np.repeat(np.repeat(base, 2, 0), 2, 1)),  # true 2x upscale
+        ("d", _gradient(noise=6, seed=4)),        # lightly noised copy
+        ("e", 255 - base),                        # inverted: far away
+    ]
+    hashes = attach_phash(_media_df(spark, items), image_hasher)
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in phash_near_dups(hashes, max_hamming=6).collect()}
+    assert pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs      # resize-invariant by construction
+    assert ("a", "d") in pairs      # small noise stays in the ball
+    assert not any("e" in p for p in pairs)
+
+
+def test_pigeonhole_blocking_equals_brute_force(spark):
+    rng = np.random.RandomState(7)
+    hashes = list(rng.randint(-2**63, 2**63, size=150, dtype=np.int64))
+    # plant near pairs, including around sign-bit hashes
+    for i in range(0, 30, 3):
+        flips = rng.choice(64, size=rng.randint(0, 5), replace=False)
+        v = int(hashes[i])
+        for b in flips:
+            v ^= (1 << int(b))
+        v &= (1 << 64) - 1
+        hashes.append(np.int64(v - (1 << 64) if v >= (1 << 63) else v))
+    df = spark.createDataFrame(
+        [(str(i), int(h)) for i, h in enumerate(hashes)],
+        "media_id string, phash long")
+    got = {(r.media_id_a, r.media_id_b, r.hamming)
+           for r in phash_near_dups(df, max_hamming=4).collect()}
+    want = set()
+    for i in range(len(hashes)):
+        for j in range(i + 1, len(hashes)):
+            d = bin((int(hashes[i]) ^ int(hashes[j]))
+                    & ((1 << 64) - 1)).count("1")
+            if d <= 4:
+                a, b = sorted((str(i), str(j)))
+                want.add((a, b, d))
+    assert got == want
+
+
+def test_dedup_images_keeps_min_id_representative(spark):
+    base = _gradient(seed=1)
+    items = [("m1", base), ("m2", base.copy()),
+             ("m3", _gradient(noise=5, seed=9)),
+             ("m9", 255 - base)]
+    kept = sorted(r.media_id for r in
+                  dedup_images(_media_df(spark, items), image_hasher,
+                               max_hamming=6).collect())
+    assert kept == ["m1", "m9"]
+
+
+def test_band_specs_partition_all_64_bits():
+    for t in (0, 1, 4, 7, 63):
+        specs = _band_specs(t)
+        assert len(specs) == t + 1
+        assert sum(w for _, _, w in specs) == 64
+        covered = set()
+        for _, shift, width in specs:
+            bits = set(range(shift, shift + width))
+            assert not bits & covered
+            covered |= bits
+        assert covered == set(range(64))
+    with pytest.raises(ValueError):
+        _band_specs(64)
+    with pytest.raises(ValueError):
+        _band_specs(-1)
+
+
+def test_near_dup_plan_is_equi_join(spark):
+    df = spark.createDataFrame([("1", 5), ("2", 7)],
+                               "media_id string, phash long")
+    plan = phash_near_dups(df)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 from tests.conftest import SF_DIR_ORACLE
 
 
-def test_release_pipeline(spark):
+def test_release_pipeline(spark, tmp_path):
     from trial_data_ingestion_spark.operators.decontam import (
         decontaminate_fuzzy,
         split_leakage_report,
@@ -79,3 +79,18 @@ def test_release_pipeline(spark):
     assert sum(m["n_docs"] for m in card["by_lang"].values()) \
         == clean.count()
     assert card["overall"]["exact_dup_rate"] <= 0.02
+
+    # 6. the release ships with an integrity manifest: a later
+    #    consumer proves the exported shards match what the pipeline
+    #    released, from the files alone
+    from trial_data_ingestion_spark.sinks.manifest import (
+        read_manifest, verify_manifest, write_manifest,
+    )
+    out = str(tmp_path / "release_shards")
+    shards.write.partitionBy("shard").mode("overwrite").parquet(out)
+    mpath = str(tmp_path / "release_manifest.json")
+    exported = spark.read.parquet(out)
+    write_manifest(exported, ["shard"], mpath)
+    assert verify_manifest(
+        spark.read.parquet(out), ["shard"],
+        read_manifest(spark, mpath, ["shard"])).count() == 0

@@ -1,0 +1,189 @@
+"""Perceptual image hashing + Hamming-blocked image dedup.
+
+North-star training-data-pipeline tier.  Multimodal corpora carry the
+same duplication problem as text — the same photo re-encoded,
+resized, or lightly edited — and the standard cheap answer is a
+perceptual hash: difference hash (dHash) reduces an image to 64 bits
+of adjacent-pixel luminance gradients computed on a fixed 8x9
+downscale, so re-encodes and resizes map to nearly-identical bits
+and near-duplicates sit within a small Hamming distance.  (dHash /
+aHash are long-published public techniques.)
+
+Scale design:
+  * hashing rides the existing Arrow ``mapInPandas`` media kernel
+    convention (:mod:`trial_data_ingestion_spark.multimodal`): bytes
+    in, one int64 out per row — narrow, no shuffle;
+  * candidate pairing uses PIGEONHOLE banding, not SimHash's prefix
+    blocking: the 64 bits split into ``max_hamming + 1`` disjoint
+    bands, and two hashes within the radius MUST agree exactly on at
+    least one band — so equality joins on (band index, band value)
+    are a LOSSLESS blocking for the Hamming ball, verified by an
+    exact ``bit_count(a ^ b)`` filter inside blocks.  One shuffle on
+    the band key, never an all-pairs product;
+  * components + representative selection reuse the text dedup
+    machinery (``operators.dedup.drop_non_representatives``) — the
+    pair graph is modality-agnostic.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.session import ensure_parallelism
+
+HASH_BITS = 64
+
+
+# --------------------------------------------------------------------------
+# numpy hash kernels (driver- and executor-side identical)
+# --------------------------------------------------------------------------
+
+def _gray_resample(px: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Luminance plane downscaled by nearest-neighbor index
+    arithmetic (same resample rule as ``codecs.image_resizer`` — no
+    interpolation libraries)."""
+    px = px.astype(np.float32)
+    gray = (px[..., :3].mean(axis=-1) if px.ndim == 3 and
+            px.shape[-1] >= 3 else px.reshape(px.shape[0], px.shape[1]))
+    h, w = gray.shape
+    rows = (np.arange(height) * h) // height
+    cols = (np.arange(width) * w) // width
+    return gray[rows][:, cols]
+
+
+def dhash64(px: np.ndarray) -> int:
+    """Difference hash: 8 rows x 9 cols, bit = left pixel brighter
+    than its right neighbor, packed row-major MSB-first into a SIGNED
+    int64 (Spark long)."""
+    g = _gray_resample(px, 9, 8)
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    return _pack_bits(bits)
+
+
+def ahash64(px: np.ndarray) -> int:
+    """Average hash: 8x8, bit = pixel above the mean."""
+    g = _gray_resample(px, 8, 8)
+    bits = (g > g.mean()).flatten()
+    return _pack_bits(bits)
+
+
+def _pack_bits(bits: np.ndarray) -> int:
+    assert bits.size == HASH_BITS
+    v = 0
+    for b in bits:
+        v = (v << 1) | int(b)
+    # two's-complement fold into signed int64 so the value round-trips
+    # through a Spark LongType column
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def image_hasher(payload: bytes) -> int:
+    """REAL bytes -> dHash via the stdlib BMP/PNG decode path."""
+    from trial_data_ingestion_spark.multimodal.codecs import decode_image
+    return dhash64(decode_image(payload))
+
+
+# --------------------------------------------------------------------------
+# Spark operators
+# --------------------------------------------------------------------------
+
+def attach_phash(df: DataFrame,
+                 hasher: Optional[Callable] = None) -> DataFrame:
+    """(media_id, phash): one int64 perceptual hash per media row,
+    Arrow-batched.  Pass :func:`image_hasher` for real BMP/PNG
+    payloads; other formats need a library-backed callable of the
+    same signature."""
+    if hasher is None:
+        raise NotImplementedError(
+            "No image hasher selected; pass phash.image_hasher for "
+            "BMP/PNG payloads (stdlib decode + dHash), or any "
+            "callable bytes -> int64 for formats needing absent "
+            "libraries.")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": pd.array([hasher(m) for m in pdf["media"]],
+                                  dtype="int64"),
+            })
+
+    return (ensure_parallelism(df.select("media_id", "media"))
+            .mapInPandas(run, "media_id string, phash long"))
+
+
+def _band_specs(max_hamming: int) -> list[tuple[int, int, int]]:
+    """(band index, shift, width) splitting 64 bits into
+    ``max_hamming + 1`` near-equal disjoint bands."""
+    n_bands = max_hamming + 1
+    if not 1 <= n_bands <= HASH_BITS:
+        raise ValueError(f"max_hamming out of range: {max_hamming}")
+    base, extra = divmod(HASH_BITS, n_bands)
+    specs, shift = [], 0
+    for i in range(n_bands):
+        width = base + (1 if i < extra else 0)
+        specs.append((i, shift, width))
+        shift += width
+    return specs
+
+
+def phash_near_dups(hashes: DataFrame, max_hamming: int = 4,
+                    id_col: str = "media_id",
+                    hash_col: str = "phash") -> DataFrame:
+    """(id_a, id_b, hamming) for every pair within ``max_hamming``
+    bits — EXACT over the Hamming ball, because the pigeonhole bands
+    are lossless: a pair differing in <= ``max_hamming`` bits cannot
+    differ in all ``max_hamming + 1`` disjoint bands.  The band table
+    explodes narrowly (one row per band per hash), equality-joins on
+    (band, value), dedups collided pairs, then verifies with
+    ``bit_count``."""
+    specs = _band_specs(max_hamming)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band"),
+            # logical shift: shiftrightunsigned keeps the top band
+            # free of sign-extension bits
+            F.shiftrightunsigned(F.col("ph"), shift)
+             .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for i, shift, width in specs])
+    h = hashes.select(F.col(id_col).alias("id"),
+                      F.col(hash_col).alias("ph"))
+    exploded = h.select("id", "ph", F.explode(bands).alias("b")) \
+                .select("id", "ph", "b.band", "b.val")
+    a, b = exploded.alias("a"), exploded.alias("b")
+    pairs = (a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                           F.col("a.val") == F.col("b.val"),
+                           F.col("a.id") < F.col("b.id")])
+             .select(F.col("a.id").alias("id_a"),
+                     F.col("b.id").alias("id_b"),
+                     F.col("a.ph").alias("ph_a"),
+                     F.col("b.ph").alias("ph_b"))
+             .distinct()
+             .withColumn("hamming", F.bit_count(
+                 F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+             .where(F.col("hamming") <= max_hamming))
+    return pairs.select(F.col("id_a").alias(f"{id_col}_a"),
+                        F.col("id_b").alias(f"{id_col}_b"),
+                        "hamming")
+
+
+def dedup_images(media: DataFrame, hasher: Optional[Callable] = None,
+                 max_hamming: int = 4) -> DataFrame:
+    """Media rows with near-duplicate images removed: perceptual
+    hash, lossless Hamming pairing, connected components, keep the
+    min-id representative per cluster (same semantics as the text
+    near-dup family)."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        drop_non_representatives,
+    )
+    hashes = attach_phash(media, hasher)
+    pairs = (phash_near_dups(hashes, max_hamming)
+             .select(F.col("media_id_a").alias("doc_a"),
+                     F.col("media_id_b").alias("doc_b")))
+    return drop_non_representatives(media, pairs, "media_id")
