@@ -131,3 +131,44 @@ def test_near_dup_plan_is_equi_join(spark):
         .fromString("simple"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def _chirp(seed=0, n=8000, noise=0.0, amp=1.0):
+    rng = np.random.RandomState(seed)
+    t = np.linspace(0, 1, n)
+    f = 200 + 1800 * rng.rand()
+    sweep = np.sin(2 * np.pi * (f * t + 300 * t ** 2))
+    env = 0.3 + 0.7 * rng.rand(20)
+    sig = sweep * np.repeat(env, n // 20 + 1)[:n]
+    if noise:
+        sig = sig + noise * rng.randn(n)
+    return (amp * 0.8 * sig / np.max(np.abs(sig))).astype(np.float32)
+
+
+def test_audio_fingerprint_dedup(spark):
+    from trial_data_ingestion_spark.multimodal.codecs import encode_wav
+    from trial_data_ingestion_spark.multimodal.phash import (
+        afp64, audio_hasher,
+    )
+    base = _chirp(seed=1)
+    items = {
+        "a": base,
+        "b": base.copy(),              # identical bytes
+        "c": base * 0.4,               # amplitude-scaled re-encode
+        "d": _chirp(seed=1, noise=0.005),  # lightly noised copy
+        "e": _chirp(seed=5),           # different recording
+    }
+    # amplitude invariance holds exactly at the numpy level
+    assert afp64(base) == afp64(base * 0.4)
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_wav(v))) for k, v in items.items()],
+        "media_id string, media binary")
+    hashes = attach_phash(df, audio_hasher)
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in phash_near_dups(hashes, max_hamming=8).collect()}
+    assert pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs
+    assert ("a", "d") in pairs
+    assert not any("e" in p for p in pairs), pairs
+    kept = sorted(r.media_id for r in
+                  dedup_images(df, audio_hasher, max_hamming=8).collect())
+    assert kept == ["a", "e"]

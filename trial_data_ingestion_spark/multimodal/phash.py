@@ -89,6 +89,41 @@ def image_hasher(payload: bytes) -> int:
     return dhash64(decode_image(payload))
 
 
+def afp64(samples: np.ndarray) -> int:
+    """Haitsma–Kalker-style audio fingerprint ("A Highly Robust
+    Audio Fingerprinting System", public): band-energy matrix E of
+    9 time frames x 9 frequency bands over the mono mix, bit(t, b) =
+    sign of the time-delta of the band-delta,
+
+        (E[t+1,b] - E[t+1,b+1]) - (E[t,b] - E[t,b+1]) > 0
+
+    packed into 64 bits.  Invariant to positive amplitude scaling
+    (energies scale uniformly, comparisons survive) and robust to
+    mild noise/re-encodes; stationary pure tones are degenerate for
+    ANY delta fingerprint and hash near zero — real audio is not
+    stationary."""
+    mono = (samples.mean(axis=1) if samples.ndim == 2
+            else samples).astype(np.float64)
+    if mono.size < 18:
+        mono = np.pad(mono, (0, 18 - mono.size))
+    frames = np.array_split(mono, 9)
+    E = np.empty((9, 9))
+    for t, fr in enumerate(frames):
+        spec = np.abs(np.fft.rfft(fr)) ** 2
+        for b, band in enumerate(np.array_split(spec, 9)):
+            E[t, b] = band.mean() if band.size else 0.0
+    d = E[:, :-1] - E[:, 1:]              # band deltas, 9 x 8
+    bits = (d[1:] - d[:-1] > 0).flatten()  # time deltas, 8 x 8
+    return _pack_bits(bits)
+
+
+def audio_hasher(payload: bytes) -> int:
+    """REAL bytes -> audio fingerprint via the stdlib WAV decode."""
+    from trial_data_ingestion_spark.multimodal.codecs import decode_wav
+    samples, _rate = decode_wav(payload)
+    return afp64(samples)
+
+
 # --------------------------------------------------------------------------
 # Spark operators
 # --------------------------------------------------------------------------
@@ -182,8 +217,16 @@ def dedup_images(media: DataFrame, hasher: Optional[Callable] = None,
     from trial_data_ingestion_spark.operators.dedup import (
         drop_non_representatives,
     )
-    hashes = attach_phash(media, hasher)
+    # the band self-join consumes the hash table twice (a and b
+    # sides); persist so the decode+hash kernel runs ONCE per image —
+    # the hash table is 12 bytes/row regardless of media size
+    hashes = attach_phash(media, hasher).persist()
     pairs = (phash_near_dups(hashes, max_hamming)
              .select(F.col("media_id_a").alias("doc_a"),
                      F.col("media_id_b").alias("doc_b")))
     return drop_non_representatives(media, pairs, "media_id")
+
+
+#: the machinery is modality-agnostic — pass :func:`audio_hasher`
+#: (or any bytes -> int64 fingerprint) to dedup that modality
+dedup_media = dedup_images
