@@ -376,8 +376,6 @@ def _bench_extra():
         stdlib decode -> dHash kernel, lossless pigeonhole pairing,
         component dedup.  Measures the decode+hash Arrow kernel and
         the band join, the two costs of image dedup at scale."""
-        import hashlib as _hl
-
         import numpy as _np
         import pandas as _pd
 

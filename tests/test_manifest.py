@@ -120,3 +120,37 @@ def test_manifest_plan_partial_aggregates_with_one_exchange(spark):
     assert plan.count("Exchange") == 1
     assert "partial_count" in plan
     assert "SortMergeJoin" not in plan and "Sort " not in plan
+
+def test_manifest_property_roundtrip(spark, tmp_path):
+    """Hypothesis-generated tables (unicode, nulls, negative and
+    extreme longs) must verify clean through the file round-trip and
+    flag any single-row edit."""
+    from hypothesis import given, settings, strategies as st
+
+    text = st.one_of(st.none(), st.text(max_size=20))
+    longs = st.one_of(st.none(),
+                      st.integers(min_value=-2**63, max_value=2**63 - 1))
+    row = st.tuples(st.integers(0, 10**6), text, longs,
+                    st.sampled_from(["p", "q"]))
+    case_counter = [0]
+
+    @settings(max_examples=8, deadline=None)
+    @given(st.lists(row, min_size=1, max_size=12, unique_by=lambda r: r[0]))
+    def check(rows):
+        case_counter[0] += 1
+        df = spark.createDataFrame(
+            rows, "id long, t string, v long, part string")
+        path = str(tmp_path / f"m{case_counter[0]}.json")
+        write_manifest(df, ["part"], path)
+        loaded = read_manifest(spark, path, ["part"])
+        assert verify_manifest(df, ["part"], loaded).count() == 0
+        # flip one row's id: its partition must flag as divergent
+        rid, _, _, rpart = rows[0]
+        edited = spark.createDataFrame(
+            [(rid + 10**7, *rows[0][1:])] + rows[1:],
+            "id long, t string, v long, part string")
+        bad = verify_manifest(edited, ["part"], loaded).collect()
+        assert [r.part for r in bad] == [rpart]
+        assert bad[0].status == "content"
+
+    check()

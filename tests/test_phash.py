@@ -172,3 +172,45 @@ def test_audio_fingerprint_dedup(spark):
     kept = sorted(r.media_id for r in
                   dedup_images(df, audio_hasher, max_hamming=8).collect())
     assert kept == ["a", "e"]
+
+
+def test_video_fingerprint_dedup(spark):
+    from trial_data_ingestion_spark.multimodal.codecs import encode_avi
+    from trial_data_ingestion_spark.multimodal.phash import (
+        vhash64, video_hasher,
+    )
+    rng = np.random.RandomState(11)
+
+    def clip(seed, n_frames=12):
+        # a seeded random scene under a brightness fade: dHash is
+        # invariant to uniform brightness, so the frames vote
+        # unanimously, while different seeds are unrelated scenes
+        scene = np.random.RandomState(seed) \
+            .randint(0, 200, (24, 24)).astype(np.uint8)
+        frames = [np.stack([(scene + 3 * i).astype(np.uint8)] * 3,
+                           axis=-1)
+                  for i in range(n_frames)]
+        return np.array(frames)
+
+    base = clip(1)
+    minority_tweak = base.copy()
+    minority_tweak[0] = 255 - minority_tweak[0]   # 1 of 12 frames ruined
+    items = [
+        ("a", base),
+        ("b", base.copy()),
+        ("c", minority_tweak),    # majority vote absorbs the bad frame
+        ("e", clip(4)),           # different clip
+    ]
+    # per-bit majority: a minority of corrupted frames can't flip bits
+    assert vhash64(base) == vhash64(minority_tweak)
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_avi(v))) for k, v in items],
+        "media_id string, media binary")
+    hashes = attach_phash(df, video_hasher)
+    pairs = {(r.media_id_a, r.media_id_b): r.hamming
+             for r in phash_near_dups(hashes, max_hamming=6).collect()}
+    assert pairs[("a", "b")] == 0
+    assert ("a", "c") in pairs
+    assert not any("e" in p for p in pairs), pairs
+    with pytest.raises(ValueError):
+        vhash64(np.empty((0, 8, 8, 3), dtype=np.uint8))

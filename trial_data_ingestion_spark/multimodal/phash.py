@@ -124,6 +124,29 @@ def audio_hasher(payload: bytes) -> int:
     return afp64(samples)
 
 
+def vhash64(frames: np.ndarray) -> int:
+    """Video fingerprint: per-frame :func:`dhash64`, folded by
+    PER-BIT MAJORITY across frames (ties -> 0).  Majority voting
+    keeps the hash stable when a minority of frames are re-encoded,
+    dropped, or padded — per-frame XOR or concatenation would not."""
+    if len(frames) == 0:
+        raise ValueError("empty frame stack")
+    votes = np.zeros(HASH_BITS, dtype=np.int64)
+    for frame in frames:
+        h = dhash64(frame) & ((1 << 64) - 1)
+        for i in range(HASH_BITS):
+            votes[i] += 1 if (h >> (63 - i)) & 1 else -1
+    return _pack_bits(votes > 0)
+
+
+def video_hasher(payload: bytes) -> int:
+    """REAL bytes -> video fingerprint via the stdlib
+    uncompressed-AVI decode."""
+    from trial_data_ingestion_spark.multimodal.codecs import decode_avi
+    frames, _fps = decode_avi(payload)
+    return vhash64(frames)
+
+
 # --------------------------------------------------------------------------
 # Spark operators
 # --------------------------------------------------------------------------

@@ -104,9 +104,12 @@ def fit_dsir(target: DataFrame, raw: DataFrame, text_col: str = "text",
                          "probability mass on both sides)")
 
     def counts(df: DataFrame, name: str) -> DataFrame:
+        # cached: each corpus is scanned ONCE for the fit — the
+        # totals aggregate below and the ratio join both reuse the
+        # (<= n_buckets)-row count table, not the gram stream
         return (hashed_grams(df, text_col, n_buckets)
                 .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias(name)))
+                .agg(F.count(F.lit(1)).alias(name)).cache())
 
     tc = counts(target, "__ct")
     rc = counts(raw, "__cr")
@@ -128,6 +131,9 @@ def fit_dsir(target: DataFrame, raw: DataFrame, text_col: str = "text",
     ratio = (tc.join(rc, "bucket", "full_outer")
              .select("bucket", (log_p - log_q).alias("log_ratio"))
              .cache())
+    ratio.count()      # materialize so the count caches can drop
+    tc.unpersist()
+    rc.unpersist()
     return DSIRModel(log_ratio=ratio, n_buckets=n_buckets,
                      target_total=t_total, raw_total=r_total,
                      smoothing=a, default_log_ratio=default)
