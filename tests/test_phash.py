@@ -214,3 +214,83 @@ def test_video_fingerprint_dedup(spark):
     assert not any("e" in p for p in pairs), pairs
     with pytest.raises(ValueError):
         vhash64(np.empty((0, 8, 8, 3), dtype=np.uint8))
+
+
+def _image_items(prefix, specs):
+    """specs: list of (suffix, pixel_array)."""
+    return [(f"{prefix}{s}", px) for s, px in specs]
+
+
+def test_dedup_media_incremental_parity_and_resume(spark, tmp_path):
+    """Incremental media dedup against a persisted fingerprint index
+    must EXACTLY match the batch slice of a full-corpus dedup over
+    the union (corpus ids sort below batch ids, so min-id == corpus
+    wins), re-run as a no-op after append, and probe the index with a
+    pbkt partition filter, never a full scan."""
+    from trial_data_ingestion_spark.multimodal.phash import (
+        dedup_media_incremental, write_phash_index,
+    )
+    base = _gradient(seed=1)
+    other = _gradient(seed=2, slope=11)
+    corpus = _media_df(spark, _image_items("a", [
+        ("0", base), ("1", other), ("2", _gradient(seed=3, slope=23)),
+    ]))
+    path = str(tmp_path / "phidx")
+    write_phash_index(attach_phash(corpus, image_hasher), path,
+                      max_hamming=6)
+
+    batch_items = _image_items("b", [
+        ("0", base.copy()),                   # dup of corpus a0
+        ("1", _gradient(noise=5, seed=7)),    # near-dup of corpus a0
+        ("2", _gradient(seed=9, slope=47)),   # unique
+        ("3", _gradient(seed=9, slope=47)),   # in-batch dup of b2
+        ("4", 255 - other),                   # unique (far from all)
+    ])
+    batch = _media_df(spark, batch_items)
+    got = sorted(r.media_id for r in dedup_media_incremental(
+        spark, batch, path, image_hasher).collect())
+
+    union = _media_df(spark, _image_items("a", [
+        ("0", base), ("1", other), ("2", _gradient(seed=3, slope=23)),
+    ]) + batch_items)
+    full = {r.media_id for r in
+            dedup_images(union, image_hasher, max_hamming=6).collect()}
+    want = sorted(m for m in full if m.startswith("b"))
+    assert got == want == ["b2", "b4"]
+
+    # append, then re-run: every id is now seen -> no-op
+    survivors = dedup_media_incremental(spark, batch, path,
+                                        image_hasher, append=True)
+    assert sorted(r.media_id for r in survivors.collect()) == want
+    rerun = dedup_media_incremental(spark, batch, path, image_hasher)
+    assert rerun.count() == 0
+
+    # a fresh near-dup of an appended batch survivor must now drop
+    batch2 = _media_df(spark, _image_items("c", [
+        ("0", _gradient(seed=9, slope=47)),   # dup of stored b2
+    ]))
+    assert dedup_media_incremental(spark, batch2, path,
+                                   image_hasher).count() == 0
+
+
+def test_phash_index_probe_is_partition_pruned(spark, tmp_path):
+    from trial_data_ingestion_spark.multimodal.phash import (
+        _band_table, write_phash_index,
+    )
+    hashes = spark.createDataFrame(
+        [(f"m{i}", i * 1_000_003) for i in range(40)],
+        "media_id string, phash long")
+    path = str(tmp_path / "phidx2")
+    write_phash_index(hashes, path, max_hamming=4, num_buckets=16)
+    probe = spark.createDataFrame([("q0", 5 * 1_000_003)],
+                                  "media_id string, phash long")
+    bt = (_band_table(probe, 4)
+          .withColumn("pbkt", F.pmod(F.xxhash64("band", "val"),
+                                     F.lit(16))))
+    bkts = sorted(r["pbkt"] for r in bt.select("pbkt").distinct().collect())
+    scan = (spark.read.parquet(path + "/bands")
+            .where(F.col("pbkt").isin(bkts)))
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "pbkt" in plan
+    # 1 probe hash -> at most 5 band buckets of 16
+    assert len(bkts) <= 5

@@ -253,3 +253,130 @@ def dedup_images(media: DataFrame, hasher: Optional[Callable] = None,
 #: the machinery is modality-agnostic — pass :func:`audio_hasher`
 #: (or any bytes -> int64 fingerprint) to dedup that modality
 dedup_media = dedup_images
+
+
+# --------------------------------------------------------------------------
+# Incremental media dedup over a persisted fingerprint index — the
+# delta-ingest contract of operators.incremental_dedup, for media.
+# --------------------------------------------------------------------------
+
+def _band_table(hashes: DataFrame, max_hamming: int,
+                id_col: str = "media_id",
+                hash_col: str = "phash") -> DataFrame:
+    """(doc, ph, band, val) — one row per pigeonhole band per hash."""
+    specs = _band_specs(max_hamming)
+    bands = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(F.col("ph"), shift)
+                  .bitwiseAND(F.lit((1 << width) - 1)).alias("val"))
+        for i, shift, width in specs])
+    return (hashes.select(F.col(id_col).alias("doc"),
+                          F.col(hash_col).alias("ph"))
+            .select("doc", "ph", F.explode(bands).alias("b"))
+            .select("doc", "ph", "b.band", "b.val"))
+
+
+def write_phash_index(hashes: DataFrame, path: str, max_hamming: int = 4,
+                      num_buckets: int = 64,
+                      mode: str = "overwrite") -> None:
+    """Persist the fingerprint store for (media_id, phash) rows:
+
+    * ``/bands`` — the exploded pigeonhole band table, partitioned by
+      ``pbkt = pmod(xxhash64(band, val), num_buckets)`` so a probe
+      scans only the partitions its own band values hash into;
+    * ``/docs`` — (doc, ph, dbkt) for the seen-id resume filter,
+      partitioned the same way by doc id;
+    * ``/params`` — (max_hamming, num_buckets): probes can't run with
+      mismatched banding.
+
+    Same layout discipline as ``incremental_dedup.write_minhash_index``
+    (repartition ON the partition column before ``partitionBy`` —
+    one file per bucket, not tasks x buckets)."""
+    bt = (_band_table(hashes, max_hamming)
+          .withColumn("pbkt", F.pmod(F.xxhash64("band", "val"),
+                                     F.lit(num_buckets))))
+    (bt.repartition("pbkt")
+       .write.mode(mode).partitionBy("pbkt").parquet(path + "/bands"))
+    docs = (hashes.select(F.col("media_id").alias("doc"),
+                          F.col("phash").alias("ph"))
+            .withColumn("dbkt", F.pmod(F.xxhash64("doc"),
+                                       F.lit(num_buckets))))
+    (docs.repartition("dbkt")
+         .write.mode(mode).partitionBy("dbkt").parquet(path + "/docs"))
+    spark = hashes.sparkSession
+    (spark.createDataFrame([(max_hamming, num_buckets)],
+                           "max_hamming int, num_buckets int")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+    for sub in ("/bands", "/docs", "/params"):
+        spark.catalog.refreshByPath(path + sub)
+
+
+def dedup_media_incremental(spark, new_media: DataFrame, path: str,
+                            hasher: Optional[Callable] = None,
+                            append: bool = False) -> DataFrame:
+    """New-batch media rows that survive near-dedup against BOTH the
+    persisted fingerprint index and the batch itself — the
+    delta-ingest shape: the corpus is never rescanned, only the
+    band-bucket partitions the batch's own fingerprints hash into.
+
+    Semantics mirror ``dedup_minhash_incremental``: already-seen ids
+    are a no-op re-run; a new item drops if its near-dup component
+    touches any corpus item ("corpus wins") or a lower-id batch item;
+    ``append=True`` extends the index with the whole batch after the
+    decision.  Banding parameters come from the index's params table.
+    """
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        _corpus_wins_survivors,
+    )
+    p = spark.read.parquet(path + "/params").collect()[0]
+    max_hamming, num_buckets = p["max_hamming"], p["num_buckets"]
+
+    hashes = attach_phash(new_media, hasher).persist()
+
+    # seen-id resume: dbkt-pruned scan of the doc store
+    batch_dbkts = sorted(r["b"] for r in hashes.select(
+        F.pmod(F.xxhash64("media_id"), F.lit(num_buckets))
+        .alias("b")).distinct().collect())
+    seen = (spark.read.parquet(path + "/docs")
+            .where(F.col("dbkt").isin(batch_dbkts))
+            .select(F.col("doc").alias("media_id")))
+    new_media = new_media.join(seen, "media_id", "left_anti")
+    hashes = hashes.join(seen, "media_id", "left_anti").persist()
+
+    # in-batch pairs: the ordinary lossless pairing
+    batch_pairs = (phash_near_dups(hashes, max_hamming)
+                   .select(F.col("media_id_a").alias("doc_a"),
+                           F.col("media_id_b").alias("doc_b")))
+
+    # cross pairs: batch bands -> pbkt-pruned index scan -> verify
+    bt = (_band_table(hashes, max_hamming)
+          .withColumn("pbkt", F.pmod(F.xxhash64("band", "val"),
+                                     F.lit(num_buckets))))
+    probe_bkts = sorted(r["pbkt"] for r in
+                        bt.select("pbkt").distinct().collect())
+    idx = (spark.read.parquet(path + "/bands")
+           .where(F.col("pbkt").isin(probe_bkts)))
+    cross = (idx.alias("c")
+             .join(F.broadcast(bt.alias("n")),
+                   on=[F.col("c.band") == F.col("n.band"),
+                       F.col("c.val") == F.col("n.val")])
+             .select(F.col("c.doc").alias("doc_a"),
+                     F.col("n.doc").alias("doc_b"),
+                     F.col("c.ph").alias("ph_a"),
+                     F.col("n.ph").alias("ph_b"))
+             .distinct()
+             .where(F.bit_count(F.col("ph_a").bitwiseXOR(F.col("ph_b")))
+                    <= max_hamming))
+    corpus_nodes = cross.select(F.col("doc_a").alias("doc")).distinct()
+    confirmed = (batch_pairs
+                 .unionByName(cross.select("doc_a", "doc_b"))
+                 .distinct())
+    survivors = _corpus_wins_survivors(new_media, confirmed,
+                                       corpus_nodes, "media_id")
+    if append:
+        survivors = survivors.localCheckpoint()
+        to_store = hashes.localCheckpoint()
+        write_phash_index(to_store, path, max_hamming=max_hamming,
+                          num_buckets=num_buckets, mode="append")
+    hashes.unpersist()
+    return survivors
