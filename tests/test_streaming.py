@@ -485,3 +485,68 @@ def test_streaming_line_dedup_across_batches(spark, tmp_path):
     for r in spark.read.parquet(out2).collect():
         assert not [l for l in r["text"].split("\n")
                     if len(l.strip()) >= 10], r["doc_id"]
+
+
+def test_streaming_media_dedup_across_batches(spark, tmp_path):
+    """Perceptual media dedup as a stream (the persisted fingerprint
+    store IS the state): BMP payloads arrive across micro-batches
+    with planted exact copies; after the availableNow run each copy
+    family has exactly one survivor corpus-wide, and a restart over
+    all-duplicate content drops everything — store-wins across
+    stream restarts."""
+    import numpy as np
+
+    from trial_data_ingestion_spark.multimodal.codecs import encode_bmp
+    from trial_data_ingestion_spark.multimodal.phash import (
+        image_hasher, write_phash_index,
+    )
+    from trial_data_ingestion_spark.streaming.documents import (
+        deduped_media_sink, read_document_stream,
+    )
+
+    def img(seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, (24, 24)).astype(np.uint8)
+        return np.stack([px] * 3, axis=-1)
+
+    rows = []
+    for i in range(30):
+        rows.append((f"m{i:03d}", bytearray(encode_bmp(img(i)))))
+    for i in range(0, 30, 5):            # 6 planted copy families
+        rows.append((f"m{i:03d}x", bytearray(encode_bmp(img(i)))))
+    src = str(tmp_path / "media_src")
+    media = spark.createDataFrame(rows, "media_id string, media binary")
+    media.repartition(5).write.mode("overwrite").parquet(src)
+
+    idx, out = str(tmp_path / "phidx"), str(tmp_path / "mout")
+    empty = spark.createDataFrame([], "media_id string, phash long")
+    write_phash_index(empty, idx, max_hamming=4)
+
+    stream = read_document_stream(
+        spark, src, schema="media_id string, media binary",
+        max_files_per_trigger=1)
+    q = (deduped_media_sink(stream, idx, out, hasher=image_hasher)
+         .option("checkpointLocation", str(tmp_path / "ckpt_md"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert q.lastProgress["batchId"] >= 2      # really crossed batches
+
+    kept = sorted(r.media_id for r in spark.read.parquet(out).collect())
+    assert len(kept) == 30                     # one per copy family
+    for i in range(0, 30, 5):
+        fam = [m for m in kept
+               if m in (f"m{i:03d}", f"m{i:03d}x")]
+        assert len(fam) == 1, (i, fam)
+
+    # restart over pure duplicates: the store remembers everything
+    src2, out2 = str(tmp_path / "src2"), str(tmp_path / "mout2")
+    media.limit(10).write.mode("overwrite").parquet(src2)
+    stream2 = read_document_stream(
+        spark, src2, schema="media_id string, media binary")
+    q2 = (deduped_media_sink(stream2, idx, out2, hasher=image_hasher)
+          .option("checkpointLocation", str(tmp_path / "ckpt_md2"))
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    import glob
+    assert not glob.glob(out2 + "/part-*.parquet") or \
+        spark.read.parquet(out2).count() == 0

@@ -337,7 +337,11 @@ def dedup_media_incremental(spark, new_media: DataFrame, path: str,
     batch_dbkts = sorted(r["b"] for r in hashes.select(
         F.pmod(F.xxhash64("media_id"), F.lit(num_buckets))
         .alias("b")).distinct().collect())
-    seen = (spark.read.parquet(path + "/docs")
+    # explicit schema + basePath: a freshly-initialized EMPTY store
+    # has no data files to infer from (same pattern as the line store)
+    seen = (spark.read.schema("doc string, ph long, dbkt int")
+            .option("basePath", path + "/docs")
+            .parquet(path + "/docs")
             .where(F.col("dbkt").isin(batch_dbkts))
             .select(F.col("doc").alias("media_id")))
     new_media = new_media.join(seen, "media_id", "left_anti")
@@ -354,7 +358,10 @@ def dedup_media_incremental(spark, new_media: DataFrame, path: str,
                                      F.lit(num_buckets))))
     probe_bkts = sorted(r["pbkt"] for r in
                         bt.select("pbkt").distinct().collect())
-    idx = (spark.read.parquet(path + "/bands")
+    idx = (spark.read
+           .schema("doc string, ph long, band int, val long, pbkt int")
+           .option("basePath", path + "/bands")
+           .parquet(path + "/bands")
            .where(F.col("pbkt").isin(probe_bkts)))
     cross = (idx.alias("c")
              .join(F.broadcast(bt.alias("n")),

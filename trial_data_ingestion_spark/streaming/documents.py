@@ -146,3 +146,32 @@ def line_deduped_document_sink(docs: DataFrame, index_path: str,
         out.write.mode("append").parquet(out_path)
 
     return docs.writeStream.foreachBatch(sink)
+
+
+def deduped_media_sink(media: DataFrame, index_path: str,
+                       out_path: str, hasher=None):
+    """Streaming perceptual media dedup: every micro-batch runs
+    ``multimodal.phash.dedup_media_incremental`` against the
+    persisted fingerprint index (probe pruned to the batch's own
+    band buckets) with ``append=True``, so media first seen in one
+    batch suppress their near-duplicates in every later batch — and
+    across stream restarts, because the store IS the state (same
+    contract as :func:`line_deduped_document_sink`; near-dup state
+    cannot ride Spark's state store anyway — Hamming matching is not
+    an equality key).
+
+    Initialize the index once with ``write_phash_index`` (over the
+    standing corpus's hashes, or an empty frame to start fresh); the
+    surviving batch rows append as parquet at ``out_path``.  Returns
+    the ``DataStreamWriter`` — caller picks the trigger."""
+    from trial_data_ingestion_spark.multimodal.phash import (
+        dedup_media_incremental,
+    )
+
+    def sink(batch_df, batch_id):
+        out = dedup_media_incremental(batch_df.sparkSession, batch_df,
+                                      index_path, hasher=hasher,
+                                      append=True)
+        out.write.mode("append").parquet(out_path)
+
+    return media.writeStream.foreachBatch(sink)
