@@ -161,3 +161,20 @@ def test_score_plan_broadcasts_model_and_select_avoids_full_sort(spark):
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
     assert "TakeOrderedAndProject" in splan
+
+
+def test_greedy_select_is_exact_topk(spark):
+    """gumbel=False must return exactly the k best normalized scores
+    (ties by id), with gumbel_key == the score itself."""
+    model = fit_dsir(_docs(spark, TARGET), _docs(spark, RAW))
+    scored = {r.doc_id: r.log_weight / r.n_grams
+              for r in score_importance(_docs(spark, RAW),
+                                        model).collect()}
+    rows = dsir_select(_docs(spark, RAW), model, k=3,
+                       gumbel=False).collect()
+    got = [r.doc_id for r in rows]
+    want = [i for i, _ in sorted(scored.items(),
+                                 key=lambda kv: (-kv[1], kv[0]))][:3]
+    assert got == want
+    for r in rows:
+        assert r.gumbel_key == pytest.approx(scored[r.doc_id], abs=1e-9)

@@ -54,6 +54,28 @@ def test_release_pipeline(spark, tmp_path):
         .count() == 0
     assert clean.count() >= n_curated - n_bench_in - 5  # fuzzy extras
 
+    # 2.5 data selection: DSIR-rank the clean corpus against a
+    #     trusted target slice; the top half must (a) stay inside the
+    #     clean corpus and (b) score strictly better than the bottom
+    #     half on mean normalized importance
+    from trial_data_ingestion_spark.operators.dsir import (
+        dsir_select, fit_dsir, score_importance,
+    )
+    target = docs.where("doc_id % 17 = 3").select("text")
+    model = fit_dsir(target, clean.select("text"), n_buckets=2048)
+    n_clean = clean.count()
+    selected = dsir_select(clean, model, k=n_clean // 2,
+                           id_col="doc_id", gumbel=False)
+    assert selected.count() == n_clean // 2
+    sel_ids = {r.doc_id for r in selected.select("doc_id").collect()}
+    clean_ids = {r.doc_id for r in clean.select("doc_id").collect()}
+    assert sel_ids <= clean_ids
+    norm = {r.doc_id: r.log_weight / r.n_grams
+            for r in score_importance(clean, model).collect()}
+    inside = [norm[i] for i in sel_ids if i in norm]
+    outside = [v for i, v in norm.items() if i not in sel_ids]
+    assert sum(inside) / len(inside) > sum(outside) / len(outside)
+
     # 3. the split came content-stable from curate(); audit leakage
     #    BETWEEN the final splits (exact-dup removal already ran, so
     #    only residual shared grams can leak)

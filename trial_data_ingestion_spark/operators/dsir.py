@@ -159,7 +159,8 @@ def score_importance(docs: DataFrame, model: DSIRModel,
 def dsir_select(docs: DataFrame, model: DSIRModel, k: int,
                 id_col: str = "doc_id", text_col: str = "text",
                 seed: str = "s0",
-                length_normalize: bool = True) -> DataFrame:
+                length_normalize: bool = True,
+                gumbel: bool = True) -> DataFrame:
     """Draw ``k`` docs without replacement, approximately
     proportional to importance weight, via the Gumbel-top-k trick:
     rank by ``log w + Gumbel(0,1)`` and keep the top ``k``.  The
@@ -170,6 +171,12 @@ def dsir_select(docs: DataFrame, model: DSIRModel, k: int,
     ``length_normalize`` ranks by mean (not summed) per-gram log
     ratio: raw summed weights scale with document length, so without
     normalization long documents dominate any k-selection.
+
+    ``gumbel=False`` drops the noise entirely — a deterministic
+    greedy top-k by score.  Use it when the weight spread is small
+    (flat weights make the Gumbel draw near-uniform, which is the
+    mathematically correct sample but rarely what a "take the most
+    target-like half" pipeline step wants).
 
     Returns (id, n_grams, log_weight, gumbel_key), highest key
     first.  ``orderBy().limit(k)`` compiles to
@@ -185,8 +192,8 @@ def dsir_select(docs: DataFrame, model: DSIRModel, k: int,
     # u in (0,1): 60 md5 bits scaled; +1 keeps u>0 so log(u) is finite
     u = ((F.conv(F.substring(h, 1, 15), 16, 10).cast("double") + 1.0)
          / float((1 << 60) + 2))
-    gumbel = -F.log(-F.log(u))
+    noise = -F.log(-F.log(u)) if gumbel else F.lit(0.0)
     return (scored
-            .withColumn("gumbel_key", base + gumbel)
+            .withColumn("gumbel_key", base + noise)
             .orderBy(F.desc("gumbel_key"), F.asc(id_col))
             .limit(k))
