@@ -441,11 +441,20 @@ REGRESSION_FACTOR = 2.0
 REGRESSION_MIN_SEC = 0.4
 TOTAL_REGRESSION_FACTOR = 1.3
 
+#: entries whose measurement SEMANTICS changed: values recorded
+#: before the named round measured less work and are not comparable
+#: floors.  b02's old .count() materialization let Catalyst's
+#: left-join elimination prune the whole matched-grams computation
+#: (fixed in round 5) — its r4 time is a different, smaller query.
+INCOMPARABLE_BEFORE = {"b02_decontam_report": "BENCH_r05.json"}
+
+
 def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
     """Per-query BEST (minimum) steady seconds across every
     BENCH_r*.json in the repo (sf0.1, local[32]).  The driver wraps
     the bench's JSON line under a 'parsed' key.  Returns the baseline
-    and the list of round files that contributed."""
+    and the list of round files that contributed.  Queries listed in
+    :data:`INCOMPARABLE_BEFORE` ignore rounds before their cutoff."""
     here = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
     rounds: list[str] = []
@@ -459,8 +468,12 @@ def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
         queries = doc.get("queries", {})
         if not queries:
             continue
-        rounds.append(os.path.basename(path))
+        fname = os.path.basename(path)
+        rounds.append(fname)
         for k, v in queries.items():
+            cutoff = INCOMPARABLE_BEFORE.get(k)
+            if cutoff is not None and fname < cutoff:
+                continue
             v = float(v)
             if k not in best or v < best[k]:
                 best[k] = v

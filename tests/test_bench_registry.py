@@ -23,3 +23,16 @@ def test_headline_names_all_resolve():
 def test_headline_has_no_duplicates():
     import bench
     assert len(bench.HEADLINE) == len(set(bench.HEADLINE))
+
+
+def test_incomparable_entries_excluded_from_rolling_best():
+    """b02's pre-r5 recorded time measured a Catalyst-pruned subset
+    of the work (see bench.INCOMPARABLE_BEFORE); the rolling-best
+    loader must not use it as a regression floor."""
+    import bench
+    best, rounds = bench._load_rolling_baseline()
+    assert "BENCH_r04.json" in rounds          # r4 data still loads
+    b02 = best.get("b02_decontam_report")
+    # either no post-cutoff round exists yet (no floor at all) or the
+    # floor comes from a post-r5 file — never the 0.253 r4 artifact
+    assert b02 is None or b02 > 0.3

@@ -331,10 +331,10 @@ def dedup_media_incremental(spark, new_media: DataFrame, path: str,
     p = spark.read.parquet(path + "/params").collect()[0]
     max_hamming, num_buckets = p["max_hamming"], p["num_buckets"]
 
-    hashes = attach_phash(new_media, hasher).persist()
+    raw_hashes = attach_phash(new_media, hasher).persist()
 
     # seen-id resume: dbkt-pruned scan of the doc store
-    batch_dbkts = sorted(r["b"] for r in hashes.select(
+    batch_dbkts = sorted(r["b"] for r in raw_hashes.select(
         F.pmod(F.xxhash64("media_id"), F.lit(num_buckets))
         .alias("b")).distinct().collect())
     # explicit schema + basePath: a freshly-initialized EMPTY store
@@ -345,7 +345,7 @@ def dedup_media_incremental(spark, new_media: DataFrame, path: str,
             .where(F.col("dbkt").isin(batch_dbkts))
             .select(F.col("doc").alias("media_id")))
     new_media = new_media.join(seen, "media_id", "left_anti")
-    hashes = hashes.join(seen, "media_id", "left_anti").persist()
+    hashes = raw_hashes.join(seen, "media_id", "left_anti").persist()
 
     # in-batch pairs: the ordinary lossless pairing
     batch_pairs = (phash_near_dups(hashes, max_hamming)
@@ -386,4 +386,5 @@ def dedup_media_incremental(spark, new_media: DataFrame, path: str,
         write_phash_index(to_store, path, max_hamming=max_hamming,
                           num_buckets=num_buckets, mode="append")
     hashes.unpersist()
+    raw_hashes.unpersist()
     return survivors
