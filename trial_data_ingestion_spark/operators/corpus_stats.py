@@ -65,8 +65,8 @@ def approx_heavy_hitters(df: DataFrame, col: str,
                          support: float = 0.01) -> DataFrame:
     """Keys with frequency >= ~``support`` of the table, found by the
     two-phase pattern for EXTREME key cardinality (urls, grams) where
-    even the exact ``groupBy`` of :func:`joins.key_skew_report` is a
-    giant shuffle:
+    even the exact ``groupBy`` of
+    :func:`operators.skew.key_skew_report` is a giant shuffle:
 
       1. ``df.stat.freqItems`` (single pass, per-partition counting +
        merge, NO shuffle) yields a superset of candidates — it may

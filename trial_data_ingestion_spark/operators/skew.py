@@ -13,7 +13,9 @@ Shapes: ONE map-side-combined count aggregate over the keys (the
 same shuffle the diagnosed join/groupBy would do, minus the
 payload), a TakeOrdered head for the top keys, and approxQuantile on
 the per-key counts — nothing here is heavier than the query being
-diagnosed.
+diagnosed.  For EXTREME key cardinality where even this count
+shuffle is too big (urls, grams), use the no-shuffle candidate pass
+of :func:`operators.corpus_stats.approx_heavy_hitters` instead.
 """
 
 from __future__ import annotations
