@@ -421,7 +421,8 @@ def _bench_extra():
         name: RETIRED_QUERIES[name]
         for name in ("q02_revenue_by_segment",
                      "q05_top_orders_per_customer",
-                     "q12_running_window")
+                     "q12_running_window",
+                     "q14_doc_stats_by_source")
     }
 
     return {**retired_bench,

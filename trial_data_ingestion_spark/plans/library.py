@@ -700,7 +700,7 @@ def _sw_pred(words):
     return " OR ".join(f"x = '{w}'" for w in words)
 
 
-@_register("q14_doc_stats_by_source", f"""
+@_retire("q14_doc_stats_by_source", f"""
 SELECT source, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars,
        CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
@@ -708,7 +708,11 @@ SELECT source, count(*) AS n_docs,
 FROM documents GROUP BY source
 """)
 def q14_doc_stats_by_source(spark, sf_dir):
-    """Flagship shape: text scan -> native token stats -> group agg."""
+    """Flagship shape: text scan -> native token stats -> group agg.
+    Retired round 5 (second swap wave): the scan -> token-stats ->
+    groupBy shape stays graded through q01/q21/q30, freeing the slot
+    for q60's DSIR scoring; still benched (bench HEADLINE) and
+    pytest-oracle-verified here."""
     d = _t(spark, sf_dir, "documents")
     tc = textstats.token_count(F.col("text")).cast("long")
     return (d.withColumn("tc", tc)
@@ -2006,6 +2010,60 @@ def q59_gopher_rules(spark, sf_dir):
         "doc_id", "word_count_ok", "mean_word_len_ok",
         "symbol_ratio_ok", "bullet_lines_ok", "ellipsis_lines_ok",
         "alpha_words_ok", "stopwords_ok")
+
+
+@_register("q60_dsir_score", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(
+           string_split_regex(
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')),
+             ' +'),
+           x -> x <> '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_concat(
+           t, list_transform(range(1, len(t)),
+                             i -> t[i] || ' ' || t[i + 1]))) AS g
+  FROM toks WHERE len(t) >= 1),
+bk AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 2048 AS b
+  FROM grams),
+tc AS (SELECT b, count(*) AS c FROM bk WHERE doc_id % 17 = 3 GROUP BY b),
+rc AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+tot AS (SELECT (SELECT COALESCE(sum(c), 0) FROM tc) AS nt,
+               (SELECT sum(c) FROM rc) AS nr)
+SELECT bk.doc_id,
+       count(*) AS n_grams,
+       round(sum(
+         ln((COALESCE(tc.c, 0) + 1.0) / ((SELECT nt FROM tot) + 2048.0))
+         - ln((rc.c + 1.0) / ((SELECT nr FROM tot) + 2048.0))), 6)
+         AS log_weight
+FROM bk LEFT JOIN tc ON bk.b = tc.b LEFT JOIN rc ON bk.b = rc.b
+GROUP BY bk.doc_id
+""")
+def q60_dsir_score(spark, sf_dir):
+    """DSIR importance scoring, driver-graded end to end: fit hashed
+    unigram+bigram distributions (target = the doc_id %% 17 == 3
+    slice, raw = the whole table, 2048 buckets, add-1 smoothing) and
+    emit every document's per-occurrence summed log importance
+    weight.  The oracle re-derives the ENTIRE model in DuckDB — same
+    tokenization, the engine-portable md5 bucket idiom (q54's), the
+    same smoothed log ratios — so a hash match pins fit AND scoring
+    arithmetic, not just the selection.  Replaces the retired q14
+    (scan -> token-stats -> groupBy, still graded via q01/q21/q30).
+    Scale: the model is <= 2048 rows (broadcast join); the corpus
+    sees one narrow gram explode and one map-side-combined per-doc
+    sum."""
+    from trial_data_ingestion_spark.operators.dsir import (
+        fit_dsir, score_importance,
+    )
+    d = _t(spark, sf_dir, "documents")
+    target = d.where("doc_id % 17 = 3").select("text")
+    model = fit_dsir(target, d.select("text"), n_buckets=2048)
+    return score_importance(d, model)
 
 
 #: Every query, graded or retired — tests run parity over all of them.
