@@ -237,3 +237,51 @@ def test_frame_sampling(spark):
     # 3 media x 3 frames (0, 1000, 2000 ms)
     assert len(frames) == 9
     assert sorted({r["frame_ts_ms"] for r in frames}) == [0, 1000, 2000]
+
+
+def test_resolve_media_loads_out_of_line_payloads(spark, tmp_path):
+    """media_path rows materialize to the same bytes an inline row
+    carries; inline rows pass through; downstream feature kernels see
+    no difference between the two storage modes."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.multimodal import (
+        extract_features, resolve_media,
+    )
+    from trial_data_ingestion_spark.multimodal.codecs import (
+        encode_bmp, image_decoder,
+    )
+
+    def img(seed):
+        px = np.random.RandomState(seed).randint(
+            0, 256, (8, 8)).astype(np.uint8)
+        return encode_bmp(np.stack([px] * 3, axis=-1))
+
+    inline_bytes, outline_bytes = img(1), img(2)
+    p = tmp_path / "m2.bmp"
+    p.write_bytes(outline_bytes)
+    rows = [
+        ("m1", bytearray(inline_bytes), None),
+        ("m2", None, str(p)),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id string, media binary, media_path string")
+    got = {r.media_id: bytes(r.media)
+           for r in resolve_media(df).collect()}
+    assert got["m1"] == inline_bytes
+    assert got["m2"] == outline_bytes
+
+    feats = {r.media_id: r.features
+             for r in extract_features(resolve_media(df),
+                                       image_decoder).collect()}
+    direct = image_decoder(outline_bytes).tolist()
+    assert feats["m2"] == pytest.approx(direct)
+
+    # a bad path must fail loudly, not propagate NULLs
+    bad = spark.createDataFrame(
+        [("mx", None, str(tmp_path / "missing.bmp"))],
+        "media_id string, media binary, media_path string")
+    with pytest.raises(Exception, match="missing.bmp"):
+        resolve_media(bad).collect()
