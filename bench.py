@@ -505,6 +505,18 @@ def main() -> None:
 
     QUERIES = {**_GRADED, **_bench_extra()}
 
+    # `--only q19_minhash_dedup,b17_dsir_select`: profile a subset
+    # without paying the whole suite (dev convenience — the driver's
+    # per-round run never passes it, so recorded rounds stay full)
+    headline = HEADLINE
+    for i, arg in enumerate(sys.argv[1:], 1):
+        if arg == "--only" and i < len(sys.argv) - 0:
+            wanted = set(sys.argv[i + 1].split(","))
+            unknown = wanted - set(HEADLINE)
+            if unknown:
+                raise SystemExit(f"--only: not in HEADLINE: {sorted(unknown)}")
+            headline = [n for n in HEADLINE if n in wanted]
+
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -513,14 +525,14 @@ def main() -> None:
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
     cold: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         t0 = time.perf_counter()
         QUERIES[name](spark, sf_dir).count()
         cold[name] = round(time.perf_counter() - t0, 3)
 
-    samples: dict[str, list[float]] = {n: [] for n in HEADLINE}
+    samples: dict[str, list[float]] = {n: [] for n in headline}
     for _ in range(STEADY_PASSES):
-        for name in HEADLINE:
+        for name in headline:
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
             samples[name].append(time.perf_counter() - t0)
