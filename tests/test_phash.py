@@ -59,12 +59,20 @@ def test_real_bmp_near_dups_and_robustness(spark):
         ("d", _gradient(noise=6, seed=4)),        # lightly noised copy
         ("e", 255 - base),                        # inverted: far away
     ]
-    hashes = attach_phash(_media_df(spark, items), image_hasher)
+    media = _media_df(spark, items)
+    # same content re-encoded as PNG must hash into the family too:
+    # decode_image sniffs the container, dHash sees pixels only
+    from trial_data_ingestion_spark.multimodal.codecs import encode_png
+    png_row = spark.createDataFrame(
+        [("p", bytearray(encode_png(base)))],
+        "media_id string, media binary")
+    hashes = attach_phash(media.unionByName(png_row), image_hasher)
     pairs = {(r.media_id_a, r.media_id_b): r.hamming
              for r in phash_near_dups(hashes, max_hamming=6).collect()}
     assert pairs[("a", "b")] == 0
     assert ("a", "c") in pairs      # resize-invariant by construction
     assert ("a", "d") in pairs      # small noise stays in the ball
+    assert pairs[("a", "p")] == 0   # BMP vs PNG of the same pixels
     assert not any("e" in p for p in pairs)
 
 
