@@ -273,3 +273,43 @@ def test_curate_with_gopher_stage(spark):
     assert 104 not in gophered
     assert gophered                       # prose docs survive
     assert gophered < base
+
+
+def test_curate_dsir_selection_stage(spark):
+    """With a dsir_target and keep_frac, curate() keeps the
+    target-likest slice of the CLEAN corpus: output is a subset of
+    the no-DSIR run, sized by the quantile threshold, carrying
+    dsir_score, and every kept score clears every dropped score's
+    threshold side."""
+    from tests.conftest import SF_DIR_ORACLE
+
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    docs = spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+    target = docs.where("doc_id % 17 = 3").select("text")
+
+    base_cfg = CurationConfig()
+    base = curate(docs, config=base_cfg)
+    base_ids = {r.doc_id for r in base.select("doc_id").collect()}
+
+    cfg = CurationConfig(dsir_keep_frac=0.5)
+    out = curate(docs, config=cfg, dsir_target=target)
+    rows = out.select("doc_id", "dsir_score").collect()
+    kept = {r.doc_id for r in rows}
+    assert kept <= base_ids
+    # quantile threshold: half the clean corpus within approx error
+    assert abs(len(kept) - len(base_ids) / 2) <= 0.05 * len(base_ids)
+    # the stage is deterministic and the split column still attaches
+    rerun = curate(docs, config=cfg, dsir_target=target)
+    assert {r.doc_id for r in rerun.select("doc_id").collect()} == kept
+    assert "split" in out.columns
+    # no target / no frac -> stage off, no score column
+    assert "dsir_score" not in base.columns
+    off = curate(docs, config=base_cfg, dsir_target=target)
+    assert "dsir_score" not in off.columns
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dsir_keep_frac"):
+        curate(docs, config=CurationConfig(dsir_keep_frac=1.5),
+               dsir_target=target)

@@ -61,6 +61,15 @@ class CurationConfig:
     #: Applied WITH the hygiene gate (both are narrow row filters on
     #: the same scan — composing them adds no stage)
     gopher: object = None
+    #: fraction of the clean corpus DSIR selection keeps when a
+    #: ``dsir_target`` is passed to :func:`curate` (None = stage off
+    #: even with a target).  Selection is threshold-based — the
+    #: (1 - frac) quantile of the normalized importance score via
+    #: approxQuantile — NOT a global top-k: at 100 TB a quantile is
+    #: one aggregate returning one number, while materializing k ids
+    #: for half the corpus is not a broadcastable set
+    dsir_keep_frac: float | None = None
+    dsir_buckets: int = 10_000
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -98,10 +107,14 @@ def hygiene_gate(docs: DataFrame,
 
 
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
-           config: CurationConfig | None = None) -> DataFrame:
+           config: CurationConfig | None = None,
+           dsir_target: DataFrame | None = None) -> DataFrame:
     """Curated corpus: input rows that survive hygiene gates, exact
-    dedup, and decontamination — with ``lang``, ``quality``, and
-    ``split`` attached.  Returns a DataFrame; callers export with
+    dedup, decontamination, and (with ``dsir_target`` + a configured
+    ``dsir_keep_frac``) DSIR importance selection toward the target
+    corpus — with ``lang``, ``quality``, ``split``, and (when the
+    DSIR stage ran) ``dsir_score`` attached.  Returns a DataFrame;
+    callers export with
     ``sinks.training_export.write_training_shards`` per split."""
     cfg = config or CurationConfig()
     gated = hygiene_gate(docs, cfg)
@@ -143,6 +156,27 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
                                 text_col=cfg.text_col,
                                 n=cfg.decontam_ngram, flag_from=raw)
+    if dsir_target is not None and cfg.dsir_keep_frac is not None:
+        if not 0.0 < cfg.dsir_keep_frac <= 1.0:
+            raise ValueError(
+                f"dsir_keep_frac out of (0, 1]: {cfg.dsir_keep_frac}")
+        from trial_data_ingestion_spark.operators.dsir import (
+            fit_dsir, score_importance,
+        )
+        model = fit_dsir(dsir_target, deduped.select(cfg.text_col),
+                         n_buckets=cfg.dsir_buckets)
+        scored = (score_importance(deduped, model, id_col=cfg.id_col,
+                                   text_col=cfg.text_col)
+                  .withColumn("dsir_score",
+                              F.col("log_weight") / F.col("n_grams"))
+                  .persist())
+        thr = scored.approxQuantile(
+            "dsir_score", [1.0 - cfg.dsir_keep_frac], 0.001)[0]
+        deduped = deduped.join(
+            scored.where(F.col("dsir_score") >= thr)
+                  .select(cfg.id_col, F.round("dsir_score", 6)
+                          .alias("dsir_score")),
+            cfg.id_col)
     return split_by_hash(deduped, cfg.id_col, cfg.split_weights,
                          seed=cfg.split_seed)
 
