@@ -107,3 +107,80 @@ def test_scoring_plan_is_native_and_broadcast(spark):
     assert "EvalPython" not in plan and "PythonUDF" not in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_perplexity_buckets_global_thirds(spark):
+    """Global head/middle/tail: equal-mass thirds by perplexity, and
+    the bucket boundaries agree with an exact python quantile split
+    (ties aside — the fixture has distinct perplexities)."""
+    from trial_data_ingestion_spark.operators.ngram_lm import (
+        perplexity_buckets,
+    )
+    rows = [(i, float(100 + 7 * i)) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id long, perplexity double")
+    got = {r["doc_id"]: r["ppl_bucket"]
+           for r in perplexity_buckets(df).collect()}
+    ppl = dict(rows)
+    cut1 = sorted(p for _, p in rows)[29]
+    cut2 = sorted(p for _, p in rows)[59]
+    for d, p in ppl.items():
+        want = "head" if p <= cut1 else ("middle" if p <= cut2 else "tail")
+        assert got[d] == want, (d, p, got[d], want)
+    counts = {}
+    for b in got.values():
+        counts[b] = counts.get(b, 0) + 1
+    assert counts == {"head": 30, "middle": 30, "tail": 30}
+
+
+def test_perplexity_buckets_per_language(spark):
+    """CCNet semantics: cut points are computed WITHIN each language,
+    so a language whose perplexities are globally high still gets its
+    own head third."""
+    from trial_data_ingestion_spark.operators.ngram_lm import (
+        perplexity_buckets,
+    )
+    rows = ([(i, "en", float(10 + i)) for i in range(30)]
+            + [(100 + i, "de", float(1000 + i)) for i in range(30)])
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, perplexity double")
+    got = perplexity_buckets(df, by="lang").collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault((r["lang"], r["ppl_bucket"]), []).append(
+            r["perplexity"])
+    # every language has a 10-doc head third despite the global skew
+    assert len(by_lang[("en", "head")]) == 10
+    assert len(by_lang[("de", "head")]) == 10
+    assert max(by_lang[("de", "head")]) < min(by_lang[("de", "middle")])
+    assert max(by_lang[("en", "middle")]) < min(by_lang[("en", "tail")])
+    # threshold table joins broadcast; corpus is not shuffled
+    plan = (perplexity_buckets(df, by="lang")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_perplexity_buckets_end_to_end_with_lm(spark):
+    """Compose fit -> score -> bucket: in-domain text lands in an
+    earlier bucket than shuffled-vocabulary noise."""
+    from trial_data_ingestion_spark.operators.ngram_lm import (
+        fit_ngram_lm, perplexity_buckets, score_perplexity,
+    )
+    rng = random.Random(3)
+    words = ["the", "model", "learns", "from", "clean", "data",
+             "and", "text", "quality", "matters"]
+    ref = spark.createDataFrame(
+        [(i, " ".join(rng.choice(words) for _ in range(30)))
+         for i in range(40)], "doc_id long, text string")
+    lm = fit_ngram_lm(ref, vocab_size=100)
+    sents = ["the model learns from clean data and text",
+             "quality matters and the model learns from data",
+             "zq xv qq jjk wpp zzt yyb nnm ooq ppr",
+             "vvx zzk qqj wwp ttz bby mmn qqo rrp aal"]
+    cand = spark.createDataFrame(
+        list(enumerate(sents)), "doc_id long, text string")
+    out = perplexity_buckets(
+        score_perplexity(cand, lm), labels=("head", "tail"))
+    got = {r["doc_id"]: r["ppl_bucket"] for r in out.collect()}
+    assert got[0] == "head" and got[1] == "head"
+    assert got[2] == "tail" and got[3] == "tail"

@@ -106,3 +106,71 @@ def test_quality_filter_scoring_stays_jvm_side(spark):
     plan = (apply_quality_filter(rep.drop("label"), model)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan     # no row-at-a-time Python
+
+
+def _topical_corpus(n=300, seed=11):
+    """Labeled corpus separable only by VOCABULARY: both classes are
+    similar length/punctuation, so hygiene signals can't split them —
+    only the hashed-n-gram text model can."""
+    rng = random.Random(seed)
+    good_words = ["experiment", "dataset", "analysis", "method",
+                  "results", "model", "training", "evaluation",
+                  "the", "we", "of", "and", "measure", "observe"]
+    bad_words = ["winner", "click", "free", "casino", "jackpot",
+                 "bonus", "prize", "claim", "the", "now", "of",
+                 "and", "offer", "deal"]
+    rows = []
+    for i in range(n):
+        good = i % 2 == 0
+        vocab = good_words if good else bad_words
+        text = " ".join(rng.choice(vocab)
+                        for _ in range(rng.randrange(40, 80)))
+        rows.append((i, text, 1.0 if good else 0.0))
+    return rows
+
+
+def test_text_quality_filter_learns_topical_junk(spark):
+    """The fastText-recipe model separates spam-vocabulary docs that
+    the signal-based filter cannot (lengths/punctuation identical)."""
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        apply_text_quality_filter, fit_text_quality_filter,
+    )
+    rows = _topical_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    train = df.where("doc_id % 5 != 0")
+    test = df.where("doc_id % 5 = 0")
+    model = fit_text_quality_filter(train)
+    got = apply_text_quality_filter(test.drop("label"), model) \
+        .select("doc_id", "keep", "keep_prob").collect()
+    labels = {r[0]: r[2] for r in rows}
+    acc = sum((r["keep"] == (labels[r["doc_id"]] == 1.0))
+              for r in got) / len(got)
+    assert acc >= 0.95, acc
+    assert len(got) == test.count()          # audit trail: no drops
+    assert all(0.0 <= r["keep_prob"] <= 1.0 for r in got)
+    # every original column survives, helper columns are cleaned up
+    cols = apply_text_quality_filter(test.drop("label"), model).columns
+    assert cols == ["doc_id", "text", "keep_prob", "keep"]
+
+
+def test_text_quality_filter_save_load_and_jvm_plan(spark, tmp_path):
+    from pyspark.ml import PipelineModel
+
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        apply_text_quality_filter, fit_text_quality_filter,
+    )
+    rows = _topical_corpus(n=120)
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    model = fit_text_quality_filter(df)
+    path = str(tmp_path / "text_quality_model")
+    model.save(path)
+    reloaded = PipelineModel.load(path)
+    unlabeled = df.drop("label")
+    before = sorted((r["doc_id"], r["keep_prob"]) for r in
+                    apply_text_quality_filter(unlabeled, model).collect())
+    after = sorted((r["doc_id"], r["keep_prob"]) for r in
+                   apply_text_quality_filter(unlabeled, reloaded).collect())
+    assert before == after and len(before) == 120
+    plan = (apply_text_quality_filter(unlabeled, reloaded)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan     # inference is JVM-side

@@ -130,3 +130,45 @@ def score_perplexity(docs: DataFrame, model: NgramLM,
             .agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"),
                  F.round(F.exp(-F.avg(F.log(prob))), 4)
                   .alias("perplexity")))
+
+
+def perplexity_buckets(scored: DataFrame,
+                       by: str | None = None,
+                       labels: tuple = ("head", "middle", "tail"),
+                       ppl_col: str = "perplexity",
+                       accuracy: int = 10_000) -> DataFrame:
+    """CCNet's head/middle/tail partition: bucket documents by
+    perplexity quantile, lower = closer to the reference corpus.
+    Adds a ``ppl_bucket`` column; ``labels`` sets the number of
+    equal-mass buckets (CCNet uses thirds).
+
+    ``by=None`` computes GLOBAL cut points with one
+    ``percentile_approx`` aggregate and compiles them into literal
+    ``when`` chains — the bucketing filter a downstream
+    ``where(ppl_bucket = 'head')`` becomes is then a plain pushed-down
+    comparison.  ``by="lang"`` computes cut points PER GROUP (CCNet
+    buckets within each language so high-resource languages don't
+    crowd out the rest): the threshold table is one row per group and
+    joins broadcast.  Either way the corpus is touched by exactly one
+    extra narrow pass; no sort, no window over the full data."""
+    n_cuts = len(labels) - 1
+    if n_cuts < 1:
+        raise ValueError("perplexity_buckets: need >= 2 labels")
+    fracs = [(i + 1) / len(labels) for i in range(n_cuts)]
+    pct = F.percentile_approx(
+        ppl_col, F.array(*[F.lit(q) for q in fracs]), F.lit(accuracy))
+    if by is None:
+        cuts = scored.agg(pct.alias("__cuts")).collect()[0]["__cuts"]
+        expr = F.lit(labels[-1])
+        for lab, cut in zip(reversed(labels[:-1]), reversed(cuts)):
+            expr = F.when(F.col(ppl_col) <= F.lit(float(cut)),
+                          F.lit(lab)).otherwise(expr)
+        return scored.withColumn("ppl_bucket", expr)
+    thresholds = scored.groupBy(by).agg(pct.alias("__cuts"))
+    expr = F.lit(labels[-1])
+    for i, lab in reversed(list(enumerate(labels[:-1]))):
+        expr = F.when(F.col(ppl_col) <= F.col("__cuts")[i],
+                      F.lit(lab)).otherwise(expr)
+    return (scored.join(F.broadcast(thresholds), by, "left")
+            .withColumn("ppl_bucket", expr)
+            .drop("__cuts"))

@@ -56,6 +56,75 @@ def fit_quality_filter(labeled: DataFrame,
     return pipe.fit(casted)
 
 
+def fit_text_quality_filter(labeled: DataFrame,
+                            text_col: str = "text",
+                            label_col: str = "label",
+                            n_features: int = 1 << 18,
+                            use_bigrams: bool = True,
+                            max_iter: int = 50):
+    """Train a fastText-style BAG-OF-HASHED-NGRAMS classifier on raw
+    text (the CCNet / GPT-3 / LLaMA data-filter recipe: the model sees
+    the words themselves, not hand-built hygiene signals).  Pipeline is
+    MLlib-native end to end — RegexTokenizer → word bigrams → HashingTF
+    (hashing trick, no vocabulary shuffle) → LogisticRegression — so
+    training is a distributed JVM job and inference is one JVM-side
+    ``model.transform``; there is no Python and no fit-time vocabulary
+    to broadcast at 100 TB.  Labels: 1.0 = keep, 0.0 = drop.
+
+    Complements :func:`fit_quality_filter` (signal-based): the hashed
+    n-gram model catches *topical* junk (spam vocabulary, boilerplate
+    phrases) that length/punctuation signals cannot see."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import (HashingTF, NGram, RegexTokenizer,
+                                    VectorAssembler)
+
+    stages = [RegexTokenizer(inputCol=text_col, outputCol="__words",
+                             pattern=r"[^\p{L}\p{N}]+", minTokenLength=1)]
+    tf_cols = []
+    stages.append(HashingTF(inputCol="__words", outputCol="__tf1",
+                            numFeatures=n_features))
+    tf_cols.append("__tf1")
+    if use_bigrams:
+        stages.append(NGram(n=2, inputCol="__words", outputCol="__bi"))
+        stages.append(HashingTF(inputCol="__bi", outputCol="__tf2",
+                                numFeatures=n_features))
+        tf_cols.append("__tf2")
+    if len(tf_cols) == 1:
+        feat_col = tf_cols[0]
+    else:
+        feat_col = "__features"
+        stages.append(VectorAssembler(inputCols=tf_cols,
+                                      outputCol=feat_col))
+    stages.append(LogisticRegression(featuresCol=feat_col,
+                                     labelCol=label_col,
+                                     maxIter=max_iter,
+                                     regParam=1e-4))
+    casted = labeled.withColumn(label_col,
+                                F.col(label_col).cast("double"))
+    return Pipeline(stages=stages).fit(casted)
+
+
+def apply_text_quality_filter(df: DataFrame, model,
+                              threshold: float = 0.5,
+                              keep_col: str = "keep",
+                              prob_col: str = "keep_prob") -> DataFrame:
+    """Score raw-text rows with a :func:`fit_text_quality_filter`
+    model; adds ``keep_prob``/``keep`` and keeps every row (audit
+    trail — chain ``.where(keep_col)`` to materialize)."""
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(df)
+    prob = vector_to_array(F.col("probability")).getItem(1)
+    drop = [c for c in ("__words", "__bi", "__tf1", "__tf2",
+                        "__features", "rawPrediction", "probability",
+                        "prediction") if c in scored.columns]
+    return (scored
+            .withColumn(prob_col, F.round(prob, 6))
+            .withColumn(keep_col, F.col(prob_col) >= threshold)
+            .drop(*drop))
+
+
 def apply_quality_filter(df: DataFrame, model,
                          threshold: float = 0.5,
                          keep_col: str = "keep",
