@@ -313,3 +313,116 @@ def test_curate_dsir_selection_stage(spark):
     with _pt.raises(ValueError, match="dsir_keep_frac"):
         curate(docs, config=CurationConfig(dsir_keep_frac=1.5),
                dsir_target=target)
+
+
+def test_curate_with_url_filter_stage(spark):
+    """The optional URL pre-filter: blocklisted-domain and
+    keyword-scored docs never reach the hygiene gate, allowlisted
+    domains override, and the stage drops the helper columns so the
+    output schema matches the un-staged pipeline plus passthroughs."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()
+    urls = {100: "https://example.com/a", 101: "https://example.com/b",
+            102: "https://example.com/c", 103: "https://example.com/d"}
+    wrows = []
+    for i, t in rows:
+        if i == 0:
+            u = "https://spamsite.org/page"            # blocklisted
+        elif i == 1:
+            u = "https://www.xxxcasino.net/win"        # keyword host hit
+        elif i == 2:
+            u = "https://sexhealth-example.org/advice"  # allowlisted
+        else:
+            u = urls.get(i, f"https://ok-{i}.example.com/doc")
+        wrows.append((i, t, u))
+    docs = spark.createDataFrame(wrows, "doc_id long, text string, url string")
+    cfg = CurationConfig(lid="native", url_col="url")
+    out = curate(docs, config=cfg,
+                 url_blocklist=["spamsite.org"],
+                 url_allowlist=["sexhealth-example.org"]).collect()
+    ids = {r["doc_id"] for r in out}
+    assert 0 not in ids and 1 not in ids           # blocked
+    assert 2 in ids                                # allowlist override
+    assert 3 in ids                                # untouched good doc
+    cols = {c for r in out[:1] for c in r.asDict()}
+    assert "url" in cols and "url_keep" not in cols
+
+
+def test_curate_with_trained_quality_model_stage(spark):
+    """A fitted fastText-recipe classifier slots into curate(): spam-
+    vocabulary docs that pass every hygiene gate are dropped by the
+    model, and the keep probability survives as model_quality."""
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        fit_text_quality_filter,
+    )
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rng = random.Random(9)
+    good_words = ["careful", "analysis", "of", "training", "data",
+                  "the", "systems", "measure", "quality", "signals"]
+    bad_words = ["click", "free", "casino", "winner", "prize", "the",
+                 "now", "claim", "bonus", "offer"]
+    labeled = [(i, " ".join(rng.choice(good_words if i % 2 == 0
+                                       else bad_words)
+                            for _ in range(60)),
+                1.0 if i % 2 == 0 else 0.0) for i in range(200)]
+    model = fit_text_quality_filter(spark.createDataFrame(
+        labeled, "doc_id long, text string, label double"),
+        n_features=1 << 12)       # small hash space keeps the test fast
+    rows = _rows()   # all "good" vocabulary
+    spam = [(200 + j, " ".join(rng.choice(bad_words) for _ in range(80)))
+            for j in range(5)]
+    docs = spark.createDataFrame(rows + spam,
+                                 "doc_id long, text string")
+    cfg = CurationConfig(lid="native")
+    base = {r["doc_id"] for r in curate(docs, config=cfg).collect()}
+    assert {200, 201, 202, 203, 204} <= base   # hygiene alone keeps spam
+    out = curate(docs, config=cfg, quality_model=model).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids & {200, 201, 202, 203, 204} == set()   # model drops it
+    assert len(ids) >= 50                              # good docs survive
+    assert all(r["model_quality"] >= 0.5 for r in out)
+
+
+def test_curate_incremental_url_and_model_parity(spark, tmp_path):
+    """The per-row stages are incremental-safe: curating a delta with
+    url filter + quality model equals the same stages in the full
+    pipeline restricted to the delta's fresh fingerprints."""
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        fit_text_quality_filter,
+    )
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, curate_incremental,
+    )
+    rng = random.Random(13)
+    vocab = ["useful", "prose", "about", "data", "and", "signals",
+             "the", "of", "systems", "measurement"]
+    mk = lambda i: (i, " ".join(rng.choice(vocab) for _ in range(60)),
+                    f"https://www.site-{i % 7}-example.com/p{i}")
+    first = [mk(i) for i in range(40)]
+    delta = [mk(100 + i) for i in range(20)]
+    labeled = [(i, t, 1.0) for i, t, _ in first[:20]] + \
+              [(900 + j, "click free casino winner prize now " * 10, 0.0)
+               for j in range(20)]
+    model = fit_text_quality_filter(spark.createDataFrame(
+        labeled, "doc_id long, text string, label double"),
+        n_features=1 << 12)
+    cfg = CurationConfig(lid="native", url_col="url")
+    sch = "doc_id long, text string, url string"
+    blocked = ["site-3-example.com"]
+    cur0 = curate(spark.createDataFrame(first, sch), config=cfg,
+                  url_blocklist=blocked, quality_model=model)
+    inc = curate_incremental(
+        spark.createDataFrame(delta, sch), cur0, config=cfg,
+        url_blocklist=blocked, quality_model=model)
+    full = curate(spark.createDataFrame(first + delta, sch), config=cfg,
+                  url_blocklist=blocked, quality_model=model)
+    inc_rows = sorted((r["doc_id"], r["split"]) for r in inc.collect())
+    full_delta = sorted((r["doc_id"], r["split"])
+                        for r in full.collect() if r["doc_id"] >= 100)
+    assert inc_rows == full_delta and inc_rows
+    # the blocklisted domain is absent everywhere
+    assert all(d % 7 != 3 for d, _ in inc_rows)

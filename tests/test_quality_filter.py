@@ -139,7 +139,7 @@ def test_text_quality_filter_learns_topical_junk(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string, label double")
     train = df.where("doc_id % 5 != 0")
     test = df.where("doc_id % 5 = 0")
-    model = fit_text_quality_filter(train)
+    model = fit_text_quality_filter(train, n_features=1 << 12)
     got = apply_text_quality_filter(test.drop("label"), model) \
         .select("doc_id", "keep", "keep_prob").collect()
     labels = {r[0]: r[2] for r in rows}
@@ -161,7 +161,7 @@ def test_text_quality_filter_save_load_and_jvm_plan(spark, tmp_path):
     )
     rows = _topical_corpus(n=120)
     df = spark.createDataFrame(rows, "doc_id long, text string, label double")
-    model = fit_text_quality_filter(df)
+    model = fit_text_quality_filter(df, n_features=1 << 12)
     path = str(tmp_path / "text_quality_model")
     model.save(path)
     reloaded = PipelineModel.load(path)

@@ -2,8 +2,10 @@
 operator tier exists for, composed as one DAG.
 
     documents
+      -> URL filter              (blocklist + keyword score) [optional]
       -> hygiene_report          (one-pass signals, no shuffle)
       -> language/quality gates  (pushed-down filters)
+      -> trained quality model   (JVM model.transform)       [optional]
       -> Gopher rule bundle      (same narrow chain)      [optional]
       -> exact dedup             (fingerprint keep-first, one shuffle)
       -> line dedup              (corpus-wide, hashed keys)[optional]
@@ -70,6 +72,16 @@ class CurationConfig:
     #: for half the corpus is not a broadcastable set
     dsir_keep_frac: float | None = None
     dsir_buckets: int = 10_000
+    #: None = off; else the URL column to run the RefinedWeb-style
+    #: URL pre-filter on (domain blocklist/allowlist via the
+    #: ``url_blocklist``/``url_allowlist`` arguments to :func:`curate`
+    #: plus the keyword score).  Runs FIRST — it is the cheapest gate
+    #: (no content is even tokenized for a blocked URL)
+    url_col: str | None = None
+    #: keep threshold for a fitted text-quality model passed to
+    #: :func:`curate` as ``quality_model`` (fastText-recipe classifier
+    #: from operators.quality_filter.fit_text_quality_filter)
+    quality_model_threshold: float = 0.5
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -108,16 +120,46 @@ def hygiene_gate(docs: DataFrame,
 
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            config: CurationConfig | None = None,
-           dsir_target: DataFrame | None = None) -> DataFrame:
-    """Curated corpus: input rows that survive hygiene gates, exact
-    dedup, decontamination, and (with ``dsir_target`` + a configured
+           dsir_target: DataFrame | None = None,
+           url_blocklist: DataFrame | list | tuple | None = None,
+           url_allowlist: DataFrame | list | tuple | None = None,
+           quality_model=None) -> DataFrame:
+    """Curated corpus: input rows that survive the optional URL
+    filter (``config.url_col`` + ``url_blocklist``/``url_allowlist``),
+    hygiene gates, the optional trained text-quality model
+    (``quality_model`` from ``fit_text_quality_filter``; its keep
+    probability survives as ``model_quality``), exact dedup,
+    decontamination, and (with ``dsir_target`` + a configured
     ``dsir_keep_frac``) DSIR importance selection toward the target
     corpus — with ``lang``, ``quality``, ``split``, and (when the
     DSIR stage ran) ``dsir_score`` attached.  Returns a DataFrame;
     callers export with
     ``sinks.training_export.write_training_shards`` per split."""
     cfg = config or CurationConfig()
+    if cfg.url_col is not None:
+        from trial_data_ingestion_spark.operators.url_filter import (
+            filter_urls,
+        )
+        docs = (filter_urls(docs, url_col=cfg.url_col,
+                            blocked_domains=url_blocklist,
+                            allowed_domains=url_allowlist)
+                .where("url_keep")
+                .drop("url_domain", "url_word_score",
+                      "url_keep", "url_reason"))
     gated = hygiene_gate(docs, cfg)
+    if quality_model is not None:
+        from trial_data_ingestion_spark.operators.quality_filter import (
+            apply_text_quality_filter,
+        )
+        # JVM-side model.transform on the already-gated rows; flagged
+        # rows are dropped here (the pipeline IS the materialization),
+        # keep_prob survives as model_quality for downstream audits
+        gated = (apply_text_quality_filter(
+                     gated, quality_model,
+                     threshold=cfg.quality_model_threshold)
+                 .where("keep")
+                 .withColumnRenamed("keep_prob", "model_quality")
+                 .drop("keep"))
     if cfg.gopher:
         from trial_data_ingestion_spark.operators.gopher_rules import (
             GopherThresholds,
@@ -183,7 +225,10 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
 
 def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
                        benchmark: DataFrame | None = None,
-                       config: CurationConfig | None = None) -> DataFrame:
+                       config: CurationConfig | None = None,
+                       url_blocklist: DataFrame | list | tuple | None = None,
+                       url_allowlist: DataFrame | list | tuple | None = None,
+                       quality_model=None) -> DataFrame:
     """Curate ONLY a delta batch against an already-curated corpus —
     the 100 TB operating mode: the standing corpus is never
     re-gated, re-hashed, or re-split; each arriving batch pays cost
@@ -216,7 +261,27 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
             "batch against the persisted line store with "
             "operators.line_dedup.line_dedup_incremental (or the "
             "streaming sink) before curating it.")
+    if cfg.url_col is not None:
+        from trial_data_ingestion_spark.operators.url_filter import (
+            filter_urls,
+        )
+        new_docs = (filter_urls(new_docs, url_col=cfg.url_col,
+                                blocked_domains=url_blocklist,
+                                allowed_domains=url_allowlist)
+                    .where("url_keep")
+                    .drop("url_domain", "url_word_score",
+                          "url_keep", "url_reason"))
     gated = hygiene_gate(new_docs, cfg)
+    if quality_model is not None:
+        from trial_data_ingestion_spark.operators.quality_filter import (
+            apply_text_quality_filter,
+        )
+        gated = (apply_text_quality_filter(
+                     gated, quality_model,
+                     threshold=cfg.quality_model_threshold)
+                 .where("keep")
+                 .withColumnRenamed("keep_prob", "model_quality")
+                 .drop("keep"))
     if cfg.gopher:
         from trial_data_ingestion_spark.operators.gopher_rules import (
             GopherThresholds,
