@@ -280,3 +280,58 @@ def split_leakage_report(splits: DataFrame, split_col: str = "split",
             .withColumn("leak_rate",
                         F.round(F.col("leaked_docs")
                                 / F.col("n_docs"), 6)))
+
+
+def semantic_contaminated_ids(corpus_emb: DataFrame,
+                              bench_emb: DataFrame,
+                              dim: int,
+                              id_col: str = "doc_id",
+                              vec_col: str = "embedding",
+                              bench_vec_col: str = "embedding",
+                              threshold: float = 0.9) -> DataFrame:
+    """Corpus ids whose embedding cosine similarity to ANY benchmark
+    item reaches ``threshold`` — the EMBEDDING-space contamination
+    tier above the exact n-gram sweep (verbatim spans) and the fuzzy
+    MinHash sweep (character-level paraphrases): a translated or
+    heavily re-worded benchmark item shares no shingles at all but
+    still lands next to its source in embedding space.
+
+    Shape (the decontam invariant: the corpus NEVER shuffles):
+    benchmark vectors BROADCAST — benchmarks are small by
+    construction, and this errors above 100k rows rather than
+    silently planning a fact-fact cartesian — and each corpus row
+    scans the broadcast side with the factored fixed-dim cosine, one
+    narrow pass, no exchange, no Python."""
+    from trial_data_ingestion_spark.functions.vector import (
+        cosine_similarity_fixed,
+    )
+    n_bench = bench_emb.count()
+    if n_bench > 100_000:
+        raise ValueError(
+            "benchmark side too large to broadcast against every "
+            "corpus row; shard the benchmark or pre-block with "
+            "similarity.embedding_near_dups")
+    b = bench_emb.select(F.col(bench_vec_col).alias("__bvec"))
+    joined = corpus_emb.select(id_col, vec_col).join(F.broadcast(b))
+    return (joined
+            .where(cosine_similarity_fixed(
+                F.col(vec_col), F.col("__bvec"), dim)
+                >= F.lit(float(threshold)))
+            .select(id_col).distinct())
+
+
+def decontaminate_semantic(corpus: DataFrame, corpus_emb: DataFrame,
+                           bench_emb: DataFrame, dim: int,
+                           id_col: str = "doc_id",
+                           vec_col: str = "embedding",
+                           bench_vec_col: str = "embedding",
+                           threshold: float = 0.9) -> DataFrame:
+    """Corpus minus embedding-contaminated docs (original columns
+    preserved): :func:`semantic_contaminated_ids` + one left-anti
+    join.  The third rung of the decontamination ladder — run after
+    the exact and fuzzy sweeps when benchmark items may appear
+    re-worded beyond shingle overlap."""
+    bad = semantic_contaminated_ids(corpus_emb, bench_emb, dim,
+                                    id_col, vec_col, bench_vec_col,
+                                    threshold)
+    return corpus.join(bad, id_col, "left_anti")

@@ -45,6 +45,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,13 +56,15 @@ from trial_data_ingestion_spark.session import ensure_parallelism
 def duplicated_line_occurrences(df: DataFrame, id_col: str = "doc_id",
                                 text_col: str = "text",
                                 min_chars: int = 10,
-                                hash_lines: bool = True) -> DataFrame:
+                                hash_lines: bool = True,
+                                sep: str = "\n") -> DataFrame:
     """(doc, pos) of every eligible line occurrence that is NOT the
     corpus-wide first occurrence of its line — what ``line_dedup``
-    drops.  pos is the 0-based line index within the document."""
+    drops.  pos is the 0-based segment index within the document
+    (segments are ``sep``-separated; see :func:`line_dedup`)."""
     occ = (ensure_parallelism(df.select(id_col, text_col))
            .select(F.col(id_col).alias("doc"),
-                   F.posexplode(F.split(text_col, "\n", -1))
+                   F.posexplode(F.split(text_col, _re.escape(sep), -1))
                     .alias("pos", "line"))
            .where(F.length(F.trim("line")) >= min_chars))
     if hash_lines:
@@ -89,14 +93,14 @@ def _eligible_occurrences(df: DataFrame, id_col: str, text_col: str,
 
 
 def _apply_drops(df: DataFrame, dups: DataFrame, id_col: str,
-                 text_col: str) -> DataFrame:
+                 text_col: str, sep: str = "\n") -> DataFrame:
     """Shared rewrite: join the (doc, pos) drop list per doc, filter
     the split array natively, count removals.  Docs with no drops
     pass through byte-identical."""
     drops = (dups.groupBy(F.col("doc").alias(id_col))
              .agg(F.collect_list("pos").alias("__drop")))
     out = df.join(drops, id_col, "left")
-    kept = F.filter(F.split(text_col, "\n", -1),
+    kept = F.filter(F.split(text_col, _re.escape(sep), -1),
                     lambda l, i: ~F.array_contains("__drop", i))
     return (out.withColumn(
                 "n_removed_lines",
@@ -104,7 +108,7 @@ def _apply_drops(df: DataFrame, dups: DataFrame, id_col: str,
             .withColumn(
                 text_col,
                 F.when(F.col("__drop").isNull(), F.col(text_col))
-                 .otherwise(F.array_join(kept, "\n")))
+                 .otherwise(F.array_join(kept, sep)))
             .drop("__drop"))
 
 
@@ -206,11 +210,22 @@ def line_dedup_incremental(spark, new_docs: DataFrame, index_path: str,
 
 def line_dedup(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", min_chars: int = 10,
-               hash_lines: bool = True) -> DataFrame:
-    """Rewrite ``text_col`` with corpus-duplicated lines removed
+               hash_lines: bool = True, sep: str = "\n") -> DataFrame:
+    """Rewrite ``text_col`` with corpus-duplicated segments removed
     (first occurrence kept), adding ``n_removed_lines``.  All other
-    columns pass through; documents with no duplicated lines keep
-    ``text_col`` byte-identical."""
+    columns pass through; documents with no duplicated segments keep
+    ``text_col`` byte-identical.
+
+    ``sep`` sets the dedup granularity: the default ``"\\n"`` is
+    line-level; ``sep="\\n\\n"`` is PARAGRAPH-level (RefinedWeb
+    removes duplicated paragraphs as well as lines — quoted blocks
+    and legal boilerplate repeat as whole paragraphs whose individual
+    lines may be too short for the line pass).  ``sep`` is a literal
+    separator, compared byte-exactly like the segments themselves;
+    note a paragraph pass re-joins with exactly ``sep``, so docs
+    whose paragraphs were separated by 3+ newlines are normalized
+    where a segment was actually removed (drop-free docs are
+    byte-identical as always)."""
     dups = duplicated_line_occurrences(df, id_col, text_col,
-                                       min_chars, hash_lines)
-    return _apply_drops(df, dups, id_col, text_col)
+                                       min_chars, hash_lines, sep)
+    return _apply_drops(df, dups, id_col, text_col, sep)
