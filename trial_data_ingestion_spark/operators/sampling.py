@@ -221,3 +221,74 @@ def cap_per_group(df: DataFrame, group_col: str, n: int,
     return (df.withColumn("__rn", F.row_number().over(w))
               .where(F.col("__rn") <= n)
               .drop("__rn"))
+
+
+def mixture_with_epochs(df: DataFrame, source_col: str,
+                        target_weights: dict[str, float],
+                        key_col: str,
+                        total_rows: int,
+                        max_epochs: float = 5.0,
+                        seed: str = "s0") -> DataFrame:
+    """Domain mixture WITH up-sampling: hit ``target_weights`` at a
+    caller-chosen ``total_rows`` by repeating scarce sources for
+    multiple epochs — the published pretraining construction
+    (GPT-3/LLaMA repeat Wikipedia ~2-3 epochs while web crawl stays
+    under one).  :func:`mixture_sample` is the downsample-only
+    variant pinned to the scarcest source's scale; this one trades
+    repetition for composition.
+
+    Per source: desired ``rows_s = weight_s * total_rows``; epochs
+    ``e_s = rows_s / count_s``.  ``e_s <= 1`` downsamples by the
+    stable md5 bucket (identical membership to the other samplers);
+    ``e_s > 1`` emits ``floor(e_s)`` full copies plus a
+    stable-fraction partial copy.  Epochs above ``max_epochs`` raise
+    — repeating a tiny source tens of times is a data bug (memorization
+    risk), not a mixture.
+
+    Output adds an ``epoch`` column (0-based copy index) so
+    ``key_col || epoch`` stays unique for downstream shard export.
+
+    Scale: one tiny per-source count aggregate to the driver; the
+    corpus sees a broadcast join against a |sources|-row spec and a
+    narrow ``explode(sequence(...))`` — replication happens at scan
+    parallelism with no shuffle, and the filter on the partial copy
+    is the same pushed-down bucket predicate as everywhere else."""
+    total = sum(target_weights.values())
+    if total <= 0:
+        raise ValueError("target_weights must sum to > 0")
+    if total_rows <= 0:
+        raise ValueError("total_rows must be positive")
+    weights = {s: w / total for s, w in target_weights.items()}
+    counts = {r["s"]: r["n"] for r in
+              (df.where(F.col(source_col).isin(*weights))
+                 .groupBy(F.col(source_col).alias("s"))
+                 .agg(F.count(F.lit(1)).alias("n")).collect())}
+    missing = [s for s in weights if s not in counts]
+    if missing:
+        raise ValueError(f"sources absent from corpus: {missing}")
+    spec = []
+    for s, w in weights.items():
+        e = (w * total_rows) / counts[s]
+        if e > max_epochs:
+            raise ValueError(
+                f"source {s!r} would need {e:.2f} epochs "
+                f"(> max_epochs={max_epochs}); lower its weight, "
+                f"total_rows, or raise max_epochs deliberately")
+        n_full = int(e)
+        frac = e - n_full
+        spec.append((s, n_full, int(round(frac * _BUCKETS))))
+    spark = df.sparkSession
+    spec_df = F.broadcast(spark.createDataFrame(
+        spec, f"{source_col} string, __full int, __part long"))
+    # copy i < __full always survives; copy i == __full survives iff
+    # the (seed, epoch)-salted bucket clears the partial threshold —
+    # per-epoch salting keeps partial membership independent across
+    # copies and across the other samplers
+    b = _bucket(F.concat(F.col(key_col).cast("string"), F.lit("|e"),
+                         F.col("epoch").cast("string")), seed)
+    return (df.join(spec_df, source_col)
+            .withColumn("epoch", F.explode(
+                F.sequence(F.lit(0), F.col("__full"))))
+            .where((F.col("epoch") < F.col("__full"))
+                   | (b < F.col("__part")))
+            .drop("__full", "__part"))
