@@ -1,0 +1,151 @@
+"""Instruction/chat tier: template flattening, structural validation,
+content-stable dedup, context-budget truncation, loss-mask spans —
+all one narrow codegen projection per operator."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SCHEMA = ("conv_id long, "
+          "messages array<struct<role:string, content:string>>")
+
+
+def _conv(*turns):
+    return [{"role": r, "content": c} for r, c in turns]
+
+
+def test_flatten_and_spans_agree(spark):
+    """assistant_spans' offsets must index the exact substrings of
+    flatten_conversation's rendering — template arithmetic checked
+    against python slicing on every row."""
+    from trial_data_ingestion_spark.operators.conversations import (
+        assistant_spans, flatten_conversation,
+    )
+    rows = [
+        (0, _conv(("system", "be helpful"), ("user", "hi there"),
+                  ("assistant", "hello!"), ("user", "thanks"),
+                  ("assistant", "any time"))),
+        (1, _conv(("user", "solo question"),
+                  ("assistant", "solo answer"))),
+        (2, _conv(("user", "unanswered"))),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = df.select(
+        "conv_id",
+        flatten_conversation(F.col("messages")).alias("text"),
+        assistant_spans(F.col("messages")).alias("spans")).collect()
+    for r in out:
+        convs = dict((c, m) for c, m in rows)[r["conv_id"]]
+        want = [m["content"] for m in convs if m["role"] == "assistant"]
+        got = [r["text"][s["start"]:s["end"]] for s in r["spans"]]
+        # each span covers the whole rendered turn; its tail is the content
+        assert [g.split("\n", 1)[1] for g in got] == want, (got, want)
+        assert all(g.startswith("<|assistant|>") for g in got)
+    assert out[2]["conv_id"] != 2 or True
+    by_id = {r["conv_id"]: r for r in out}
+    assert by_id[2]["spans"] == []
+
+
+def test_flatten_custom_template(spark):
+    from trial_data_ingestion_spark.operators.conversations import (
+        flatten_conversation,
+    )
+    df = spark.createDataFrame(
+        [(0, _conv(("user", "a"), ("assistant", "b")))], SCHEMA)
+    got = df.select(flatten_conversation(
+        F.col("messages"), "### {role}: {content}",
+        sep="\n\n").alias("t")).collect()[0]["t"]
+    assert got == "### user: a\n\n### assistant: b"
+
+
+def test_validate_turns_defect_taxonomy(spark):
+    from trial_data_ingestion_spark.operators.conversations import (
+        validate_turns,
+    )
+    rows = [
+        (0, _conv(("system", "s"), ("user", "u"), ("assistant", "a"))),
+        (1, []),
+        (2, _conv(("user", "u"), ("robot", "r"))),
+        (3, _conv(("user", "u"), ("assistant", "  "))),
+        (4, _conv(("assistant", "a"), ("user", "u"))),
+        (5, _conv(("user", "u"), ("user", "again"), ("assistant", "a"))),
+        (6, _conv(("user", "u"), ("system", "late"), ("assistant", "a"))),
+        (7, _conv(("user", "u"), ("assistant", "a"), ("user", "u2"),
+                  ("assistant", "a2"))),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {r["conv_id"]: r["defect"] for r in df.select(
+        "conv_id",
+        validate_turns(F.col("messages")).alias("defect")).collect()}
+    assert got[0] is None and got[7] is None
+    assert got[1] == "empty"
+    assert got[2] == "unknown_role"
+    assert got[3] == "empty_content"
+    assert got[4] == "leading_assistant"
+    assert got[5] == "consecutive_same_role"
+    assert got[6] == "system_not_first"
+
+
+def test_dedup_conversations_content_stable(spark):
+    """Formatting/casing-variant re-exports of the same exchange
+    collide; genuinely different exchanges survive; lowest id wins."""
+    from trial_data_ingestion_spark.operators.conversations import (
+        dedup_conversations,
+    )
+    rows = [
+        (10, _conv(("user", "What is Spark?"),
+                   ("assistant", "A distributed engine."))),
+        (11, _conv(("USER", "what   is spark?"),
+                   ("Assistant", "a distributed  engine. "))),
+        (12, _conv(("user", "What is Flink?"),
+                   ("assistant", "A streaming engine."))),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = dedup_conversations(df)
+    ids = sorted(r["conv_id"] for r in out.collect())
+    assert ids == [10, 12]
+
+
+def test_truncate_to_budget(spark):
+    from trial_data_ingestion_spark.operators.conversations import (
+        truncate_to_budget,
+    )
+    msgs = _conv(("user", "one two three"),           # 3 tokens
+                 ("assistant", "four five"),          # 2
+                 ("user", "six seven eight nine"),    # 4
+                 ("assistant", "ten"))                # 1
+    df = spark.createDataFrame([(0, msgs)], SCHEMA)
+
+    def kept(budget):
+        r = df.select(truncate_to_budget(
+            F.col("messages"), budget).alias("m")).collect()[0]["m"]
+        return len(r)
+
+    assert kept(100) == 4
+    assert kept(9) == 3        # 3+2+4 = 9 fits exactly
+    assert kept(8) == 2        # third turn would overflow
+    assert kept(5) == 2
+    assert kept(2) == 0        # even the first turn overflows
+    # turns are never split: the kept prefix is a prefix of the input
+    r = df.select(truncate_to_budget(
+        F.col("messages"), 9).alias("m")).collect()[0]["m"]
+    assert [m["content"] for m in r] == [m["content"] for m in msgs[:3]]
+
+
+def test_conversation_ops_plan_is_narrow(spark):
+    """The whole chat-hygiene chain — flatten + validate + fingerprint
+    + truncate — is one projection: no Exchange, no Python."""
+    from trial_data_ingestion_spark.operators.conversations import (
+        conversation_fingerprint, flatten_conversation,
+        truncate_to_budget, validate_turns,
+    )
+    df = spark.createDataFrame(
+        [(0, _conv(("user", "u"), ("assistant", "a")))], SCHEMA)
+    out = df.select(
+        flatten_conversation(F.col("messages")).alias("text"),
+        validate_turns(F.col("messages")).alias("defect"),
+        conversation_fingerprint(F.col("messages")).alias("fp"),
+        truncate_to_budget(F.col("messages"), 512).alias("m"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
