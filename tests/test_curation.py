@@ -426,3 +426,36 @@ def test_curate_incremental_url_and_model_parity(spark, tmp_path):
     assert inc_rows == full_delta and inc_rows
     # the blocklisted domain is absent everywhere
     assert all(d % 7 != 3 for d, _ in inc_rows)
+
+
+def test_curate_with_perplexity_gate(spark):
+    """CCNet stage: a reference LM fitted on good prose pushes
+    shuffled-junk docs into the tail bucket and curate(ppl_lm=...)
+    drops them; kept rows carry perplexity + ppl_bucket."""
+    from trial_data_ingestion_spark.operators.ngram_lm import fit_ngram_lm
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()   # 60 good docs + planted junk
+    # junk that PASSES the hygiene gates but is LM-implausible:
+    # English stopwords in scrambled order with rare fillers
+    rng = random.Random(7)
+    noise_words = ["of", "the", "and", "yonder", "whilst", "thee",
+                   "forsooth", "anon", "betwixt", "hither"]
+    junk = [(300 + j, " ".join(rng.choice(noise_words)
+                               for _ in range(100))) for j in range(6)]
+    docs = spark.createDataFrame(rows + junk, "doc_id long, text string")
+    lm = fit_ngram_lm(
+        spark.createDataFrame(rows[:60], "doc_id long, text string"),
+        vocab_size=500)
+    cfg = CurationConfig(lid="native",
+                         ppl_keep_buckets=("head", "middle"))
+    base = {r["doc_id"] for r in curate(docs, config=cfg).collect()}
+    assert {300 + j for j in range(6)} <= base      # hygiene keeps junk
+    out = curate(docs, config=cfg, ppl_lm=lm).collect()
+    ids = {r["doc_id"] for r in out}
+    dropped_junk = {300 + j for j in range(6)} - ids
+    assert len(dropped_junk) >= 5, dropped_junk     # tail bucket = junk
+    assert sum(1 for i in ids if i < 60) >= 35      # good docs survive
+    assert all(r["ppl_bucket"] in ("head", "middle") for r in out)
+    assert all(r["perplexity"] is not None for r in out)

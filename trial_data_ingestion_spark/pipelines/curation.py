@@ -82,6 +82,11 @@ class CurationConfig:
     #: :func:`curate` as ``quality_model`` (fastText-recipe classifier
     #: from operators.quality_filter.fit_text_quality_filter)
     quality_model_threshold: float = 0.5
+    #: perplexity buckets KEPT when a fitted ``ppl_lm`` is passed to
+    #: :func:`curate` (CCNet keeps head+middle); the gate scores with
+    #: score_perplexity (one per-doc aggregate — the only stage here
+    #: that shuffles, documented cost) and buckets with global cuts
+    ppl_keep_buckets: tuple = ("head", "middle")
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -118,12 +123,33 @@ def hygiene_gate(docs: DataFrame,
     ).select(cfg.id_col, *passthrough, "lang", "quality", "fingerprint")
 
 
+def _ppl_gate(gated: DataFrame, ppl_lm,
+              cfg: CurationConfig) -> DataFrame:
+    """CCNet's model-based gate: score every doc's perplexity under a
+    reference bigram LM (operators.ngram_lm), bucket by global
+    quantile, keep ``cfg.ppl_keep_buckets``.  Attaches ``perplexity``
+    and ``ppl_bucket``.  This is the one optional stage with a keyed
+    shuffle (the per-doc mean) — the LM tables themselves broadcast."""
+    from trial_data_ingestion_spark.operators.ngram_lm import (
+        perplexity_buckets, score_perplexity,
+    )
+    scored = perplexity_buckets(
+        score_perplexity(gated.select(cfg.id_col, cfg.text_col),
+                         ppl_lm, id_col=cfg.id_col,
+                         text_col=cfg.text_col))
+    return (gated.join(
+                scored.where(F.col("ppl_bucket")
+                             .isin(*cfg.ppl_keep_buckets))
+                      .select(cfg.id_col, "perplexity", "ppl_bucket"),
+                cfg.id_col))
+
+
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            config: CurationConfig | None = None,
            dsir_target: DataFrame | None = None,
            url_blocklist: DataFrame | list | tuple | None = None,
            url_allowlist: DataFrame | list | tuple | None = None,
-           quality_model=None) -> DataFrame:
+           quality_model=None, ppl_lm=None) -> DataFrame:
     """Curated corpus: input rows that survive the optional URL
     filter (``config.url_col`` + ``url_blocklist``/``url_allowlist``),
     hygiene gates, the optional trained text-quality model
@@ -160,6 +186,8 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                  .where("keep")
                  .withColumnRenamed("keep_prob", "model_quality")
                  .drop("keep"))
+    if ppl_lm is not None:
+        gated = _ppl_gate(gated, ppl_lm, cfg)
     if cfg.gopher:
         from trial_data_ingestion_spark.operators.gopher_rules import (
             GopherThresholds,
