@@ -110,3 +110,36 @@ def test_semantic_decontamination_refuses_huge_benchmark(spark):
         [(0, [1.0])], "doc_id long, embedding array<double>")
     with pytest.raises(ValueError, match="too large"):
         semantic_contaminated_ids(corpus, big, 1)
+
+
+def test_dedup_lines_within_doc(spark):
+    """Per-doc repeated segments drop (first kept), short/blank lines
+    always survive, drop-free docs are byte-identical, and the plan is
+    one narrow projection (no Exchange)."""
+    from trial_data_ingestion_spark.operators.line_dedup import (
+        dedup_lines_within_doc,
+    )
+    nav = "home | products | about us"
+    rows = [
+        (0, f"{nav}\nreal content paragraph one\n{nav}\n"
+            f"real content paragraph two\n{nav}"),
+        (1, "unique first line of text\n\nunique second line here\n\n"),
+        (2, "ha\nha\nha\nlong repeated line goes here\n"
+            "long repeated line goes here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_removed_lines_doc"])
+           for r in dedup_lines_within_doc(df).collect()}
+    assert out[0] == (f"{nav}\nreal content paragraph one\n"
+                      f"real content paragraph two", 2)
+    assert out[1] == (rows[1][1], 0)                  # byte-identical
+    # short 'ha' lines all survive; the long duplicate drops once
+    assert out[2] == ("ha\nha\nha\nlong repeated line goes here", 1)
+    plan = (dedup_lines_within_doc(df)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+    # composes before the corpus-wide pass: within-doc output feeds
+    # line_dedup unchanged
+    from trial_data_ingestion_spark.operators.line_dedup import line_dedup
+    both = line_dedup(dedup_lines_within_doc(df), min_chars=10)
+    assert both.count() == 3

@@ -229,3 +229,40 @@ def line_dedup(df: DataFrame, id_col: str = "doc_id",
     dups = duplicated_line_occurrences(df, id_col, text_col,
                                        min_chars, hash_lines, sep)
     return _apply_drops(df, dups, id_col, text_col, sep)
+
+
+def dedup_lines_within_doc(df: DataFrame, text_col: str = "text",
+                           min_chars: int = 10,
+                           sep: str = "\n") -> DataFrame:
+    """Remove repeated segments WITHIN each document (first occurrence
+    kept) — the per-page boilerplate pass that needs no corpus state
+    at all: scrapers frequently duplicate nav blocks, quoted headers,
+    and pagination rows inside one page, and dropping those must not
+    wait for (or shuffle with) the corpus-wide pass.
+
+    Pure narrow projection: split, keep position ``i`` iff it is the
+    first occurrence of its segment (``array_position`` over the
+    prefix) or the segment is short/blank (always kept, mirroring
+    :func:`line_dedup` eligibility), re-join.  O(lines²) per document
+    in the worst case — lines-per-doc is small and bounded, and the
+    constant is a codegen string compare, so this never approaches
+    the cost of a shuffle.  Adds ``n_removed_lines_doc``; drop-free
+    docs stay byte-identical.  Composes BEFORE the corpus-wide pass:
+    within-doc first, then corpus-wide on the cleaned text."""
+    arr = F.split(F.col(text_col), _re.escape(sep), -1)
+    keep_flags = F.transform(
+        arr, lambda line, i:
+            (F.length(F.trim(line)) < min_chars)
+            | (F.array_position(arr, line) == i + 1))
+    kept = F.zip_with(arr, keep_flags,
+                      lambda line, k: F.when(k, line))
+    return (df.withColumn(
+                "n_removed_lines_doc",
+                F.size(F.filter(keep_flags, lambda k: ~k))
+                 .cast("long"))
+            .withColumn(
+                text_col,
+                F.when(F.col("n_removed_lines_doc") == 0,
+                       F.col(text_col))
+                 .otherwise(F.array_join(
+                     F.filter(kept, lambda x: x.isNotNull()), sep))))
