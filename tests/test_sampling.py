@@ -262,3 +262,44 @@ def test_mixture_with_epochs_downsample_agrees_with_mixture_sample(spark):
           for r in out.groupBy("source").count().collect()}
     assert abs(by["s1"] - 700) < 70 and abs(by["s2"] - 300) < 55, by
     assert out.where("epoch != 0").count() == 0
+
+
+def test_mixture_with_epochs_matches_duckdb(spark):
+    """Row-for-row (key, epoch) membership reproduced in DuckDB from
+    the same md5 arithmetic + the operator's published epoch spec —
+    the engine-independence contract every sampler here carries."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_with_epochs,
+    )
+    rows = ([(f"w{i}", "web") for i in range(400)]
+            + [(f"k{i}", "wiki") for i in range(60)])
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    total_rows, weights = 300, {"web": 0.5, "wiki": 0.5}
+    out = mixture_with_epochs(df, "source", weights,
+                              key_col="doc_id", total_rows=total_rows,
+                              seed="e1")
+    got = sorted((r["doc_id"], r["epoch"]) for r in out.collect())
+    # derive the spec exactly as the operator does
+    counts = {"web": 400, "wiki": 60}
+    spec = {}
+    for s, w in weights.items():
+        e = (w / sum(weights.values())) * total_rows / counts[s]
+        spec[s] = (int(e), int(round((e - int(e)) * 1_000_000)))
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs (doc_id VARCHAR, source VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    con.execute("CREATE TABLE spec (source VARCHAR, nfull INT, part BIGINT)")
+    con.executemany("INSERT INTO spec VALUES (?, ?, ?)",
+                    [(s, f, p) for s, (f, p) in spec.items()])
+    ref = con.execute("""
+        SELECT d.doc_id, e.epoch
+        FROM docs d
+        JOIN spec s USING (source)
+        CROSS JOIN LATERAL (SELECT UNNEST(range(0, s.nfull + 1)) AS epoch) e
+        WHERE e.epoch < s.nfull
+           OR CAST('0x' || substr(md5('e1|' || d.doc_id || '|e'
+                                      || CAST(e.epoch AS VARCHAR)),
+                   1, 15) AS BIGINT) % 1000000 < s.part
+        ORDER BY d.doc_id, e.epoch
+    """).fetchall()
+    assert got == [(d, e) for d, e in ref] and len(got) > 0
