@@ -459,3 +459,46 @@ def test_curate_with_perplexity_gate(spark):
     assert sum(1 for i in ids if i < 60) >= 35      # good docs survive
     assert all(r["ppl_bucket"] in ("head", "middle") for r in out)
     assert all(r["perplexity"] is not None for r in out)
+
+
+def test_curate_kitchen_sink_plan_census(spark):
+    """Every per-row optional stage ON (url filter + gopher + line
+    dedup + decontam): the composition must add only the wide ops its
+    stages own — line dedup's 3 keyed exchanges (occurrence agg,
+    first-occurrence agg, drop-list join) on top of the base DAG's 3,
+    plus broadcast joins for the url lists and benchmark grams — and
+    NOTHING quadratic, sort-merge, or Python.  Pins the 100 TB shape
+    of the full pipeline a web-corpus user actually runs."""
+    import re
+
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.operators.gopher_rules import (
+        GopherThresholds,
+    )
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    docs = (spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+            .withColumn("url", F.concat(
+                F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("-ex.com/p"), F.col("doc_id").cast("string"))))
+    bench = docs.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    cfg = CurationConfig(
+        lid="native", url_col="url", line_dedup_min_chars=12,
+        gopher=GopherThresholds(min_words=10, min_stopword_hits=1))
+    out = curate(docs, benchmark=bench, config=cfg,
+                 url_blocklist=["s3-ex.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    census = {op: len(re.findall(op, plan)) for op in (
+        "Exchange hashpartitioning", "BroadcastExchange",
+        "SortMergeJoin", "CartesianProduct", "BatchEvalPython")}
+    assert census["SortMergeJoin"] == 0, census
+    assert census["CartesianProduct"] == 0, census
+    assert census["BatchEvalPython"] == 0, census
+    assert census["Exchange hashpartitioning"] <= 12, census
+    assert census["BroadcastExchange"] <= 6, census
+    # and the pipeline still yields data with every stage on
+    n = out.count()
+    assert n > 0
+    # the blocklisted domain is gone
+    assert out.where("url like '%s3-ex.com%'").count() == 0
