@@ -149,3 +149,47 @@ def test_conversation_ops_plan_is_narrow(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_conversation_ops_run_on_streams(spark, tmp_path):
+    """The chat-hygiene chain is stream-safe by construction (pure
+    Column expressions): run it as a REAL availableNow file stream
+    and assert row-for-row parity with the batch projection."""
+    rows = [
+        (0, _conv(("user", "what is spark"),
+                  ("assistant", "a distributed engine"))),
+        (1, _conv(("assistant", "i speak first"), ("user", "bad"))),
+        (2, _conv(("user", "what is spark"),
+                  ("assistant", "a distributed engine"))),   # dup of 0
+        (3, _conv(("user", "tell me more"),
+                  ("assistant", "much more"))),
+    ]
+    src = str(tmp_path / "convs")
+    spark.createDataFrame(rows, SCHEMA).write.parquet(src)
+
+    from trial_data_ingestion_spark.operators.conversations import (
+        conversation_fingerprint, flatten_conversation, validate_turns,
+    )
+
+    def project(df):
+        return df.select(
+            "conv_id",
+            flatten_conversation(F.col("messages")).alias("text"),
+            validate_turns(F.col("messages")).alias("defect"),
+            conversation_fingerprint(F.col("messages")).alias("fp"))
+
+    stream = (spark.readStream.schema(SCHEMA.replace(", ", ",\n"))
+              .parquet(src))
+    q = (project(stream).writeStream.format("memory")
+         .queryName("conv_stream").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql(
+        "SELECT * FROM conv_stream").collect()))
+    want = sorted(map(tuple, project(
+        spark.read.parquet(src)).collect()))
+    assert got == want and len(got) == 4
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][2] == "leading_assistant"
+    assert by_id[0][3] == by_id[2][3]          # dup fingerprints collide
