@@ -320,13 +320,19 @@ def q09_customers_without_orders(spark, sf_dir):
              .select("c_custkey", "c_name"))
 
 
-@_register("q10_events_cube", """
+@_retire("q10_events_cube", """
 SELECT event_type, date_trunc('day', ts) AS day,
        count(*) AS n_events, round(sum(value), 2) AS total_value
 FROM events
 GROUP BY CUBE (event_type, date_trunc('day', ts))
 """)
 def q10_events_cube(spark, sf_dir):
+    """Retired in round 5 (still pytest-oracle-verified): CUBE is the
+    all-subsets special case of GROUPING SETS and lowers to the same
+    Expand-based physical shape q34_grouping_sets keeps graded (q03's
+    ROLLUP, the other special case, retired the same way in r5); the
+    freed slot grades the conversation/chat tier (q61), an operator
+    family with no prior driver-graded row."""
     ev = _events(spark, sf_dir)
     return (ev.withColumn("day", F.date_trunc("day", "ts"))
               .cube("event_type", "day")
@@ -2065,6 +2071,67 @@ def q60_dsir_score(spark, sf_dir):
     model = fit_dsir(target, d.select("text"), n_buckets=2048)
     return score_importance(d, model)
 
+
+@_register("q61_conversation_hygiene", """
+WITH conv AS (
+  SELECT doc_id,
+         'Explain:  ' || upper(substr(text, 1, 30)) AS uc,
+         substr(text, 31, 60) AS ac
+  FROM documents
+), turns AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN 'assistant' ELSE 'user' END AS r1,
+         CASE WHEN doc_id % 5 = 0 THEN ac ELSE uc END AS c1,
+         CASE WHEN doc_id % 5 = 0 THEN 'user' ELSE 'assistant' END AS r2,
+         CASE WHEN doc_id % 5 = 0 THEN uc ELSE ac END AS c2
+  FROM conv
+)
+SELECT doc_id,
+       '<|' || r1 || '|>' || chr(10) || c1 || chr(10) ||
+       '<|' || r2 || '|>' || chr(10) || c2                    AS rendered,
+       CASE WHEN length(trim(c1)) = 0 OR length(trim(c2)) = 0
+              THEN 'empty_content'
+            WHEN r1 = 'assistant' THEN 'leading_assistant'
+            ELSE NULL END                                     AS defect,
+       md5(r1 || ':' || regexp_replace(lower(trim(c1)), '\\s+', ' ', 'g')
+           || chr(1)
+           || r2 || ':' || regexp_replace(lower(trim(c2)), '\\s+', ' ', 'g'))
+                                                              AS conv_fp
+FROM turns
+""")
+def q61_conversation_hygiene(spark, sf_dir):
+    """Conversation/chat tier, driver-graded: build a deterministic
+    two-turn conversation per document (every 5th opens with the
+    model — a planted structural defect; short documents yield an
+    empty assistant turn — a second, data-driven defect), then run
+    the REAL operators — flatten_conversation's template rendering,
+    validate_turns' defect taxonomy, conversation_fingerprint's
+    normalize-and-hash — and let DuckDB re-derive all three from
+    first principles (string arithmetic, trim/length defect logic,
+    md5 over the same normalization).  A hash match pins the chat
+    tier's rendering, validation, and dedup-key arithmetic at once.
+    Replaces the retired q10 (CUBE — the all-subsets special case of
+    q34's GROUPING SETS, same Expand-based physical shape).  Scale:
+    one narrow projection of higher-order array functions — no
+    shuffle, no Python."""
+    from trial_data_ingestion_spark.operators.conversations import (
+        conversation_fingerprint, flatten_conversation, validate_turns,
+    )
+    d = _t(spark, sf_dir, "documents")
+    u = F.struct(
+        F.lit("user").alias("role"),
+        F.concat(F.lit("Explain:  "),
+                 F.upper(F.substring("text", 1, 30))).alias("content"))
+    a = F.struct(F.lit("assistant").alias("role"),
+                 F.substring("text", 31, 60).alias("content"))
+    msgs = F.when(F.col("doc_id") % 5 == 0,
+                  F.array(a, u)).otherwise(F.array(u, a))
+    conv = d.select("doc_id", msgs.alias("messages"))
+    return conv.select(
+        "doc_id",
+        flatten_conversation(F.col("messages")).alias("rendered"),
+        validate_turns(F.col("messages")).alias("defect"),
+        conversation_fingerprint(F.col("messages")).alias("conv_fp"))
 
 #: Every query, graded or retired — tests run parity over all of them.
 ALL_QUERIES: dict = {**RETIRED_QUERIES, **QUERIES}
