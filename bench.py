@@ -83,6 +83,7 @@ HEADLINE = [
     "b16_fuzzy_decontam",           # broadcast-banded MinHash sweep
     "b17_dsir_select",              # hashed-n-gram importance resampling
     "b18_image_dedup",              # real BMP decode -> dHash -> dedup
+    "b19_content_policy",           # url+wordlist+within-doc dedup sweep
 ]
 
 
@@ -411,6 +412,36 @@ def _bench_extra():
         out = dedup_images(media, image_hasher, max_hamming=4)
         return out.agg(F.count(F.lit(1)).alias("survivors"))
 
+    def b19_content_policy(spark, sf_dir):
+        """The content-policy tier as one composed narrow sweep: a
+        synthesized URL column -> RefinedWeb URL filter -> C4 blocked-
+        word flags -> within-doc repeated-line removal, aggregated so
+        .count() executes the full rewrite.  Everything is codegen —
+        the entry pins the cost of the zero-shuffle policy pass."""
+        from trial_data_ingestion_spark.operators.line_dedup import (
+            dedup_lines_within_doc,
+        )
+        from trial_data_ingestion_spark.operators.url_filter import (
+            filter_urls,
+        )
+        from trial_data_ingestion_spark.operators.wordlists import (
+            flag_blocked_content,
+        )
+        docs = (_docs(spark, sf_dir)
+                .withColumn("url", F.concat(
+                    F.lit("https://s"),
+                    (F.col("doc_id") % 13).cast("string"),
+                    F.lit("-ex.com/p"),
+                    F.col("doc_id").cast("string"))))
+        out = dedup_lines_within_doc(
+            flag_blocked_content(
+                filter_urls(docs, blocked_domains=["s7-ex.com"]))
+            .where("url_keep AND content_keep"))
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_removed_lines_doc").alias("lines_removed"),
+            F.sum(F.length("text")).alias("chars"))
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -434,7 +465,8 @@ def _bench_extra():
                 b10_bpe_train_tokenize, b11_ivfpq_topk,
                 b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup,
                 b15_unigram_train_tokenize, b16_fuzzy_decontam,
-                b17_dsir_select, b18_image_dedup)}}
+                b17_dsir_select, b18_image_dedup,
+                b19_content_policy)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
