@@ -121,7 +121,10 @@ DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  # bench scale too
                  "q52_contamination_report", "q53_bm25_search",
                  "q54_stratified_sample", "q56_word_frequencies",
-                 "q59_gopher_rules", "q60_dsir_score"]
+                 "q59_gopher_rules", "q60_dsir_score",
+                 # chat tier: rendering/normalization arithmetic over
+                 # 10x the text (multi-byte boundaries, longer runs)
+                 "q61_conversation_hygiene"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)
