@@ -208,3 +208,26 @@ def test_semantic_dedup_plan_shape(spark):
     assert "SortMergeJoin [cell_id" in plan \
         or "ShuffledHashJoin [cell_id" in plan \
         or "BroadcastHashJoin [cell_id" in plan
+
+
+def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
+    """Round-5 regression fix pin: the assignment materializes via the
+    in-memory COLUMNAR cache, not localCheckpoint — a checkpoint's
+    RDDScanExec replay disables whole-stage codegen for the pair-join
+    stage and leaves the 64-term cosine in interpreted eval (measured
+    5x slower at bench scale)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = first_id_centroids(emb, 4).select(
+        "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
+    plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:1500]
+    assert "Scan ExistingRDD" not in plan, plan[:1500]
