@@ -56,3 +56,34 @@ def test_training_shards_seed_changes_layout(spark, tmp_path):
          for r in shuffled_shards(docs, "doc_id", 8, seed="s1").collect()}
     # different seeds give a different (independent) assignment
     assert any(a[d] != b[d] for d in a)
+
+
+def test_epoch_mixture_exports_deterministic_shards(spark, tmp_path):
+    """The multi-epoch mixture composes with shard export: the
+    (key, epoch) pair is the export key, so repeated copies of one
+    document land at stable, distinct positions and the whole layout
+    is bit-reproducible."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_with_epochs,
+    )
+    from trial_data_ingestion_spark.sinks.training_export import (
+        shuffled_shards,
+    )
+    from pyspark.sql import functions as F
+    rows = ([(f"w{i}", "web", f"t{i}") for i in range(300)]
+            + [(f"k{i}", "wiki", f"u{i}") for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id string, source string, text string")
+    mixed = mixture_with_epochs(df, "source", {"web": 0.5, "wiki": 0.5},
+                                key_col="doc_id", total_rows=200)
+    keyed = mixed.withColumn(
+        "export_key", F.concat_ws("#", "doc_id", F.col("epoch").cast("string")))
+    a = [tuple(r) for r in shuffled_shards(keyed, "export_key", 4)
+         .orderBy("shard", "export_key").collect()]
+    b = [tuple(r) for r in shuffled_shards(keyed.repartition(7),
+                                           "export_key", 4)
+         .orderBy("shard", "export_key").collect()]
+    assert a == b and len(a) > 0
+    # copies of the same wiki doc land in (possibly) different shards
+    # but always deterministically
+    wiki = [r for r in a if "wiki" in r]
+    assert len(wiki) >= 60          # ~2.5 epochs of the kept wiki docs
