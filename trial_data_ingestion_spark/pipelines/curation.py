@@ -6,6 +6,7 @@ operator tier exists for, composed as one DAG.
       -> hygiene_report          (one-pass signals, no shuffle)
       -> language/quality gates  (pushed-down filters)
       -> trained quality model   (JVM model.transform)       [optional]
+      -> perplexity gate         (CCNet head/middle keep)    [optional]
       -> Gopher rule bundle      (same narrow chain)      [optional]
       -> exact dedup             (fingerprint keep-first, one shuffle)
       -> line dedup              (corpus-wide, hashed keys)[optional]
