@@ -84,6 +84,7 @@ HEADLINE = [
     "b17_dsir_select",              # hashed-n-gram importance resampling
     "b18_image_dedup",              # real BMP decode -> dHash -> dedup
     "b19_content_policy",           # url+wordlist+within-doc dedup sweep
+    "b20_subseq_search",            # z-normalized pattern top-k over events
 ]
 
 
@@ -442,6 +443,18 @@ def _bench_extra():
             F.sum("n_removed_lines_doc").alias("lines_removed"),
             F.sum(F.length("text")).alias("chars"))
 
+    def b20_subseq_search(spark, sf_dir):
+        """Time-series subsequence search end-to-end: per-user series
+        assembly (one keyed shuffle) + rolling-moment distance
+        profiles in the Arrow grouped kernel + global top-k."""
+        from trial_data_ingestion_spark.operators.timeseries import (
+            subsequence_topk,
+        )
+        from trial_data_ingestion_spark.plans.library import _events
+        return subsequence_topk(
+            _events(spark, sf_dir),
+            [0.0, 1.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0], k=10)
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -466,7 +479,7 @@ def _bench_extra():
                 b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup,
                 b15_unigram_train_tokenize, b16_fuzzy_decontam,
                 b17_dsir_select, b18_image_dedup,
-                b19_content_policy)}}
+                b19_content_policy, b20_subseq_search)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0

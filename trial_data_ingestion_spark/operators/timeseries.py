@@ -1,0 +1,118 @@
+"""Time-series subsequence similarity search: z-normalized sliding-
+window matching over per-key event series (the EDBT/ICDE distributed
+time-series-similarity line: find where a query PATTERN occurs in any
+series regardless of offset and scale).
+
+Spark-first shape:
+
+  * **series assembly** — one keyed shuffle: ``sort_array(collect_list
+    (struct(ts, value)))`` per key builds each ordered series exactly
+    once (event tables are long-and-narrow; per-key series are
+    bounded by retention, not corpus size).
+  * **scoring** — an Arrow-batched ``applyInPandas`` per series:
+    z-normalized Euclidean distance of the query against every
+    length-m window via the standard O(n) rolling-moment formulation
+    (cumulative sums for mean/std, one FFT-free sliding dot product —
+    the MASS/Matrix-Profile building block).  Per-series scoring is
+    inherently sequential-in-m and vectorizes perfectly in numpy, the
+    documented criterion for leaving Column expressions.
+  * **top-k** — per-series candidate rows are tiny (k per key);
+    global ranking is one ``orderBy . limit`` over k x n_keys rows.
+
+Z-normalized distance is offset/scale invariant: a pattern at value
+level 100 matches the same shape at level 3.  Flat windows (zero
+variance) cannot be z-normalized and are reported at infinite
+distance, never matched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.session import ensure_parallelism
+
+
+def znorm_distances(series: np.ndarray, query: np.ndarray) -> np.ndarray:
+    """Distance profile: z-normalized Euclidean distance between
+    ``query`` (length m) and every length-m window of ``series``.
+    O(n) via rolling sums; windows with zero variance -> inf."""
+    n, m = len(series), len(query)
+    if n < m:
+        return np.empty(0)
+    q = (query - query.mean()) / (query.std() or 1.0)
+    s = series.astype(np.float64)
+    csum = np.concatenate(([0.0], np.cumsum(s)))
+    csum2 = np.concatenate(([0.0], np.cumsum(s * s)))
+    win_sum = csum[m:] - csum[:-m]
+    win_sum2 = csum2[m:] - csum2[:-m]
+    mu = win_sum / m
+    var = win_sum2 / m - mu * mu
+    sigma = np.sqrt(np.maximum(var, 0.0))
+    # sliding dot product of s with q
+    dot = np.convolve(s, q[::-1], mode="valid")
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # dist^2 = 2m(1 - (dot - m*mu*mean(q)) / (m*sigma*std(q)));
+        # with q z-normalized: mean(q)=0, std(q)=1
+        corr = dot / (m * sigma)
+        d2 = 2.0 * m * (1.0 - corr)
+    d = np.sqrt(np.maximum(d2, 0.0))
+    d[sigma == 0.0] = np.inf
+    return d
+
+
+def subsequence_topk(events: DataFrame, query: list,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     value_col: str = "value",
+                     k: int = 10,
+                     per_series_k: int | None = None) -> DataFrame:
+    """Global top-``k`` closest length-m subsequences to ``query``
+    across every per-key series: (key, start_pos, start_ts, dist).
+    ``per_series_k`` caps candidates per key before the global rank
+    (default k — keeping k per series is always enough for a global
+    top-k, and it bounds the ranked row count at k x n_keys)."""
+    m = len(query)
+    if m < 2:
+        raise ValueError("query must have length >= 2")
+    psk = per_series_k or k
+    q = np.asarray(query, dtype=np.float64)
+
+    def score(grp: pd.DataFrame) -> pd.DataFrame:
+        # applyInPandas hands the WHOLE group (a key's rows can span
+        # Arrow batches under mapInPandas — grouped-map is the only
+        # per-series-complete contract)
+        grp = grp.sort_values("__ts", kind="mergesort")
+        vals = grp["__v"].to_numpy(dtype=np.float64)
+        d = znorm_distances(vals, q)
+        empty = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                              "start_pos": pd.Series(dtype="int64"),
+                              "start_ts": pd.Series(dtype=grp["__ts"].dtype),
+                              "dist": pd.Series(dtype="float64")})
+        if len(d) == 0:
+            return empty
+        nk = min(psk, len(d))
+        idx = np.argpartition(d, nk - 1)[:nk]
+        idx = idx[np.isfinite(d[idx])]
+        if len(idx) == 0:
+            return empty
+        ts = grp["__ts"].to_numpy()
+        return pd.DataFrame({
+            "key": grp["__key"].iloc[0],
+            "start_pos": idx.astype("int64"),
+            "start_ts": ts[idx],
+            "dist": np.round(d[idx], 9)})
+
+    src = ensure_parallelism(
+        events.select(F.col(key_col).alias("__key"),
+                      F.col(ts_col).alias("__ts"),
+                      F.col(value_col).alias("__v")))
+    ts_type = dict(src.dtypes)["__ts"]
+    out = src.groupBy("__key").applyInPandas(
+        score,
+        f"key long, start_pos long, start_ts {ts_type}, dist double")
+    return (out.orderBy(F.asc("dist"), F.asc("key"), F.asc("start_pos"))
+            .limit(k)
+            .select(F.col("key").alias(key_col), "start_pos",
+                    F.col("start_ts").alias(ts_col), "dist"))
