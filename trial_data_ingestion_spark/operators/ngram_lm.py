@@ -159,6 +159,10 @@ def perplexity_buckets(scored: DataFrame,
         ppl_col, F.array(*[F.lit(q) for q in fracs]), F.lit(accuracy))
     if by is None:
         cuts = scored.agg(pct.alias("__cuts")).collect()[0]["__cuts"]
+        if cuts is None:
+            raise ValueError(
+                "perplexity_buckets: no rows to bucket (did the "
+                "scoring step drop every document?)")
         expr = F.lit(labels[-1])
         for lab, cut in zip(reversed(labels[:-1]), reversed(cuts)):
             expr = F.when(F.col(ppl_col) <= F.lit(float(cut)),

@@ -72,7 +72,9 @@ def subsequence_topk(events: DataFrame, query: list,
     across every per-key series: (key, start_pos, start_ts, dist).
     ``per_series_k`` caps candidates per key before the global rank
     (default k — keeping k per series is always enough for a global
-    top-k, and it bounds the ranked row count at k x n_keys)."""
+    top-k, and it bounds the ranked row count at k x n_keys).
+    ``key_col`` must be integral (the output schema types it long);
+    hash string keys to ``xxhash64`` first."""
     m = len(query)
     if m < 2:
         raise ValueError("query must have length >= 2")

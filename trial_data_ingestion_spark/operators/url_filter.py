@@ -79,6 +79,7 @@ def filter_urls(df: DataFrame,
         if source is None:
             out = out.withColumn(flag_name, F.lit(False))
         elif isinstance(source, DataFrame):
+            # contract: the FIRST column holds registrable domains
             cols = source.columns
             marked = F.broadcast(
                 source.select(F.col(cols[0]).alias("url_domain"))
