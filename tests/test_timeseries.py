@@ -108,3 +108,71 @@ def test_subsequence_topk_rejects_short_query(spark):
                                "user_id long, ts timestamp, value double")
     with pytest.raises(ValueError, match="length"):
         subsequence_topk(df, [1.0])
+
+
+def test_matrix_profile_matches_bruteforce():
+    """Profile + index vs an O(n^2 m) direct computation with the
+    same exclusion zone."""
+    from trial_data_ingestion_spark.operators.timeseries import (
+        matrix_profile,
+    )
+    rng = np.random.default_rng(3)
+    s = rng.normal(size=120).cumsum()
+    m = 12
+    prof, pidx = matrix_profile(s, m)
+    w = len(s) - m + 1
+    excl = m // 2
+    ref = np.full(w, np.inf)
+    ridx = np.full(w, -1)
+    for i in range(w):
+        d = _brute(s, s[i:i + m])
+        d[max(0, i - excl):min(w, i + excl + 1)] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            ref[i], ridx[i] = d[j], j
+    np.testing.assert_allclose(prof, ref, rtol=1e-7, atol=1e-7)
+    assert (pidx == ridx).all()
+
+
+def test_series_motifs_and_discords(spark):
+    """A shape planted twice in one series is that series' top motif
+    (the two window starts reference each other); a one-off spike is
+    the top discord."""
+    from trial_data_ingestion_spark.operators.timeseries import (
+        series_motifs,
+    )
+    rng = np.random.default_rng(7)
+    pattern = np.sin(np.linspace(0, 2 * np.pi, 16))
+    series = rng.normal(scale=2.0, size=240)
+    series[30:46] = 10 * pattern
+    series[150:166] = 10 * pattern          # planted repeat
+    t0 = dt.datetime(2024, 3, 1)
+    rows = [(1, t0 + dt.timedelta(minutes=i), float(v))
+            for i, v in enumerate(series)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, value double")
+    top = series_motifs(df, m=16, k=1, mode="motif").collect()[0]
+    assert {top["start_pos"], top["neighbor_pos"]} == {30, 150}
+    assert top["dist"] < 0.5
+    # discord mode reproduces the numpy profile's own descending rank
+    from trial_data_ingestion_spark.operators.timeseries import (
+        matrix_profile,
+    )
+    prof, _ = matrix_profile(series, 16)
+    fin = np.flatnonzero(np.isfinite(prof))
+    want = fin[np.argsort(prof[fin])][::-1][:3]
+    disc = series_motifs(df, m=16, k=3, mode="discord").collect()
+    assert [r["start_pos"] for r in disc] == [int(i) for i in want]
+    assert disc[0]["dist"] >= disc[-1]["dist"]
+    np.testing.assert_allclose(
+        [r["dist"] for r in disc], np.round(prof[want], 9))
+
+
+def test_series_motifs_mode_guard(spark):
+    from trial_data_ingestion_spark.operators.timeseries import (
+        series_motifs,
+    )
+    df = spark.createDataFrame([(0, dt.datetime(2024, 1, 1), 1.0)],
+                               "user_id long, ts timestamp, value double")
+    with pytest.raises(ValueError, match="motif"):
+        series_motifs(df, m=8, mode="weird")

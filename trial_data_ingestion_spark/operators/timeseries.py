@@ -118,3 +118,92 @@ def subsequence_topk(events: DataFrame, query: list,
             .limit(k)
             .select(F.col("key").alias(key_col), "start_pos",
                     F.col("start_ts").alias(ts_col), "dist"))
+
+
+def matrix_profile(series: np.ndarray, m: int,
+                   exclusion: int | None = None) -> tuple:
+    """(profile, profile_index): for every length-``m`` window, the
+    z-normalized distance to its nearest NON-TRIVIAL neighbor in the
+    same series (the Matrix Profile of Yeh et al. 2016).  Trivial
+    matches — windows overlapping the query window by more than
+    ``exclusion`` (default m // 2) positions — are masked, else every
+    window would match itself.  O(n^2) in windows with an O(n) inner
+    distance profile; per-series n is retention-bounded, which is the
+    scale contract of the whole module."""
+    n = len(series)
+    w = n - m + 1
+    if w < 2:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+    excl = m // 2 if exclusion is None else exclusion
+    prof = np.full(w, np.inf)
+    pidx = np.full(w, -1, dtype=np.int64)
+    s = np.asarray(series, dtype=np.float64)
+    for i in range(w):
+        d = znorm_distances(s, s[i:i + m])
+        lo, hi = max(0, i - excl), min(w, i + excl + 1)
+        d[lo:hi] = np.inf
+        j = int(np.argmin(d))
+        if np.isfinite(d[j]):
+            prof[i], pidx[i] = d[j], j
+    return prof, pidx
+
+
+def series_motifs(events: DataFrame, m: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value",
+                  k: int = 5, mode: str = "motif") -> DataFrame:
+    """Per-key Matrix-Profile extremes, globally ranked:
+
+    * ``mode="motif"`` — the k LOWEST profile entries (the most
+      repeated shape in each series: its top motif pair), ranked by
+      ascending distance.
+    * ``mode="discord"`` — the k HIGHEST finite entries (the
+      subsequence LEAST like anything else in its series — the
+      classic anomaly/discord definition), descending.
+
+    Output: (key, start_pos, neighbor_pos, start_ts, dist).  Same
+    execution shape as :func:`subsequence_topk`: one keyed shuffle,
+    the grouped Arrow kernel, tiny per-series candidate sets, one
+    global rank."""
+    if mode not in ("motif", "discord"):
+        raise ValueError(f"mode must be motif|discord, got {mode!r}")
+    if m < 2:
+        raise ValueError("window length m must be >= 2")
+
+    def score(grp: pd.DataFrame) -> pd.DataFrame:
+        grp = grp.sort_values("__ts", kind="mergesort")
+        vals = grp["__v"].to_numpy(dtype=np.float64)
+        prof, pidx = matrix_profile(vals, m)
+        empty = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                              "start_pos": pd.Series(dtype="int64"),
+                              "neighbor_pos": pd.Series(dtype="int64"),
+                              "start_ts": pd.Series(dtype=grp["__ts"].dtype),
+                              "dist": pd.Series(dtype="float64")})
+        fin = np.flatnonzero(np.isfinite(prof))
+        if len(fin) == 0:
+            return empty
+        order = fin[np.argsort(prof[fin])]
+        take = order[:k] if mode == "motif" else order[::-1][:k]
+        ts = grp["__ts"].to_numpy()
+        return pd.DataFrame({
+            "key": grp["__key"].iloc[0],
+            "start_pos": take.astype("int64"),
+            "neighbor_pos": pidx[take].astype("int64"),
+            "start_ts": ts[take],
+            "dist": np.round(prof[take], 9)})
+
+    src = ensure_parallelism(
+        events.select(F.col(key_col).alias("__key"),
+                      F.col(ts_col).alias("__ts"),
+                      F.col(value_col).alias("__v")))
+    ts_type = dict(src.dtypes)["__ts"]
+    out = src.groupBy("__key").applyInPandas(
+        score, f"key long, start_pos long, neighbor_pos long, "
+               f"start_ts {ts_type}, dist double")
+    ranked = (out.orderBy(F.asc("dist"), F.asc("key"), F.asc("start_pos"))
+              if mode == "motif" else
+              out.orderBy(F.desc("dist"), F.asc("key"), F.asc("start_pos")))
+    return (ranked.limit(k)
+            .select(F.col("key").alias(key_col), "start_pos",
+                    "neighbor_pos", F.col("start_ts").alias(ts_col),
+                    "dist"))
