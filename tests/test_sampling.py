@@ -303,3 +303,117 @@ def test_mixture_with_epochs_matches_duckdb(spark):
         ORDER BY d.doc_id, e.epoch
     """).fetchall()
     assert got == [(d, e) for d, e in ref] and len(got) > 0
+
+
+def test_weighted_fixed_n_proportional_and_deterministic(spark):
+    """A-ES draw: heavy-weight rows dominate the sample, the draw is
+    exact-n, content-stable across partitioning/seeds behave as an
+    independent re-draw, and non-positive/NULL weights are
+    ineligible."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        weighted_fixed_n,
+    )
+    rows = ([(f"h{i}", 9.0) for i in range(500)]
+            + [(f"l{i}", 1.0) for i in range(500)]
+            + [(f"z{i}", 0.0) for i in range(50)]
+            + [(f"n{i}", None) for i in range(50)])
+    df = spark.createDataFrame(rows, "doc_id string, w double")
+    out = weighted_fixed_n(df, 200, "w", "doc_id", seed="aes")
+    got = [r["doc_id"] for r in out.collect()]
+    assert len(got) == 200
+    heavy = sum(1 for d in got if d.startswith("h"))
+    light = sum(1 for d in got if d.startswith("l"))
+    assert not any(d[0] in "zn" for d in got)
+    # inclusion odds ~9:1 before saturation; demand a loose 3:1
+    assert heavy > 3 * light, (heavy, light)
+    # deterministic under repartitioning
+    again = weighted_fixed_n(df.repartition(17), 200, "w", "doc_id",
+                             seed="aes")
+    assert sorted(got) == sorted(r["doc_id"] for r in again.collect())
+    # a different seed is an independent draw
+    other = weighted_fixed_n(df, 200, "w", "doc_id", seed="aes2")
+    assert sorted(got) != sorted(r["doc_id"] for r in other.collect())
+    # n beyond the eligible pool returns the whole pool
+    assert weighted_fixed_n(df, 5000, "w", "doc_id").count() == 1000
+    with pytest.raises(ValueError):
+        weighted_fixed_n(df, 0, "w", "doc_id")
+
+
+def test_weighted_fixed_n_plans_as_top_n(spark):
+    """No full sort/shuffle: the plan must be TakeOrderedAndProject
+    (per-partition top-n + driver merge), the 100 TB shape."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        weighted_fixed_n,
+    )
+    d = (spark.read.parquet(f"{SF_DIR}/documents.parquet")
+         .select("doc_id", F.col("n_chars").cast("double").alias("w")))
+    plan = (weighted_fixed_n(d, 10, "w", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_mixture_sample_token_budget(spark):
+    """size_col switches composition to token units: sources with
+    very different doc lengths still land near the target TOKEN
+    shares (row shares would be far off), membership stays by-key
+    deterministic, and max_rows caps in token units."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_sample,
+    )
+    # long docs in 'web' (~1000 tok), short in 'wiki' (~100 tok)
+    rows = ([(f"w{i}", "web", 1000 + (i % 7)) for i in range(300)]
+            + [(f"k{i}", "wiki", 100 + (i % 7)) for i in range(300)])
+    df = spark.createDataFrame(rows,
+                               "doc_id string, source string, tok int")
+    out = mixture_sample(df, "source", {"web": 0.5, "wiki": 0.5},
+                         key_col="doc_id", size_col="tok")
+    toks = {r["source"]: r["t"] for r in
+            out.groupBy("source").agg(F.sum("tok").alias("t"))
+               .collect()}
+    # wiki (scarce in tokens) pins the scale: kept whole
+    assert toks["wiki"] == sum(t for _, s, t in rows if s == "wiki")
+    ratio = toks["web"] / (toks["web"] + toks["wiki"])
+    assert abs(ratio - 0.5) < 0.12, toks
+    # deterministic under repartitioning
+    again = mixture_sample(df.repartition(11), "source",
+                           {"web": 0.5, "wiki": 0.5},
+                           key_col="doc_id", size_col="tok")
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+           sorted(r["doc_id"] for r in again.collect())
+    # token-unit cap: ~30k tokens -> ~15k per source
+    capped = mixture_sample(df, "source", {"web": 0.5, "wiki": 0.5},
+                            key_col="doc_id", size_col="tok",
+                            max_rows=30_000)
+    total = capped.agg(F.sum("tok")).collect()[0][0]
+    assert 15_000 < total < 45_000, total
+    # all-zero-size source with positive weight is a loud error
+    zero = spark.createDataFrame(
+        [("a1", "a", 0), ("b1", "b", 10)],
+        "doc_id string, source string, tok int")
+    with pytest.raises(ValueError, match="zero total"):
+        mixture_sample(zero, "source", {"a": 0.5, "b": 0.5},
+                       key_col="doc_id", size_col="tok")
+
+
+def test_temperature_mixture_token_units(spark):
+    """Temperature flattening over token counts: the head source is
+    trimmed toward the flattened share; output is a subset of input
+    and deterministic."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        temperature_mixture,
+    )
+    rows = ([(f"w{i}", "web", 200) for i in range(900)]
+            + [(f"k{i}", "wiki", 200) for i in range(100)])
+    df = spark.createDataFrame(rows,
+                               "doc_id string, source string, tok int")
+    out = temperature_mixture(df, "source", key_col="doc_id",
+                              alpha=0.5, size_col="tok")
+    toks = {r["source"]: r["t"] for r in
+            out.groupBy("source").agg(F.sum("tok").alias("t"))
+               .collect()}
+    # alpha=0.5: weights prop sqrt(180k):sqrt(20k) = 3:1 -> web share
+    # flattens from 0.9 to 0.75; wiki (scarce vs weight) kept whole
+    assert toks["wiki"] == 20_000
+    share = toks["web"] / (toks["web"] + toks["wiki"])
+    assert abs(share - 0.75) < 0.08, toks

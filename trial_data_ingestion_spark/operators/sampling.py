@@ -121,7 +121,8 @@ def mixture_sample(df: DataFrame, source_col: str,
                    target_weights: dict[str, float],
                    key_col: str,
                    max_rows: int | None = None,
-                   seed: str = "s0") -> DataFrame:
+                   seed: str = "s0",
+                   size_col: str | None = None) -> DataFrame:
     """Domain-mixture sampling: downsample sources so the OUTPUT
     composition matches ``target_weights`` (e.g. web 0.6, code 0.25,
     papers 0.15) while keeping as much data as the scarcest source
@@ -135,6 +136,17 @@ def mixture_sample(df: DataFrame, source_col: str,
     (approximately — membership stays per-row Bernoulli, so the
     realized count concentrates around the target).
 
+    ``size_col``: published mixes are specified in TOKENS, not
+    documents (the GPT-3/LLaMA data cards quote token shares) — pass
+    a per-row size column (token or char count) and the composition
+    targets, feasibility scale, and ``max_rows`` cap are all
+    interpreted in its units: ``count_s`` becomes ``sum(size_s)``.
+    Membership stays Bernoulli by the DOC key, so documents survive
+    whole and the expected token share matches the target because
+    hash membership is independent of document length.  Rows with a
+    NULL size contribute 0 to the budget but still sample at their
+    source's rate.
+
     Scale: ONE tiny aggregate (per-source counts -> driver, one row
     per source) to derive fractions, then a pure pushed-down filter —
     the corpus itself never shuffles.  Deterministic for a fixed
@@ -143,17 +155,27 @@ def mixture_sample(df: DataFrame, source_col: str,
     if total <= 0:
         raise ValueError("target_weights must sum to > 0")
     weights = {s: w / total for s, w in target_weights.items()}
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.coalesce(F.sum(F.col(size_col).cast("double")),
+                            F.lit(0.0)))
     counts = {r["s"]: r["n"] for r in
               (df.where(F.col(source_col).isin(*weights))
                  .groupBy(F.col(source_col).alias("s"))
-                 .agg(F.count(F.lit(1)).alias("n")).collect())}
+                 .agg(size.alias("n")).collect())}
     missing = [s for s in weights if s not in counts]
     if missing:
         raise ValueError(f"sources absent from corpus: {missing}")
+    degenerate = [s for s, w in weights.items() if w > 0
+                  and counts[s] <= 0]
+    if degenerate:
+        raise ValueError(
+            f"sources with zero total {size_col or 'rows'}: "
+            f"{degenerate} — cannot hold a positive weight")
     scale = min(counts[s] / w for s, w in weights.items() if w > 0)
     if max_rows is not None:
         scale = min(scale, float(max_rows))
     fractions = {s: min(1.0, w * scale / counts[s])
+                 if counts[s] > 0 else 0.0
                  for s, w in weights.items()}
     return stratified_sample(df.where(F.col(source_col).isin(*weights)),
                              source_col, fractions, key_col=key_col,
@@ -163,7 +185,8 @@ def mixture_sample(df: DataFrame, source_col: str,
 def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
                         alpha: float = 0.7,
                         max_rows: int | None = None,
-                        seed: str = "s0") -> DataFrame:
+                        seed: str = "s0",
+                        size_col: str | None = None) -> DataFrame:
     """Temperature-flattened domain mixture: target weights
     proportional to ``count_s ** alpha`` — the multilingual /
     multi-domain rebalancing rule (alpha=1 keeps natural proportions,
@@ -174,19 +197,32 @@ def temperature_mixture(df: DataFrame, source_col: str, key_col: str,
     :func:`mixture_sample` pins the feasible scale to the scarcest
     source and keeps every source content-stable.
 
+    ``size_col`` switches both the ``count_s ** alpha`` flattening
+    and the downstream mixture to token units (see
+    :func:`mixture_sample`) — the multilingual rebalancing papers
+    define temperature over token counts.
+
     One per-source count aggregate (one row per source to the
     driver), then the pushed-down filter — identical scale shape to
     mixture_sample itself."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError("alpha must be in (0, 1]")
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.coalesce(F.sum(F.col(size_col).cast("double")),
+                            F.lit(0.0)))
     counts = {r["s"]: r["n"] for r in
               df.groupBy(F.col(source_col).alias("s"))
-                .agg(F.count(F.lit(1)).alias("n")).collect()}
+                .agg(size.alias("n")).collect()}
     if not counts:
         raise ValueError("empty corpus")
-    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    weights = {s: float(n) ** alpha for s, n in counts.items()
+               if n > 0}
+    if not weights:
+        raise ValueError(f"every source has zero total "
+                         f"{size_col or 'rows'}")
     return mixture_sample(df, source_col, weights, key_col,
-                          max_rows=max_rows, seed=seed)
+                          max_rows=max_rows, seed=seed,
+                          size_col=size_col)
 
 
 def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
@@ -200,6 +236,39 @@ def stratified_fixed_n(df: DataFrame, strata_col: str, n_per_stratum: int,
     return (df.withColumn("__rk", F.row_number().over(w))
               .where(F.col("__rk") <= n_per_stratum)
               .drop("__rk"))
+
+
+def weighted_fixed_n(df: DataFrame, n: int, weight_col: str,
+                     key_col: str, seed: str = "s0") -> DataFrame:
+    """Exactly min(n, |eligible|) rows drawn WITHOUT replacement with
+    probability proportional to ``weight_col`` — quality-weighted
+    corpus selection ("keep the best 10M documents, favoring high
+    quality score") as one distributed top-n.
+
+    Algorithm A-ES (Efraimidis & Spirakis 2006): each row gets the
+    key ``u ** (1/w)`` for an independent uniform ``u``; the top-n by
+    that key is exactly a weight-proportional without-replacement
+    draw.  ``u`` derives from the stable md5 bucket (never ``rand()``
+    — same content-stability contract as every sampler here), and the
+    comparison runs on ``log(u)/w`` to avoid underflow for small
+    weights.  Rows with NULL or non-positive weight are ineligible
+    and silently excluded (a zero-weight row has zero inclusion
+    probability by definition).
+
+    Scale: no shuffle at all — Spark plans ``orderBy . limit`` as
+    TakeOrderedAndProject (per-partition top-n, driver merge of
+    n x partitions candidates), so this holds for n into the
+    millions; beyond that, pre-filter by a weight threshold first."""
+    if n < 1:
+        raise ValueError("weighted_fixed_n: n must be >= 1")
+    u = (_bucket(F.col(key_col), seed) + F.lit(0.5)) \
+        / F.lit(float(_BUCKETS))
+    score = F.log(u) / F.col(weight_col).cast("double")
+    return (df.where(F.col(weight_col).cast("double") > 0)
+            .withColumn("__aes", score)
+            .orderBy(F.desc("__aes"), F.col(key_col).asc())
+            .limit(n)
+            .drop("__aes"))
 
 
 def cap_per_group(df: DataFrame, group_col: str, n: int,
