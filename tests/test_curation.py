@@ -502,3 +502,116 @@ def test_curate_kitchen_sink_plan_census(spark):
     assert n > 0
     # the blocklisted domain is gone
     assert out.where("url like '%s3-ex.com%'").count() == 0
+
+
+def test_rejection_audit_matches_curate_and_first_wins(spark):
+    """The audit's survivor set (reason NULL) is identical to
+    curate()'s output ids, every input doc gets exactly one row, and
+    each planted junk doc carries the expected first-wins reason."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    rows = _rows()
+    # fails lang AND min_tokens -> first-wins says lang
+    rows.append((104, "zz qq"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, rows[5][1])],
+                                  "doc_id long, text string")
+    cfg = CurationConfig(lid="native")
+    audit = rejection_audit(docs, benchmark=bench, config=cfg)
+    got = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert len(got) == len(rows)
+    survivors = {i for i, r in got.items() if r is None}
+    curated = {r["doc_id"] for r in
+               curate(docs, benchmark=bench, config=cfg).collect()}
+    assert survivors == curated
+    assert got[100] == "min_tokens"
+    assert got[101] == "repetition"
+    assert got[102] == "exact_dup"
+    assert got[103] == "lang"
+    assert got[104] == "lang"          # first-wins over min_tokens
+    assert got[5] == "decontam"
+
+
+def test_rejection_audit_kitchen_sink_parity(spark):
+    """Parity with every per-row optional stage ON (url filter +
+    gopher + line dedup + decontam) on the real oracle corpus: the
+    corpus-dependent stages (keep-first dedup, rewrite-aware
+    decontam) must see the same populations the real run sees."""
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.operators.gopher_rules import (
+        GopherThresholds,
+    )
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    docs = (spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+            .withColumn("url", F.concat(
+                F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("-ex.com/p"), F.col("doc_id").cast("string"))))
+    bench = docs.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    cfg = CurationConfig(
+        lid="native", url_col="url", line_dedup_min_chars=12,
+        gopher=GopherThresholds(min_words=10, min_stopword_hits=1))
+    kw = dict(benchmark=bench, config=cfg, url_blocklist=["s3-ex.com"])
+    audit = rejection_audit(docs, **kw)
+    survivors = {r["doc_id"] for r in
+                 audit.where("reason is null").collect()}
+    curated = {r["doc_id"] for r in
+               curate(docs, **kw).select("doc_id").collect()}
+    assert survivors == curated
+    reasons = {r["reason"] for r in
+               audit.where("reason is not null").collect()}
+    assert "url:blocked_domain" in reasons
+
+
+def test_rejection_audit_model_stages_parity(spark):
+    """Parity with the corpus-statistic stages ON: perplexity-bucket
+    cuts and the DSIR keep-quantile are computed over the same
+    reaching population as in curate(), so survivors still match."""
+    from trial_data_ingestion_spark.operators.ngram_lm import fit_ngram_lm
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    rows = _rows()
+    rng = random.Random(7)
+    noise_words = ["of", "the", "and", "yonder", "whilst", "thee",
+                   "forsooth", "anon", "betwixt", "hither"]
+    junk = [(300 + j, " ".join(rng.choice(noise_words)
+                               for _ in range(100))) for j in range(6)]
+    docs = spark.createDataFrame(rows + junk, "doc_id long, text string")
+    lm = fit_ngram_lm(
+        spark.createDataFrame(rows[:60], "doc_id long, text string"),
+        vocab_size=500)
+    target = docs.where("doc_id % 5 = 1").select("text")
+    cfg = CurationConfig(lid="native", dsir_keep_frac=0.6)
+    kw = dict(config=cfg, ppl_lm=lm, dsir_target=target)
+    audit = rejection_audit(docs, **kw)
+    survivors = {r["doc_id"] for r in
+                 audit.where("reason is null").collect()}
+    curated = {r["doc_id"] for r in
+               curate(docs, **kw).select("doc_id").collect()}
+    assert survivors == curated
+    reasons = {r["reason"] for r in audit.collect()}
+    assert "perplexity" in reasons and "dsir" in reasons
+
+
+def test_curation_funnel_shape(spark):
+    """The funnel conserves the input count, lands in DAG order, and
+    fractions sum to 1."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        _AUDIT_STAGES, CurationConfig, curation_funnel,
+    )
+    rows = _rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, rows[5][1])],
+                                  "doc_id long, text string")
+    out = curation_funnel(docs, benchmark=bench,
+                          config=CurationConfig(lid="native")).collect()
+    assert sum(r["n_docs"] for r in out) == len(rows)
+    assert abs(sum(r["frac_of_input"] for r in out) - 1.0) < 1e-4
+    stages = [r["stage"] for r in out]
+    assert stages[-1] == "survived"
+    order = {s: i for i, s in enumerate(_AUDIT_STAGES)}
+    idx = [order[s.split(":")[0]] for s in stages[:-1]]
+    assert idx == sorted(idx)

