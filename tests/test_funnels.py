@@ -1,0 +1,189 @@
+"""Funnel + retention analytics: python-twin exactness of the chain
+fold (with and without a window), DuckDB parity for the no-window
+funnel and weekly retention on the real events table, known-answer
+fixtures, and the one-shuffle plan shapes."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+STEPS = ["signup", "view", "click", "purchase"]
+
+
+def _events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def _py_depth(rows, steps, within_us=None):
+    """Driver-side twin of the funnels.merge fold: greedy chain from
+    the first step-0 event, window measured from the chain start."""
+    sid = {s: i for i, s in enumerate(steps)}
+    k = len(steps)
+    reached = [None] * k
+    for t, s in sorted(rows):
+        if s == 0:
+            if reached[0] is None:
+                reached[0] = t
+        elif (reached[s] is None and reached[s - 1] is not None
+              and (within_us is None or t - reached[s - 1] <= within_us)):
+            reached[s] = reached[s - 1]
+    return sum(1 for x in reached if x is not None)
+
+
+@pytest.mark.parametrize("within", [None, 3 * 24 * 3600.0])
+def test_funnel_depths_match_python_twin(spark, within):
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_depths,
+    )
+    ev = _events(spark)
+    got = {r["user_id"]: r["depth"] for r in
+           funnel_depths(ev, STEPS,
+                         within_seconds=within).collect()}
+    sid = {s: i for i, s in enumerate(STEPS)}
+    raw = (ev.where(F.col("event_type").isin(*STEPS))
+           .select("user_id",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("t"),
+                   "event_type").collect())
+    by_user: dict = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["t"], sid[r["event_type"]]))
+    win_us = None if within is None else int(within * 1_000_000)
+    ref = {u: _py_depth(rows, STEPS, win_us)
+           for u, rows in by_user.items()}
+    ref = {u: d for u, d in ref.items() if d > 0}
+    assert got == ref and len(got) >= 10
+
+
+def test_funnel_no_window_matches_duckdb(spark):
+    """Without a window the greedy chain is exact subsequence
+    matching: progressive per-user min-ts in plain SQL must agree."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    got = {r["step"]: r["n_users"] for r in
+           funnel_counts(_events(spark), STEPS).collect()}
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        WITH e AS (SELECT user_id, ts, event_type
+                   FROM '{SF_DIR}/events.parquet'),
+        t0 AS (SELECT user_id, min(ts) ts FROM e
+               WHERE event_type = 'signup' GROUP BY 1),
+        t1 AS (SELECT e.user_id, min(e.ts) ts FROM e JOIN t0 USING (user_id)
+               WHERE event_type = 'view' AND e.ts > t0.ts GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(e.ts) ts FROM e JOIN t1 USING (user_id)
+               WHERE event_type = 'click' AND e.ts > t1.ts GROUP BY 1),
+        t3 AS (SELECT e.user_id, min(e.ts) ts FROM e JOIN t2 USING (user_id)
+               WHERE event_type = 'purchase' AND e.ts > t2.ts GROUP BY 1)
+        SELECT (SELECT count(*) FROM t0), (SELECT count(*) FROM t1),
+               (SELECT count(*) FROM t2), (SELECT count(*) FROM t3)
+    """).fetchone()
+    assert [got[s] for s in STEPS] == list(ref)
+    assert got["signup"] >= got["view"] >= got["click"] >= \
+        got["purchase"] > 0
+
+
+def test_funnel_counts_known_answer(spark):
+    """Crafted users: full converter, wrong-order user, window
+    breaker, late-arriving same-timestamp step still counts."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    rows = [
+        (1, 100.0, "a"), (1, 200.0, "b"), (1, 300.0, "c"),   # full
+        (2, 100.0, "b"), (2, 200.0, "a"),                    # a only
+        (3, 100.0, "a"), (3, 5000.0, "b"), (3, 5100.0, "c"), # windowed
+        (4, 100.0, "a"), (4, 100.0, "b"),                    # tie -> b
+        (5, 50.0, "x"),                                      # never enters
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, s) for u, t, s in rows],
+        "user_id long, sec double, event_type string") \
+        .withColumn("ts", F.timestamp_seconds("sec"))
+    out = {r["step"]: (r["n_users"], r["frac_of_first"]) for r in
+           funnel_counts(ev, ["a", "b", "c"]).collect()}
+    assert out == {"a": (4, 1.0), "b": (3, 0.75), "c": (2, 0.5)}
+    win = {r["step"]: r["n_users"] for r in
+           funnel_counts(ev, ["a", "b", "c"],
+                         within_seconds=1000.0).collect()}
+    assert win == {"a": 4, "b": 2, "c": 1}   # user 3's chain breaks
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["a"])
+    with pytest.raises(ValueError):
+        funnel_counts(ev, ["a", "a"])
+
+
+def test_funnel_empty_input(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    ev = spark.createDataFrame(
+        [], "user_id long, ts timestamp, event_type string")
+    out = {r["step"]: (r["n_users"], r["frac_of_first"]) for r in
+           funnel_counts(ev, ["a", "b"]).collect()}
+    assert out == {"a": (0, 0.0), "b": (0, 0.0)}
+
+
+def test_retention_matches_duckdb(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        retention_cohorts,
+    )
+    got = [(str(r["cohort"]), r["period_index"], r["n_active"],
+            r["n_cohort"], r["retention"]) for r in
+           retention_cohorts(_events(spark),
+                             granularity="week").collect()]
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        WITH a AS (SELECT DISTINCT user_id,
+                          date_trunc('week', ts)::date p
+                   FROM '{SF_DIR}/events.parquet'),
+        c AS (SELECT user_id, min(p) cohort FROM a GROUP BY 1),
+        x AS (SELECT c.cohort, (a.p - c.cohort) / 7 pi,
+                     count(*) n_active
+              FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+        s AS (SELECT cohort, count(*) n FROM c GROUP BY 1)
+        SELECT CAST(x.cohort AS VARCHAR), pi, n_active, s.n,
+               round(n_active / s.n, 6)
+        FROM x JOIN s USING (cohort) ORDER BY 1, 2
+    """).fetchall()
+    assert got == [(c, int(p), n, nc, r) for c, p, n, nc, r in ref]
+    assert len(got) > 3
+    # period 0 is full retention by construction
+    assert all(r == 1.0 for c, p, n, nc, r in got if p == 0)
+
+
+def test_retention_month_and_caps(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        retention_cohorts,
+    )
+    out = retention_cohorts(_events(spark), granularity="month",
+                            max_periods=1).collect()
+    assert out and all(r["period_index"] <= 1 for r in out)
+    with pytest.raises(ValueError):
+        retention_cohorts(_events(spark), granularity="hour")
+
+
+def test_funnel_and_retention_plan_shapes(spark):
+    """funnel_depths: exactly ONE corpus exchange (the per-user
+    aggregate) and no Python eval; retention: the corpus contributes
+    one keyed exchange, the (cohort, period) rollup and its cohort
+    window two more over user-count-sized data, and there is NO join
+    (the cohort size rides a window over the rollup)."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_depths, retention_cohorts,
+    )
+    ev = _events(spark)
+    plan = (funnel_depths(ev, STEPS)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "Join" not in plan
+    rplan = (retention_cohorts(ev)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert rplan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in rplan and "BatchEvalPython" not in rplan

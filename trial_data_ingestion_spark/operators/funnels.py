@@ -1,0 +1,183 @@
+"""Event-sequence analytics: ordered conversion funnels and cohort
+retention over an events table — the two classic product-analytics
+queries a general OLAP engine is expected to answer (ClickHouse's
+``windowFunnel``/``retention`` combinators are the published
+reference semantics; neither exists as a Spark built-in).
+
+Spark-first shapes:
+
+  * **funnel** — ONE keyed shuffle: per-user event structs aggregate
+    with ``sort_array(collect_list(...))`` and the chain-matching
+    fold runs as a native ``F.aggregate`` lambda over the sorted
+    array (JVM expression eval, no Python); the per-depth rollup
+    that follows sees one tiny row per user.
+  * **retention** — ONE corpus shuffle: ``groupBy(user)`` computes
+    the cohort (first active period) AND the distinct active-period
+    set in the same aggregate; the explode + (cohort, period) rollup
+    that follows shuffles only user-count-sized data.
+
+Funnel semantics (= ClickHouse ``windowFunnel``, non-strict): events
+scan in time order; a step-0 event opens a chain (only the first
+one — greedy); a step-``s`` event extends the deepest chain that has
+matched steps ``0..s-1`` iff it lies within ``within_seconds`` of
+that chain's FIRST event.  Greedy-from-first-start is the industry
+contract: exact for existence when ``within_seconds`` is None,
+deterministic and documented (not globally optimal) when a window is
+set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trial_data_ingestion_spark.session import ensure_parallelism
+
+
+def funnel_depths(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: float | None = None) -> DataFrame:
+    """(user, depth): how many leading funnel ``steps`` each user
+    completed in order — users who never fired the first step are
+    absent (their depth is 0; :func:`funnel_counts` needs no zero
+    rows).  ``within_seconds`` bounds the whole chain to a window
+    starting at the chain's first event (see module docstring for
+    the greedy contract).  One keyed shuffle; the fold is a native
+    lambda over the sorted per-user array."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    if len(set(steps)) != k:
+        raise ValueError(f"duplicate step names: {steps}")
+    step_id = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_id = F.when(F.col(type_col) == s,
+                         F.lit(k - 1 - i)).otherwise(step_id)
+    # micros as long: the fold compares and subtracts plain ints;
+    # sort ties break by step index (struct field order), so a
+    # same-timestamp later step still counts.  The cast lifts
+    # TIMESTAMP_NTZ sources (wall time -> session tz, monotonic —
+    # only differences matter here) to the type unix_micros accepts.
+    ev = (ensure_parallelism(events)
+          .where(F.col(type_col).isin(*steps))
+          .select(F.col(user_col).alias("user"),
+                  F.struct(
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("t"),
+                      step_id.alias("s")).alias("e")))
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+    win = (F.lit(int(within_seconds * 1_000_000))
+           if within_seconds is not None else None)
+
+    def merge(acc, e):
+        # acc[i] holds the chain-START time once steps 0..i have
+        # matched; a step-s event promotes acc[s-1] -> acc[s]
+        def upd(x, i):
+            first = F.coalesce(x, F.when(e["s"] == 0, e["t"]))
+            prev = F.element_at(acc, i)   # 1-based: acc[i-1]
+            ok = (e["s"] == i) & prev.isNotNull() & x.isNull()
+            if win is not None:
+                ok = ok & ((e["t"] - prev) <= win)
+            rest = F.when(ok, prev).otherwise(x)
+            return F.when(i == 0, first).otherwise(rest)
+        return F.transform(acc, upd)
+
+    return (ev.groupBy("user")
+            .agg(F.aggregate(F.sort_array(F.collect_list("e")),
+                             init, merge).alias("__r"))
+            .select(F.col("user").alias(user_col),
+                    F.size(F.filter(F.col("__r"),
+                                    lambda x: x.isNotNull()))
+                    .alias("depth"))
+            .where(F.col("depth") > 0))
+
+
+def funnel_counts(events: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  within_seconds: float | None = None) -> DataFrame:
+    """The funnel report: one row per step, in order —
+    (step_index, step, n_users, frac_of_first) where ``n_users``
+    counts users whose ordered chain reached AT LEAST that step and
+    ``frac_of_first`` is the classic conversion-rate column (step 0
+    = 1.0 whenever anyone entered; all-zero funnels report 0.0)."""
+    per_user = funnel_depths(events, steps, user_col, ts_col,
+                             type_col, within_seconds)
+    by_depth = (per_user.groupBy("depth")
+                .agg(F.count(F.lit(1)).alias("n")))
+    k = len(steps)
+    spark = events.sparkSession
+    idx = spark.createDataFrame([(i, steps[i]) for i in range(k)],
+                                "step_index int, step string")
+    # users at step i = sum of users whose final depth >= i+1; the
+    # by-depth table is <= k rows — a broadcast theta-join over a
+    # k-row left side, nowhere near data scale
+    reach = (idx.join(F.broadcast(by_depth),
+                      by_depth["depth"] >= idx["step_index"] + 1,
+                      "left")
+             .groupBy("step_index", "step")
+             .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_users")))
+    entered = F.max(F.when(F.col("step_index") == 0,
+                           F.col("n_users"))) \
+        .over(Window.partitionBy())
+    return (reach
+            .withColumn(
+                "frac_of_first",
+                F.when(entered > 0,
+                       F.round(F.col("n_users") / entered, 6))
+                .otherwise(F.lit(0.0)))
+            .orderBy("step_index"))
+
+
+def retention_cohorts(events: DataFrame,
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      granularity: str = "week",
+                      max_periods: int | None = None) -> DataFrame:
+    """Cohort retention: users cohorted by their first active period
+    (``date_trunc(granularity)``), one row per (cohort, period_index)
+    with the fraction of the cohort active that many periods later —
+    (cohort, period_index, n_active, n_cohort, retention).
+    ``period_index`` 0 is the cohort period itself (retention 1.0 by
+    construction).
+
+    One corpus-sized shuffle: cohort AND the distinct active-period
+    set come out of the same ``groupBy(user)``; everything after
+    operates on one row per user.  Cohort sizes need no second pass
+    over the data — every user is active in their own cohort period,
+    so the period-0 count IS the cohort size (window over the tiny
+    rollup, no join)."""
+    if granularity not in ("day", "week", "month"):
+        raise ValueError(f"granularity must be day|week|month, "
+                         f"got {granularity!r}")
+    per = F.date_trunc(granularity, F.col(ts_col)).cast("date")
+    per_user = (ensure_parallelism(events)
+                .select(F.col(user_col).alias("user"),
+                        per.alias("p"))
+                .groupBy("user")
+                .agg(F.min("p").alias("cohort"),
+                     F.collect_set("p").alias("periods")))
+    step_days = {"day": 1, "week": 7}.get(granularity)
+    if step_days is not None:
+        pidx = (F.datediff(F.col("p"), F.col("cohort"))
+                / step_days).cast("long")
+    else:
+        pidx = F.round(F.months_between(F.col("p"), F.col("cohort"))) \
+                .cast("long")
+    exploded = (per_user
+                .select("user", "cohort",
+                        F.explode("periods").alias("p"))
+                .withColumn("period_index", pidx))
+    if max_periods is not None:
+        exploded = exploded.where(F.col("period_index") <= max_periods)
+    active = (exploded.groupBy("cohort", "period_index")
+              .agg(F.count(F.lit(1)).alias("n_active")))
+    n_cohort = F.max(F.when(F.col("period_index") == 0,
+                            F.col("n_active"))) \
+        .over(Window.partitionBy("cohort"))
+    return (active.withColumn("n_cohort", n_cohort)
+            .withColumn("retention",
+                        F.round(F.col("n_active") / F.col("n_cohort"),
+                                6))
+            .orderBy("cohort", "period_index"))
