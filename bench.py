@@ -85,6 +85,7 @@ HEADLINE = [
     "b18_image_dedup",              # real BMP decode -> dHash -> dedup
     "b19_content_policy",           # url+wordlist+within-doc dedup sweep
     "b20_subseq_search",            # z-normalized pattern top-k over events
+    "b21_event_analytics",          # funnel + retention + transitions
 ]
 
 
@@ -455,6 +456,35 @@ def _bench_extra():
             _events(spark, sf_dir),
             [0.0, 1.0, 2.0, 1.0, 0.0, -1.0, -2.0, -1.0], k=10)
 
+    def b21_event_analytics(spark, sf_dir):
+        """The product-analytics triple over the events table: a
+        4-step windowed funnel, weekly cohort retention, and the
+        next-event transition matrix — three one-corpus-shuffle
+        queries unioned into one summary frame."""
+        from trial_data_ingestion_spark.operators.funnels import (
+            funnel_counts, next_event_transitions, retention_cohorts,
+        )
+        from trial_data_ingestion_spark.plans.library import _events
+        ev = _events(spark, sf_dir)
+        fun = (funnel_counts(
+                   ev, ["signup", "view", "click", "purchase"],
+                   within_seconds=7 * 24 * 3600.0)
+               .select(F.lit("funnel").alias("q"),
+                       F.col("step").alias("k"),
+                       F.col("n_users").cast("double").alias("v")))
+        ret = (retention_cohorts(ev, granularity="week")
+               .groupBy("period_index")
+               .agg(F.round(F.avg("retention"), 6).alias("v"))
+               .select(F.lit("retention").alias("q"),
+                       F.col("period_index").cast("string").alias("k"),
+                       "v"))
+        tr = (next_event_transitions(ev)
+              .select(F.lit("transition").alias("q"),
+                      F.concat_ws(">", "from_event", "to_event")
+                      .alias("k"),
+                      F.col("prob").alias("v")))
+        return fun.unionByName(ret).unionByName(tr)
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -479,7 +509,8 @@ def _bench_extra():
                 b12_fuzzy_join, b13_semantic_dedup, b14_line_dedup,
                 b15_unigram_train_tokenize, b16_fuzzy_decontam,
                 b17_dsir_select, b18_image_dedup,
-                b19_content_policy, b20_subseq_search)}}
+                b19_content_policy, b20_subseq_search,
+                b21_event_analytics)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0

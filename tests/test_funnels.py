@@ -187,3 +187,40 @@ def test_funnel_and_retention_plan_shapes(spark):
              ._jdf.queryExecution().executedPlan().toString())
     assert rplan.count("Exchange hashpartitioning") == 3
     assert "Join" not in rplan and "BatchEvalPython" not in rplan
+
+
+def test_transitions_match_duckdb(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        next_event_transitions,
+    )
+    got = [(r["from_event"], r["to_event"], r["n_transitions"],
+            r["prob"]) for r in
+           next_event_transitions(_events(spark)).collect()]
+    con = duckdb.connect()
+    ref = con.execute(f"""
+        WITH o AS (SELECT user_id, event_type,
+                          lead(event_type) OVER
+                            (PARTITION BY user_id ORDER BY ts) nxt
+                   FROM '{SF_DIR}/events.parquet'),
+        m AS (SELECT event_type f, nxt t, count(*) n FROM o
+              WHERE nxt IS NOT NULL GROUP BY 1, 2)
+        SELECT f, t, n, round(n / sum(n) OVER (PARTITION BY f), 6)
+        FROM m ORDER BY f, t
+    """).fetchall()
+    assert got == [(f, t, n, p) for f, t, n, p in ref]
+    # probabilities row-normalize
+    from collections import defaultdict
+    by_from = defaultdict(float)
+    for f, t, n, p in got:
+        by_from[f] += p
+    assert all(abs(v - 1.0) < 1e-3 for v in by_from.values())
+
+
+def test_transitions_plan_one_corpus_shuffle(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        next_event_transitions,
+    )
+    plan = (next_event_transitions(_events(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "Join" not in plan and "BatchEvalPython" not in plan

@@ -181,3 +181,43 @@ def retention_cohorts(events: DataFrame,
                         F.round(F.col("n_active") / F.col("n_cohort"),
                                 6))
             .orderBy("cohort", "period_index"))
+
+
+def next_event_transitions(events: DataFrame,
+                           user_col: str = "user_id",
+                           ts_col: str = "ts",
+                           type_col: str = "event_type") -> DataFrame:
+    """First-order path analysis: the empirical next-event transition
+    matrix over per-user event streams — (from_event, to_event,
+    n_transitions, prob) with ``prob`` row-normalized per
+    ``from_event`` (the Markov-chain estimate product analytics draws
+    Sankey flows from).
+
+    Same one-shuffle shape as the funnel: per-user ordered arrays
+    from ``sort_array(collect_list(...))``, consecutive pairs zipped
+    natively (``slice`` against ``slice``), exploded, and rolled up —
+    the rollup input is (events - users) rows, far below corpus
+    scale, and the per-from normalization is a window over the tiny
+    |event types|^2 matrix."""
+    ev = (ensure_parallelism(events)
+          .select(F.col(user_col).alias("user"),
+                  F.struct(
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("t"),
+                      F.col(type_col).alias("s")).alias("e")))
+    seq = F.sort_array(F.collect_list("e"))
+    pairs = F.zip_with(
+        F.slice(seq, 1, F.greatest(F.size(seq) - 1, F.lit(0))),
+        F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
+        lambda a, b: F.struct(a["s"].alias("from_event"),
+                              b["s"].alias("to_event")))
+    mat = (ev.groupBy("user").agg(pairs.alias("__p"))
+           .select(F.explode("__p").alias("p"))
+           .select("p.from_event", "p.to_event")
+           .groupBy("from_event", "to_event")
+           .agg(F.count(F.lit(1)).alias("n_transitions")))
+    total = F.sum("n_transitions").over(
+        Window.partitionBy("from_event"))
+    return (mat.withColumn("prob",
+                           F.round(F.col("n_transitions") / total, 6))
+            .orderBy("from_event", "to_event"))
