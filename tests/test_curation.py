@@ -615,3 +615,27 @@ def test_curation_funnel_shape(spark):
     order = {s: i for i, s in enumerate(_AUDIT_STAGES)}
     idx = [order[s.split(":")[0]] for s in stages[:-1]]
     assert idx == sorted(idx)
+
+
+def test_rejection_audit_null_and_empty_text(spark):
+    """NULL/empty text rows: curate() drops them at the hygiene
+    where() (NULL predicates filter), and the audit must give them a
+    REASON, not let NULL flags slip the when-chain and report a
+    phantom survivor — even when 'und' is an allowed language so the
+    lang gate can't catch them first."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    rows = _rows()[:10] + [(200, None), (201, ""), (202, "   ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(lid="native",
+                         languages=("en", "und"))
+    audit = rejection_audit(docs, config=cfg)
+    got = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert got[200] == "min_tokens"
+    assert got[201] == "min_tokens"
+    assert got[202] == "min_tokens"
+    survivors = {i for i, r in got.items() if r is None}
+    curated = {r["doc_id"] for r in
+               curate(docs, config=cfg).collect()}
+    assert survivors == curated

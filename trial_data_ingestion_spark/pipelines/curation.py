@@ -391,11 +391,24 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
     rep = hygiene_report(work.select(idc, *keep), id_col=idc,
                          text_col=txt, lid=cfg.lid, keep_cols=keep)
 
-    f_url = (~F.col("url_keep")) if has_url else F.lit(False)
-    f_lang = ~F.col("lang").isin(*cfg.languages)
-    f_qual = F.col("quality") < cfg.min_quality
-    f_rep = F.col("repeated_line_ratio") > cfg.max_repeated_line_ratio
-    f_len = F.col("n_tokens") < cfg.min_tokens
+    # each flag is the NEGATION of curate()'s keep predicate wrapped
+    # null-safe: a NULL signal (e.g. n_tokens of a NULL text) fails
+    # curate's where() and must fail here too, not skip the when-chain
+    def _fails(keep):
+        return ~F.coalesce(keep, F.lit(False))
+
+    f_url = (_fails(F.col("url_keep")) if has_url else F.lit(False))
+    f_lang = _fails(F.col("lang").isin(*cfg.languages))
+    f_qual = _fails(F.col("quality") >= cfg.min_quality)
+    f_rep = _fails(F.col("repeated_line_ratio")
+                   <= cfg.max_repeated_line_ratio)
+    f_len = _fails(F.col("n_tokens") >= cfg.min_tokens)
+
+    # NULL text never reaches the model/ppl/decontam stages in
+    # curate() (it fails min_tokens first), but the audit evaluates
+    # row-local stages over ALL rows — blank it so MLlib's tokenizer
+    # can't throw; verdicts of rows rejected earlier don't matter
+    rep = rep.withColumn(txt, F.coalesce(F.col(txt), F.lit("")))
 
     if quality_model is not None:
         from trial_data_ingestion_spark.operators.quality_filter import (
