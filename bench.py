@@ -38,6 +38,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -523,33 +524,78 @@ TOTAL_REGRESSION_FACTOR = 1.3
 #: floors.  b02's old .count() materialization let Catalyst's
 #: left-join elimination prune the whole matched-grams computation
 #: (fixed in round 5) — its r4 time is a different, smaller query.
-INCOMPARABLE_BEFORE = {"b02_decontam_report": "BENCH_r05.json"}
+#: Values are ROUND NUMBERS (files from earlier rounds are skipped).
+INCOMPARABLE_BEFORE = {"b02_decontam_report": 5}
+
+_ROUND_RE = re.compile(r"BENCH(?:_LOCAL)?_r0*(\d+)\.json$")
+#: steady-query key/value pairs inside a truncated bench tail — keys
+#: are always qNN_/bNN_ prefixed, so a front-truncated key never
+#: matches and cold values are fenced off by the steady_passes marker
+_TAIL_KV_RE = re.compile(r'"([qb]\d{2}_\w+)":\s*([0-9.]+)')
+
+
+def _recover_from_tail(tail: str) -> dict[str, float]:
+    """Best-effort recovery of the steady ``queries`` dict from the
+    driver's 2000-char tail capture of a bench run whose single JSON
+    line was too long to parse (``"parsed": null`` in BENCH_rNN.json,
+    as happened in round 5).  Only the portion of the steady dict that
+    survived truncation is recoverable; everything after the
+    ``"steady_passes"`` marker is cold-pass data and is excluded."""
+    if not tail:
+        return {}
+    cut = tail.find('"steady_passes"')
+    if cut < 0:
+        # can't tell steady from cold values apart — refuse to guess
+        return {}
+    return {k: float(v) for k, v in _TAIL_KV_RE.findall(tail[:cut])}
 
 
 def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
     """Per-query BEST (minimum) steady seconds across every
-    BENCH_r*.json in the repo (sf0.1, local[32]).  The driver wraps
-    the bench's JSON line under a 'parsed' key.  Returns the baseline
-    and the list of round files that contributed.  Queries listed in
+    BENCH_r*.json (driver-recorded; bench JSON wrapped under a
+    'parsed' key) and BENCH_LOCAL_r*.json (written directly by
+    ``python bench.py``) in the repo (sf0.1, local[32]).  Returns the
+    baseline and the list of round files that contributed.  Tolerates
+    driver artifacts whose 'parsed' is null (tail-truncated bench
+    line) by salvaging what the tail still holds.  Queries listed in
     :data:`INCOMPARABLE_BEFORE` ignore rounds before their cutoff."""
     here = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
     rounds: list[str] = []
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))):
+    paths = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")) +
+                   glob.glob(os.path.join(here, "BENCH_LOCAL_r[0-9]*.json")))
+    for path in paths:
+        fname = os.path.basename(path)
+        m = _ROUND_RE.search(fname)
+        if m is None:
+            continue
+        round_no = int(m.group(1))
         try:
             with open(path) as f:
                 doc = json.load(f)
         except (OSError, ValueError):
+            print(f"bench baseline: skipping unreadable {fname}",
+                  file=sys.stderr)
             continue
-        doc = doc.get("parsed", doc)
-        queries = doc.get("queries", {})
+        if not isinstance(doc, dict):
+            continue
+        parsed = doc.get("parsed", doc)
+        if isinstance(parsed, dict) and parsed.get("queries"):
+            queries = parsed["queries"]
+        else:
+            queries = _recover_from_tail(doc.get("tail") or "")
+            if queries:
+                print(f"bench baseline: {fname} has no parsed queries; "
+                      f"recovered {len(queries)} steady entries from its "
+                      "tail", file=sys.stderr)
         if not queries:
+            print(f"bench baseline: skipping {fname} (no usable queries)",
+                  file=sys.stderr)
             continue
-        fname = os.path.basename(path)
         rounds.append(fname)
         for k, v in queries.items():
             cutoff = INCOMPARABLE_BEFORE.get(k)
-            if cutoff is not None and fname < cutoff:
+            if cutoff is not None and round_no < cutoff:
                 continue
             v = float(v)
             if k not in best or v < best[k]:
@@ -631,7 +677,10 @@ def main() -> None:
                   f"{r['now_sec']}s ({r['factor']}x > "
                   f"{REGRESSION_FACTOR}x gate)", file=sys.stderr)
 
-        common = [n for n in baseline if n in steady]
+        # the broad-drift total gate is only meaningful on full runs —
+        # a --only subset's "total" is whatever the dev asked for
+        common = ([n for n in baseline if n in steady]
+                  if headline == HEADLINE else [])
         base_total = sum(baseline[n] for n in common)
         now_total = sum(steady[n] for n in common)
         if base_total > 0 and now_total > base_total * TOTAL_REGRESSION_FACTOR:
@@ -662,6 +711,24 @@ def main() -> None:
         "total_regression_vs_best": total_regression,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # ALSO persist to a committed file: the driver's BENCH_rNN.json
+    # only keeps a 2000-char tail of stdout, which truncated round 5's
+    # JSON line and lost 16 of 22 steady numbers.  Full-suite sf0.1
+    # runs write BENCH_LOCAL_r{NN}.json (NN = next round after the
+    # newest driver artifact) so the per-query record always survives;
+    # --only dev runs skip the write so partial subsets can't shadow a
+    # full record.
+    if headline == HEADLINE and sf_dir.rstrip("/").endswith("sf0.1"):
+        here = os.path.dirname(os.path.abspath(__file__))
+        driver_rounds = [int(m.group(1)) for p in
+                         glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+                         if (m := _ROUND_RE.search(os.path.basename(p)))]
+        nn = max(driver_rounds, default=0) + 1
+        local_path = os.path.join(here, f"BENCH_LOCAL_r{nn:02d}.json")
+        with open(local_path, "w") as f:
+            json.dump(out, f, indent=2)
+            f.write("\n")
+        print(f"wrote {local_path}", file=sys.stderr)
     print(json.dumps(out))
 
 

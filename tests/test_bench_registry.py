@@ -36,3 +36,31 @@ def test_incomparable_entries_excluded_from_rolling_best():
     # either no post-cutoff round exists yet (no floor at all) or the
     # floor comes from a post-r5 file — never the 0.253 r4 artifact
     assert b02 is None or b02 > 0.3
+
+
+def test_loader_tolerates_parsed_null_round():
+    """The driver's BENCH_r05.json has `"parsed": null` (its 2000-char
+    tail capture truncated the bench's JSON line).  The loader must
+    not crash on it, and must salvage the steady entries the tail
+    still holds (r5's tail retains 22 of the 41)."""
+    import bench
+    best, rounds = bench._load_rolling_baseline()
+    assert "BENCH_r05.json" in rounds
+    # b09 only exists from r5 on, so its floor can only come from the
+    # salvaged tail (or a later round that would never exceed it much)
+    assert best.get("b09_incremental_dedup") is not None
+
+
+def test_tail_recovery_fences_cold_values():
+    """Recovery must stop at the steady_passes marker: cold-pass
+    values (often 5-10x steady) after it would poison the floor."""
+    import bench
+    tail = ('ing_dups_blocked": 2.394, "q50_sliding_window": 0.433}, '
+            '"steady_passes": 3, "cold_total_sec": 99.9, '
+            '"queries_cold": {"q50_sliding_window": 9.433}, "sf": 0.1}')
+    got = bench._recover_from_tail(tail)
+    # the front-truncated key is dropped; cold values excluded
+    assert got == {"q50_sliding_window": 0.433}
+    # no marker -> refuse to guess rather than mix steady and cold
+    assert bench._recover_from_tail('"q01_pricing_summary": 1.0}') == {}
+    assert bench._recover_from_tail("") == {}
