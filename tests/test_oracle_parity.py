@@ -10,9 +10,10 @@ from tests.oracle_harness import compare, run_oracle
 
 
 def _pairs():
-    # ALL includes the queries retired from the driver's 50-slot
-    # grading budget (q03/q12/q13/q23, round 5) — retirement removes
-    # their driver rows, not their correctness obligation.
+    # ALL includes every query retired from the driver's 50-slot
+    # grading budget (see plans.RETIRED_QUERIES for the current set —
+    # 12 as of round 6) — retirement removes their driver rows, not
+    # their correctness obligation.
     from trial_data_ingestion_spark.plans import ALL_ORACLE
     return sorted(ALL_ORACLE)
 

@@ -643,7 +643,7 @@ def q51_approx_percentiles(spark, sf_dir):
                    .alias("p90")))
 
 
-@_register("q43_hash_split", """
+@_retire("q43_hash_split", """
 SELECT split, count(*) AS n_docs,
        round(avg(n_chars), 4) AS avg_chars
 FROM (
@@ -661,7 +661,11 @@ def q43_hash_split(spark, sf_dir):
     sizes (unlike ``df.sample``, whose outcome depends on partition
     layout and seed plumbing).  Narrow projection, no shuffle beyond
     the final 3-group aggregate; at 100 TB each split materializes as
-    a pushed-down filter on the same expression."""
+    a pushed-down filter on the same expression.
+
+    Retired (round 6): the md5-bucket split shape is graded through
+    q54's content-stable stratified sampling; the freed slot grades
+    the conversion funnel (q62)."""
     d = _t(spark, sf_dir, "documents")
     b = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15),
                 16, 10).cast("long") % 100)
@@ -1127,11 +1131,15 @@ WHERE bit_count(xor(a.sh, b.sh)) <= 12
 """
 
 
-@_register("q26_simhash_pairs", _q26_sql())
+@_retire("q26_simhash_pairs", _q26_sql())
 def q26_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (prefix-blocked Hamming search),
     hash-verified: the md5-derived 60-bit SimHash is reproduced
-    exactly by the DuckDB oracle."""
+    exactly by the DuckDB oracle.
+
+    Retired (round 6): fifth member of the graded dedup family
+    (q19/q28/q29/q48/q49 survive); the freed slot grades weekly
+    cohort retention (q63)."""
     d = _t(spark, sf_dir, "documents")
     out = dedup.simhash_near_dups(d, "doc_id", "text",
                                   max_hamming=12, prefix_bits=8)
@@ -2132,6 +2140,102 @@ def q61_conversation_hygiene(spark, sf_dir):
         flatten_conversation(F.col("messages")).alias("rendered"),
         validate_turns(F.col("messages")).alias("defect"),
         conversation_fingerprint(F.col("messages")).alias("conv_fp"))
+
+_FUNNEL_STEPS = ["signup", "view", "click", "purchase"]
+
+
+@_register("q62_funnel", """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+t0 AS (SELECT user_id, min(ts) AS ts FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+t1 AS (SELECT e.user_id, min(e.ts) AS ts FROM e JOIN t0 USING (user_id)
+       WHERE event_type = 'view' AND e.ts >= t0.ts GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts FROM e JOIN t1 USING (user_id)
+       WHERE event_type = 'click' AND e.ts >= t1.ts GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts FROM e JOIN t2 USING (user_id)
+       WHERE event_type = 'purchase' AND e.ts >= t2.ts GROUP BY 1),
+n AS (SELECT 0 AS step_index, 'signup' AS step,
+             (SELECT count(*) FROM t0) AS n_users
+      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM t1)
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+SELECT step_index, step, n_users,
+       CASE WHEN max(CASE WHEN step_index = 0 THEN n_users END)
+                 OVER () > 0
+            THEN floor(n_users * 1000000.0 /
+                       max(CASE WHEN step_index = 0 THEN n_users END)
+                         OVER () + 0.5) / 1000000
+            ELSE 0.0 END AS frac_of_first
+FROM n
+""")
+def q62_funnel(spark, sf_dir):
+    """Ordered conversion funnel (signup -> view -> click -> purchase)
+    over the events table — ClickHouse ``windowFunnel`` semantics, no
+    time window (exact subsequence matching).  ONE corpus shuffle: the
+    per-user chain fold is a native ``F.aggregate`` lambda over the
+    sorted event array (funnels.py); the step rollup sees one row per
+    user.
+
+    The oracle is the progressive per-user min-timestamp recursion
+    with ``>=`` step boundaries: the engine's sort breaks timestamp
+    ties by step index (a same-timestamp later step still counts), and
+    ``t >= u_prev`` is exactly that tie rule in SQL, so the two
+    formulations agree on EVERY input, ties included.  frac_of_first
+    is re-derived with the q13/q47 floor idiom (round() diverges
+    between engines on some doubles)."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    ev = _events(spark, sf_dir)
+    fc = funnel_counts(ev, _FUNNEL_STEPS).drop("frac_of_first")
+    entered = F.max(F.when(F.col("step_index") == 0,
+                           F.col("n_users"))).over(Window.partitionBy())
+    return fc.withColumn(
+        "frac_of_first",
+        F.when(entered > 0,
+               F.floor(F.col("n_users") * 1_000_000.0 / entered + 0.5)
+               / 1_000_000)
+        .otherwise(F.lit(0.0)))
+
+
+@_register("q63_retention", """
+WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS p
+           FROM events),
+c AS (SELECT user_id, min(p) AS cohort FROM a GROUP BY 1),
+x AS (SELECT c.cohort,
+             CAST((a.p - c.cohort) / 7 AS BIGINT) AS period_index,
+             count(*) AS n_active
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2),
+s AS (SELECT cohort, count(*) AS n_cohort FROM c GROUP BY 1)
+SELECT strftime(x.cohort, '%Y-%m-%d') AS cohort_week,
+       x.period_index, x.n_active, s.n_cohort,
+       floor(x.n_active * 1000000.0 / s.n_cohort + 0.5) / 1000000
+         AS retention
+FROM x JOIN s USING (cohort)
+""")
+def q63_retention(spark, sf_dir):
+    """Weekly cohort retention: users cohorted by first active ISO
+    week, one row per (cohort, period_index) with the active fraction.
+    ONE corpus shuffle (funnels.retention_cohorts): cohort and the
+    distinct active-week set come out of the same ``groupBy(user)``,
+    and the cohort size is the period-0 count via a window — no join
+    back over the data.  The oracle recomputes cohort sizes
+    independently (count over first-week rows), so the no-join
+    shortcut's invariant (every user is active in their own cohort
+    week) is itself hash-verified.  Cohort emitted as a yyyy-MM-dd
+    string (q47 pattern: DuckDB DATE arrives as datetime64 and would
+    normalize differently); retention uses the floor idiom."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        retention_cohorts,
+    )
+    ev = _events(spark, sf_dir)
+    rc = retention_cohorts(ev, granularity="week").drop("retention")
+    return rc.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        "period_index", "n_active", "n_cohort",
+        (F.floor(F.col("n_active") * 1_000_000.0 / F.col("n_cohort")
+                 + 0.5) / 1_000_000).alias("retention"))
+
 
 #: Every query, graded or retired — tests run parity over all of them.
 ALL_QUERIES: dict = {**RETIRED_QUERIES, **QUERIES}
