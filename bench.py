@@ -87,6 +87,8 @@ HEADLINE = [
     "b19_content_policy",           # url+wordlist+within-doc dedup sweep
     "b20_subseq_search",            # z-normalized pattern top-k over events
     "b21_event_analytics",          # funnel + retention + transitions
+    # round-6 additions
+    "b22_rejection_audit",          # kitchen-sink attrition audit
 ]
 
 
@@ -486,6 +488,34 @@ def _bench_extra():
                       F.col("prob").alias("v")))
         return fun.unionByName(ret).unionByName(tr)
 
+    def b22_rejection_audit(spark, sf_dir):
+        """The release-pipeline audit pair over the kitchen-sink
+        curation config (url filter + gopher + line dedup +
+        decontam): curation_funnel's stage-ordered attrition table —
+        which runs the full rejection_audit underneath — evaluated on
+        every input document (plan census pinned in
+        tests/test_curation.py)."""
+        from trial_data_ingestion_spark.operators.gopher_rules import (
+            GopherThresholds,
+        )
+        from trial_data_ingestion_spark.pipelines.curation import (
+            CurationConfig, curation_funnel,
+        )
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .withColumn("url", F.concat(
+                    F.lit("https://s"),
+                    (F.col("doc_id") % 7).cast("string"),
+                    F.lit("-ex.com/p"),
+                    F.col("doc_id").cast("string"))))
+        bench_set = docs.where(F.col("doc_id") % 97 == 3) \
+                        .select("doc_id", "text")
+        cfg = CurationConfig(
+            url_col="url", line_dedup_min_chars=12,
+            gopher=GopherThresholds(min_words=10,
+                                    min_stopword_hits=1))
+        return curation_funnel(docs, benchmark=bench_set, config=cfg,
+                               url_blocklist=["s3-ex.com"])
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -511,7 +541,7 @@ def _bench_extra():
                 b15_unigram_train_tokenize, b16_fuzzy_decontam,
                 b17_dsir_select, b18_image_dedup,
                 b19_content_policy, b20_subseq_search,
-                b21_event_analytics)}}
+                b21_event_analytics, b22_rejection_audit)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0

@@ -132,6 +132,61 @@ def test_truncate_to_budget(spark):
     assert [m["content"] for m in r] == [m["content"] for m in msgs[:3]]
 
 
+def test_truncate_to_budget_null_content_counts_zero(spark):
+    """A NULL-content turn must count as 0 tokens, not poison the
+    running total into NULL (which would disable the budget for every
+    later turn — ADVICE round 5)."""
+    from trial_data_ingestion_spark.operators.conversations import (
+        truncate_to_budget,
+    )
+    msgs = [("user", "one two three"),      # 3 tokens
+            ("assistant", None),            # NULL -> 0
+            ("user", "four five six")]      # 3
+    arr = [{"role": r, "content": c} for r, c in msgs]
+    df = spark.createDataFrame([(0, arr)], SCHEMA)
+
+    def kept(budget):
+        r = df.select(truncate_to_budget(
+            F.col("messages"), budget).alias("m")).collect()[0]["m"]
+        return len(r)
+
+    assert kept(100) == 3
+    assert kept(6) == 3    # 3 + 0 + 3 fits
+    assert kept(5) == 2    # the last REAL turn overflows -> cut
+    assert kept(3) == 2    # null turn itself is free
+    assert kept(2) == 0
+
+
+def test_fingerprint_separator_cannot_be_forged(spark):
+    """The 0x01 turn separator is stripped from content during
+    normalization, so planting it inside a turn cannot collide with a
+    genuinely different turn split; and the separator constant is a
+    visible escape, not a raw byte (ADVICE round 5)."""
+    import inspect
+
+    from trial_data_ingestion_spark.operators import conversations
+    from trial_data_ingestion_spark.operators.conversations import (
+        TURN_SEP, conversation_fingerprint,
+    )
+    assert TURN_SEP == "\x01"
+    src = inspect.getsource(conversations)
+    assert "\x01" not in src          # no raw control byte in source
+
+    forged = _conv(("user", "hello\x01assistant:world"))
+    two = _conv(("user", "hello"), ("assistant", "world"))
+    clean = _conv(("user", "helloassistant:world"))
+    df = spark.createDataFrame(
+        [(0, forged), (1, two), (2, clean)], SCHEMA)
+    fp = {r["conv_id"]: r["fp"] for r in df.select(
+        "conv_id",
+        conversation_fingerprint(F.col("messages")).alias("fp"))
+        .collect()}
+    # the forged single turn equals the CLEAN single turn (separator
+    # stripped), and differs from the real two-turn conversation
+    assert fp[0] == fp[2]
+    assert fp[0] != fp[1]
+
+
 def test_conversation_ops_plan_is_narrow(spark):
     """The whole chat-hygiene chain — flatten + validate + fingerprint
     + truncate — is one projection: no Exchange, no Python."""

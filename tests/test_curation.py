@@ -504,6 +504,47 @@ def test_curate_kitchen_sink_plan_census(spark):
     assert out.where("url like '%s3-ex.com%'").count() == 0
 
 
+def test_rejection_audit_kitchen_sink_plan_census(spark):
+    """The b22 bench plan (curation_funnel over the kitchen-sink
+    config), pinned at the wide-op level like curate()'s: the audit
+    adds id-set joins for the corpus-dependent stages but every one
+    of them must broadcast — no sort-merge join, no cartesian, no
+    nested-loop, no Python anywhere in the audit's 100 TB shape."""
+    import re
+
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.operators.gopher_rules import (
+        GopherThresholds,
+    )
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curation_funnel,
+    )
+    docs = (spark.read.parquet(f"{SF_DIR_ORACLE}/documents.parquet")
+            .withColumn("url", F.concat(
+                F.lit("https://s"), (F.col("doc_id") % 7).cast("string"),
+                F.lit("-ex.com/p"), F.col("doc_id").cast("string"))))
+    bench = docs.where(F.col("doc_id") % 97 == 3).select("doc_id", "text")
+    cfg = CurationConfig(
+        lid="native", url_col="url", line_dedup_min_chars=12,
+        gopher=GopherThresholds(min_words=10, min_stopword_hits=1))
+    out = curation_funnel(docs, benchmark=bench, config=cfg,
+                          url_blocklist=["s3-ex.com"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    census = {op: len(re.findall(op, plan)) for op in (
+        "Exchange hashpartitioning", "BroadcastExchange",
+        "SortMergeJoin", "CartesianProduct", "BatchEvalPython",
+        "BroadcastNestedLoopJoin")}
+    assert census["SortMergeJoin"] == 0, census
+    assert census["CartesianProduct"] == 0, census
+    assert census["BroadcastNestedLoopJoin"] == 0, census
+    assert census["BatchEvalPython"] == 0, census
+    # line-dedup rewrite (3) + fingerprint window + funnel rollup +
+    # decontam gram aggregates; a regression to a corpus-side
+    # re-shuffle per stage would blow past this
+    assert census["Exchange hashpartitioning"] <= 9, census
+    assert census["BroadcastExchange"] <= 4, census
+
+
 def test_rejection_audit_matches_curate_and_first_wins(spark):
     """The audit's survivor set (reason NULL) is identical to
     curate()'s output ids, every input doc gets exactly one row, and
@@ -594,6 +635,54 @@ def test_rejection_audit_model_stages_parity(spark):
     assert survivors == curated
     reasons = {r["reason"] for r in audit.collect()}
     assert "perplexity" in reasons and "dsir" in reasons
+
+
+def test_rejection_audit_unscored_docs_are_not_survivors(spark):
+    """ADVICE round 5: a doc whose text normalizes to ZERO scoreable
+    tokens (all punctuation/symbols) is silently dropped by curate()'s
+    inner joins at the perplexity and DSIR stages — the audit must
+    flag it at that stage, not report it as a survivor.  Gates are
+    opened wide so the punctuation doc genuinely reaches the model
+    stages."""
+    from trial_data_ingestion_spark.operators.ngram_lm import fit_ngram_lm
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    rows = [(i, t) for i, t in _rows() if i < 60]
+    punct = (200, "!!! ??? ... ;;; ::: --- %%% &&& @@@ ###")
+    docs = spark.createDataFrame(rows + [punct],
+                                 "doc_id long, text string")
+    lm = fit_ngram_lm(spark.createDataFrame(
+        rows, "doc_id long, text string"), vocab_size=500)
+    cfg = CurationConfig(
+        lid="native", languages=("en", "und"), min_quality=0.0,
+        max_repeated_line_ratio=1.0, min_tokens=1,
+        ppl_keep_buckets=("head", "middle", "tail"))
+    kw = dict(config=cfg, ppl_lm=lm)
+    audit = {r["doc_id"]: r["reason"] for r in
+             rejection_audit(docs, **kw).collect()}
+    curated = {r["doc_id"] for r in
+               curate(docs, **kw).select("doc_id").collect()}
+    # keeping EVERY bucket means the only possible ppl rejection is
+    # "couldn't be scored at all" — exactly the inner-join drop
+    assert 200 not in curated
+    assert audit[200] == "perplexity"
+    assert {i for i, r in audit.items() if r is None} == curated
+
+    # same convention at the DSIR stage
+    cfg2 = CurationConfig(
+        lid="native", languages=("en", "und"), min_quality=0.0,
+        max_repeated_line_ratio=1.0, min_tokens=1,
+        dsir_keep_frac=1.0)
+    target = docs.where("doc_id % 5 = 1").select("text")
+    kw2 = dict(config=cfg2, dsir_target=target)
+    audit2 = {r["doc_id"]: r["reason"] for r in
+              rejection_audit(docs, **kw2).collect()}
+    curated2 = {r["doc_id"] for r in
+                curate(docs, **kw2).select("doc_id").collect()}
+    assert 200 not in curated2
+    assert audit2[200] == "dsir"
+    assert {i for i, r in audit2.items() if r is None} == curated2
 
 
 def test_curation_funnel_shape(spark):

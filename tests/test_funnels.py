@@ -224,3 +224,36 @@ def test_transitions_plan_one_corpus_shuffle(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Exchange hashpartitioning") == 3
     assert "Join" not in plan and "BatchEvalPython" not in plan
+
+
+def test_transitions_per_user_cap(spark):
+    """The skew guard: a synthetic bot user with a huge event stream
+    only contributes its FIRST max_events_per_user events, normal
+    users are untouched, and the truncation report counts the cut
+    loudly (the estimator bias must never be silent)."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.funnels import (
+        next_event_transitions, transition_truncation_report,
+    )
+    rows = [(1, float(i), "spin") for i in range(500)]        # bot loop
+    rows += [(2, 1.0, "a"), (2, 2.0, "b"), (2, 3.0, "c")]     # normal
+    ev = (spark.createDataFrame(rows,
+                                "user_id long, sec double, "
+                                "event_type string")
+          .withColumn("ts", F.timestamp_seconds("sec")))
+    uncapped = {(r["from_event"], r["to_event"]): r["n_transitions"]
+                for r in next_event_transitions(ev).collect()}
+    assert uncapped[("spin", "spin")] == 499
+    capped = {(r["from_event"], r["to_event"]): r["n_transitions"]
+              for r in next_event_transitions(
+                  ev, max_events_per_user=10).collect()}
+    assert capped[("spin", "spin")] == 9      # first 10 events only
+    assert capped[("a", "b")] == 1 and capped[("b", "c")] == 1
+    rep = transition_truncation_report(ev, 10).collect()[0]
+    assert rep["n_users"] == 2
+    assert rep["n_truncated_users"] == 1
+    assert rep["max_events"] == 500
+    assert rep["events_dropped"] == 490
+    with pytest.raises(ValueError):
+        next_event_transitions(ev, max_events_per_user=1)

@@ -74,3 +74,23 @@ def test_no_python_in_plan(spark):
     assert "ArrowEvalPython" not in plan
     assert "BatchEvalPython" not in plan
     assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_short_string_path_is_equi_join(spark):
+    """The +-d length window is an exploded candidate-length EQUI
+    join, never a BroadcastNestedLoopJoin: a corpus dense in short
+    titles must not pay a full scan of the long side per short row
+    (round-5 verdict item).  Parity on the same input is covered by
+    test_short_string_fallback_is_lossless."""
+    rows = [(i, f"t{i % 7}") for i in range(50)]      # all short
+    df = spark.createDataFrame(rows, "id long, t string")
+    out = fuzzy_join_pairs(df, df, "id", "t", "id", "t",
+                           max_distance=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    # and the rewrite still finds the matches
+    got = _pairs(out)
+    assert (0, 7, 0) in got        # 't0' ~ 't0' (ids 0 and 7)
+    assert (0, 1, 1) in got        # 't0' ~ 't1'
+    assert all(d <= 2 for _, _, d in got)

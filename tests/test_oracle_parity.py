@@ -96,7 +96,11 @@ def test_approx_percentiles_within_error(spark):
 # shift counts at 10x the density.  sf0.01 is covered by
 # test_oracle_parity above — this matrix adds the scale dir.
 WINDOW_QUERIES = ["q13_hourly_events", "q22_sessionize",
-                  "q50_sliding_window"]
+                  "q50_sliding_window",
+                  # event-sequence analytics are density-sensitive the
+                  # same way: chains and cohorts that never form in a
+                  # 3k-row sample do at 10x the events
+                  "q62_funnel", "q63_retention"]
 SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 

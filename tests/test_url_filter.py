@@ -38,6 +38,27 @@ def test_filter_urls_known_answers(spark):
     assert len(got) == 6
 
 
+def test_filter_urls_null_url_is_visible_category(spark):
+    """A NULL URL must surface as url_reason='no_url', never fall
+    through the NULL-propagating when-chain to an implicit 'ok'
+    (ADVICE round 5); keep_missing sets the policy."""
+    from trial_data_ingestion_spark.operators.url_filter import filter_urls
+    df = spark.createDataFrame(
+        [(0, "https://example.com/a"), (1, None)],
+        "doc_id long, url string")
+    blocked = spark.createDataFrame([("spamsite.org",)], "d string")
+    out = {r["doc_id"]: (r["url_keep"], r["url_reason"]) for r in
+           filter_urls(df, blocked_domains=blocked)
+           .select("doc_id", "url_keep", "url_reason").collect()}
+    assert out[0] == (True, "ok")
+    assert out[1] == (True, "no_url")       # default: keep, but visible
+    strict = {r["doc_id"]: (r["url_keep"], r["url_reason"]) for r in
+              filter_urls(df, blocked_domains=blocked,
+                          keep_missing=False)
+              .select("doc_id", "url_keep", "url_reason").collect()}
+    assert strict[1] == (False, "no_url")   # strict provenance: drop
+
+
 def test_filter_urls_list_blocklist_and_no_words(spark):
     from trial_data_ingestion_spark.operators.url_filter import filter_urls
     out = filter_urls(_df(spark), blocked_domains=["badcasino.net"],

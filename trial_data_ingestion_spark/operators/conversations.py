@@ -43,18 +43,34 @@ def flatten_conversation(msgs: Column,
         sep)
 
 
+#: turn separator for the fingerprint hash — a control byte, written
+#: as a VISIBLE escape (a raw 0x01 in source renders as an empty
+#: string in diffs and editors, and normalization strips control
+#: characters below, so it genuinely cannot appear in the image)
+TURN_SEP = "\x01"
+
+#: control characters that survive the \s+ collapse (whitespace
+#: controls are already folded to a space by then)
+_CTRL_RE = r"[\x00-\x1f\x7f]"
+
+
 def conversation_fingerprint(msgs: Column) -> Column:
     """Content-stable dedup key: md5 over normalized turns
-    (lowercased, whitespace collapsed) joined with a separator that
-    cannot appear in the normalization image — two conversations that
-    differ only in formatting/casing collide, which is what chat
-    dedup wants (the same exchange re-exported by two tools differs
-    exactly that way)."""
+    (lowercased, whitespace collapsed, control characters stripped)
+    joined with :data:`TURN_SEP` — which cannot appear in the
+    normalization image BECAUSE the image is control-free, making the
+    turns -> string encoding injective (a 0x01 planted inside a turn's
+    content cannot forge a boundary).  Two conversations that differ
+    only in formatting/casing collide, which is what chat dedup wants
+    (the same exchange re-exported by two tools differs exactly that
+    way)."""
+    def _norm(c: Column) -> Column:
+        collapsed = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+        return F.regexp_replace(collapsed, _CTRL_RE, "")
+
     norm = F.transform(msgs, lambda m: F.concat_ws(
-        ":", F.lower(m["role"]),
-        F.regexp_replace(F.lower(F.trim(m["content"])),
-                         r"\s+", " ")))
-    return F.md5(F.array_join(norm, ""))
+        ":", _norm(m["role"]), _norm(m["content"])))
+    return F.md5(F.array_join(norm, TURN_SEP))
 
 
 def validate_turns(msgs: Column,
@@ -95,8 +111,13 @@ def truncate_to_budget(msgs: Column, max_tokens: int) -> Column:
     fits ``max_tokens``: a prefix-sum via ``aggregate`` (running
     total + kept count), then one ``slice`` — turns are never split,
     matching SFT convention (a cut-off reply teaches the model to
-    truncate)."""
-    counted = F.transform(msgs, lambda m: token_count(m["content"]))
+    truncate).  NULL content counts as 0 tokens (same coalesce
+    convention as :func:`flatten_conversation`) — an unguarded NULL
+    would make the running ``(tot + c) > max_tokens`` comparison NULL
+    and silently disable the budget for every later turn."""
+    counted = F.transform(
+        msgs, lambda m: F.coalesce(token_count(m["content"]),
+                                   F.lit(0)))
     kept = F.aggregate(
         counted,
         F.struct(F.lit(0).cast("long").alias("tot"),

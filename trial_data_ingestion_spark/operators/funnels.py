@@ -186,7 +186,9 @@ def retention_cohorts(events: DataFrame,
 def next_event_transitions(events: DataFrame,
                            user_col: str = "user_id",
                            ts_col: str = "ts",
-                           type_col: str = "event_type") -> DataFrame:
+                           type_col: str = "event_type",
+                           max_events_per_user: int | None = None
+                           ) -> DataFrame:
     """First-order path analysis: the empirical next-event transition
     matrix over per-user event streams — (from_event, to_event,
     n_transitions, prob) with ``prob`` row-normalized per
@@ -198,7 +200,21 @@ def next_event_transitions(events: DataFrame,
     natively (``slice`` against ``slice``), exploded, and rolled up —
     the rollup input is (events - users) rows, far below corpus
     scale, and the per-from normalization is a window over the tiny
-    |event types|^2 matrix."""
+    |event types|^2 matrix.
+
+    ``max_events_per_user`` is the skew guard for the full-stream
+    collect (the transitions analogue of ``ngram_jaccard``'s
+    ``max_doc_freq``): a bot user with millions of events would
+    otherwise become one enormous array on a straggler row at 100 TB
+    scale.  When set, only each user's FIRST N events (by time)
+    contribute transitions.  This biases the estimate — the dropped
+    tail's transitions are usually the bot's own loop, so capping
+    typically REDUCES bot skew in the matrix, but genuine late
+    behavior of heavy users is under-counted too; it is opt-in and
+    off for oracle-checked runs.  Audit the cut with
+    :func:`transition_truncation_report` (how many users were
+    truncated and how hot the hottest stream is) before trusting a
+    capped matrix."""
     ev = (ensure_parallelism(events)
           .select(F.col(user_col).alias("user"),
                   F.struct(
@@ -206,6 +222,11 @@ def next_event_transitions(events: DataFrame,
                       .alias("t"),
                       F.col(type_col).alias("s")).alias("e")))
     seq = F.sort_array(F.collect_list("e"))
+    if max_events_per_user is not None:
+        if max_events_per_user < 2:
+            raise ValueError("max_events_per_user must be >= 2 "
+                             "(one transition needs two events)")
+        seq = F.slice(seq, 1, max_events_per_user)
     pairs = F.zip_with(
         F.slice(seq, 1, F.greatest(F.size(seq) - 1, F.lit(0))),
         F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
@@ -221,3 +242,24 @@ def next_event_transitions(events: DataFrame,
     return (mat.withColumn("prob",
                            F.round(F.col("n_transitions") / total, 6))
             .orderBy("from_event", "to_event"))
+
+
+def transition_truncation_report(events: DataFrame,
+                                 max_events_per_user: int,
+                                 user_col: str = "user_id"
+                                 ) -> DataFrame:
+    """One-row audit for a capped :func:`next_event_transitions` run:
+    (n_users, n_truncated_users, max_events, events_dropped) — the
+    "loud count" that must accompany any published capped matrix so
+    the estimator bias is visible, not silent.  One keyed aggregate
+    over (user, count) rows; no arrays are materialized."""
+    per = (ensure_parallelism(events)
+           .groupBy(F.col(user_col).alias("user"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    over = F.col("n") > max_events_per_user
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(over.cast("long")).alias("n_truncated_users"),
+        F.max("n").alias("max_events"),
+        F.sum(F.when(over, F.col("n") - max_events_per_user)
+              .otherwise(F.lit(0))).alias("events_dropped"))

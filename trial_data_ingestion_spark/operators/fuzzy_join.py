@@ -112,17 +112,27 @@ def fuzzy_join_pairs(left: DataFrame, right: DataFrame,
                   .select("l_id", "r_id"))
 
     # short sliver: +-d length-window block (either side short — the
-    # pigeonhole guarantee needs BOTH strings to be long enough)
+    # pigeonhole guarantee needs BOTH strings to be long enough).
+    # |len_a - len_b| <= d is rewritten as an EQUI join: the short
+    # side explodes each string into its 2d+1 candidate lengths and
+    # joins on length equality — a hash join instead of the
+    # BroadcastNestedLoopJoin the raw theta predicate compiles to
+    # (which degrades to a full scan of the long side per short row
+    # on corpora dense in short titles; plan test pins the shape)
+    def _cand_lens(len_col):
+        return F.explode(F.sequence(F.greatest(
+            F.col(len_col) - d, F.lit(0)), F.col(len_col) + d))
+
     ls = lt.where(F.length("l_t") < min_len + d) \
-           .select("l_id", F.length("l_t").alias("l_len"))
-    rs_all = rt.select("r_id", F.length("r_t").alias("r_len"))
-    short_a = ls.join(rs_all,
-                      F.abs(F.col("l_len") - F.col("r_len")) <= d)
+           .select("l_id", F.length("l_t").alias("l_len")) \
+           .select("l_id", _cand_lens("l_len").alias("__len"))
+    rs_all = rt.select("r_id", F.length("r_t").alias("__len"))
+    short_a = ls.join(rs_all, "__len")
     rs = rt.where(F.length("r_t") < min_len + d) \
-           .select("r_id", F.length("r_t").alias("r_len"))
-    ls_all = lt.select("l_id", F.length("l_t").alias("l_len"))
-    short_b = ls_all.join(rs,
-                          F.abs(F.col("l_len") - F.col("r_len")) <= d)
+           .select("r_id", F.length("r_t").alias("r_len")) \
+           .select("r_id", _cand_lens("r_len").alias("__len"))
+    ls_all = lt.select("l_id", F.length("l_t").alias("__len"))
+    short_b = ls_all.join(rs, "__len")
     short_cands = (short_a.select("l_id", "r_id")
                    .unionByName(short_b.select("l_id", "r_id"))
                    .distinct())

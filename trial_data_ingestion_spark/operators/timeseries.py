@@ -11,9 +11,11 @@ Spark-first shape:
     bounded by retention, not corpus size).
   * **scoring** — an Arrow-batched ``applyInPandas`` per series:
     z-normalized Euclidean distance of the query against every
-    length-m window via the standard O(n) rolling-moment formulation
-    (cumulative sums for mean/std, one FFT-free sliding dot product —
-    the MASS/Matrix-Profile building block).  Per-series scoring is
+    length-m window: O(n) rolling moments (cumulative sums for
+    mean/std) plus one sliding dot product via np.convolve — O(n*m),
+    cheaper than FFT-based MASS for the short patterns this targets;
+    see matrix_profile's docstring for when to switch.  Per-series
+    scoring is
     inherently sequential-in-m and vectorizes perfectly in numpy, the
     documented criterion for leaving Column expressions.
   * **top-k** — per-series candidate rows are tiny (k per key);
@@ -38,7 +40,9 @@ from trial_data_ingestion_spark.session import ensure_parallelism
 def znorm_distances(series: np.ndarray, query: np.ndarray) -> np.ndarray:
     """Distance profile: z-normalized Euclidean distance between
     ``query`` (length m) and every length-m window of ``series``.
-    O(n) via rolling sums; windows with zero variance -> inf."""
+    Rolling sums give the moments in O(n); the sliding dot product
+    (np.convolve) is O(n*m), the whole-call bound.  Windows with zero
+    variance -> inf."""
     n, m = len(series), len(query)
     if n < m:
         return np.empty(0)
@@ -127,9 +131,13 @@ def matrix_profile(series: np.ndarray, m: int,
     same series (the Matrix Profile of Yeh et al. 2016).  Trivial
     matches — windows overlapping the query window by more than
     ``exclusion`` (default m // 2) positions — are masked, else every
-    window would match itself.  O(n^2) in windows with an O(n) inner
-    distance profile; per-series n is retention-bounded, which is the
-    scale contract of the whole module."""
+    window would match itself.  Cost: the inner distance profile is
+    O(n*m) per call (the sliding dot product uses np.convolve, not an
+    FFT), so the full profile is O(n^2 * m) — fine for the
+    retention-bounded per-series n that is this module's scale
+    contract, but size capacity plans on n*m per profile row; swap
+    the convolution for an FFT (true MASS, O(n log n) per call) if m
+    grows large."""
     n = len(series)
     w = n - m + 1
     if w < 2:

@@ -53,13 +53,21 @@ def filter_urls(df: DataFrame,
                 allowed_domains: DataFrame | list | tuple | None = None,
                 blocked_words=DEFAULT_BLOCKED_WORDS,
                 word_threshold: float = 2.0,
-                host_weight: float = 2.0) -> DataFrame:
+                host_weight: float = 2.0,
+                keep_missing: bool = True) -> DataFrame:
     """Flag rows by URL: adds ``url_domain`` (registrable domain),
     ``url_word_score`` (weighted keyword hits), ``url_keep`` and
     ``url_reason`` ('allowed' | 'blocked_domain' | 'blocked_words' |
-    'ok').  An allowlisted domain overrides both block rules (the
-    RefinedWeb curated-exceptions list: e.g. a medical site whose name
-    trips the keyword score)."""
+    'no_url' | 'ok').  An allowlisted domain overrides both block
+    rules (the RefinedWeb curated-exceptions list: e.g. a medical site
+    whose name trips the keyword score).
+
+    A NULL URL is its own visible category (``url_reason='no_url'``),
+    never an implicit pass: every block predicate is NULL on a NULL
+    URL, so without the explicit branch such rows would fall through
+    to 'ok' with no audit trace.  ``keep_missing`` sets the policy —
+    True (default) keeps them (metadata loss shouldn't silently drop
+    content), False drops them (strict provenance pipelines)."""
     dom = registered_domain(F.col(url_col))
     out = df.withColumn("url_domain", dom)
 
@@ -94,12 +102,15 @@ def filter_urls(df: DataFrame,
     _flag(allowed_domains, "__allowed")
     _flag(blocked_domains, "__blocked")
 
-    reason = (F.when(F.col("__allowed"), F.lit("allowed"))
+    keep_reasons = ["allowed", "ok"] + (["no_url"] if keep_missing
+                                        else [])
+    reason = (F.when(F.col(url_col).isNull(), F.lit("no_url"))
+               .when(F.col("__allowed"), F.lit("allowed"))
                .when(F.col("__blocked"), F.lit("blocked_domain"))
                .when(F.col("url_word_score") >= F.lit(word_threshold),
                      F.lit("blocked_words"))
                .otherwise(F.lit("ok")))
     return (out.withColumn("url_reason", reason)
                .withColumn("url_keep",
-                           F.col("url_reason").isin("allowed", "ok"))
+                           F.col("url_reason").isin(*keep_reasons))
                .drop("__allowed", "__blocked"))

@@ -433,11 +433,17 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
         scored = perplexity_buckets(
             score_perplexity(reached, ppl_lm, id_col=idc,
                              text_col=txt))
-        bad = (scored.where(~F.col("ppl_bucket")
-                            .isin(*cfg.ppl_keep_buckets))
-               .select(F.col(idc), F.lit(True).alias("__f_ppl")))
-        rep = rep.join(bad, idc, "left")
-        f_ppl = F.coalesce(F.col("__f_ppl"), F.lit(False))
+        # membership convention is KEEP-side on purpose: curate()'s
+        # inner join drops reaching docs the scorer OMITS (zero
+        # scoreable bigrams after normalization) as well as bad-bucket
+        # docs — a flag-the-bad join would call the unscored ones
+        # survivors and break the survivor-parity invariant
+        good = (scored.where(F.col("ppl_bucket")
+                             .isin(*cfg.ppl_keep_buckets))
+                .select(F.col(idc), F.lit(True).alias("__ppl_ok")))
+        rep = rep.join(good, idc, "left")
+        f_ppl = (F.col("__pre_ppl")
+                 & ~F.coalesce(F.col("__ppl_ok"), F.lit(False)))
     else:
         f_ppl = F.lit(False)
 
@@ -521,11 +527,14 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
                   .persist())
         thr = scored.approxQuantile(
             "dsir_score", [1.0 - cfg.dsir_keep_frac], 0.001)[0]
-        bad = (scored.where(F.col("dsir_score") < thr)
-               .select(F.col(idc), F.lit(True).alias("__f_ds")))
-        rep = rep.join(bad, idc, "left")
+        # KEEP-side membership, same reason as the ppl stage: curate's
+        # inner join also drops reaching docs score_importance omits
+        # (zero grams), not just the below-threshold ones
+        good = (scored.where(F.col("dsir_score") >= thr)
+                .select(F.col(idc), F.lit(True).alias("__ds_ok")))
+        rep = rep.join(good, idc, "left")
         f_ds = (F.col("__pre_dsir")
-                & F.coalesce(F.col("__f_ds"), F.lit(False)))
+                & ~F.coalesce(F.col("__ds_ok"), F.lit(False)))
     else:
         f_ds = F.lit(False)
 

@@ -2101,9 +2101,13 @@ SELECT doc_id,
               THEN 'empty_content'
             WHEN r1 = 'assistant' THEN 'leading_assistant'
             ELSE NULL END                                     AS defect,
-       md5(r1 || ':' || regexp_replace(lower(trim(c1)), '\\s+', ' ', 'g')
+       md5(r1 || ':' ||
+           regexp_replace(regexp_replace(lower(trim(c1)), '\\s+', ' ', 'g'),
+                          '[\\x00-\\x1f\\x7f]', '', 'g')
            || chr(1)
-           || r2 || ':' || regexp_replace(lower(trim(c2)), '\\s+', ' ', 'g'))
+           || r2 || ':' ||
+           regexp_replace(regexp_replace(lower(trim(c2)), '\\s+', ' ', 'g'),
+                          '[\\x00-\\x1f\\x7f]', '', 'g'))
                                                               AS conv_fp
 FROM turns
 """)
