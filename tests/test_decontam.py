@@ -65,6 +65,44 @@ def test_decontaminate_removes_exactly_the_flagged(spark):
     assert kept.columns == corpus.columns
 
 
+def test_multi_benchmark_attribution(spark):
+    """Two benchmarks, planted copies of each in the corpus: the
+    attribution names the right suite per doc, a doc overlapping
+    both benchmarks gets both rows, decontaminate_multi drops the
+    union, and the plan is ONE corpus gram pass with one broadcast
+    (N benchmarks must never mean N corpus sweeps)."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        decontaminate_multi, multi_benchmark_contamination,
+    )
+    import pytest
+
+    bench_a = spark.createDataFrame([BENCH_ROWS[0]],
+                                    "doc_id long, text string")
+    bench_b = spark.createDataFrame([BENCH_ROWS[1]],
+                                    "doc_id long, text string")
+    both_text = BENCH_ROWS[0][1] + " and also " + BENCH_ROWS[1][1]
+    corpus = spark.createDataFrame(
+        CORPUS_ROWS + [(15, both_text)], "doc_id long, text string")
+    marks = {"wonders": bench_a, "proverbs": bench_b}
+    att = {(r["doc_id"], r["benchmark"]): r["matched_grams"]
+           for r in multi_benchmark_contamination(
+               corpus, marks, n=8).collect()}
+    assert (10, "wonders") in att and (10, "proverbs") not in att
+    assert (11, "proverbs") in att and (11, "wonders") not in att
+    assert (15, "wonders") in att and (15, "proverbs") in att
+    assert not any(d in (12, 13, 14) for d, _ in att)
+    kept = decontaminate_multi(corpus, marks, n=8)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [12, 13, 14]
+    assert kept.columns == corpus.columns
+    plan = (multi_benchmark_contamination(corpus, marks, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("BroadcastHashJoin") == 1
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+    with pytest.raises(ValueError):
+        multi_benchmark_contamination(corpus, {})
+
+
 def test_contamination_report_matches_duckdb(spark):
     """Value parity with an independent DuckDB implementation over
     the sf0.001 documents table, benchmark = 5 of its own docs (so

