@@ -174,3 +174,35 @@ def test_text_quality_filter_save_load_and_jvm_plan(spark, tmp_path):
     plan = (apply_text_quality_filter(unlabeled, reloaded)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan     # inference is JVM-side
+
+
+def test_calibration_report_known_answers(spark):
+    """Hand-built scored set with exact per-bin means: bin edges are
+    [0,.1), ... [.9,1] (prob 1.0 clamps into the last bin), gap is
+    |mean_prob - frac_positive|, ECE is the n-weighted mean."""
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        calibration_report, expected_calibration_error,
+    )
+    import pytest
+    rows = [
+        # bin 0: two rows, mean_prob 0.05, none positive -> gap 0.05
+        (0.04, 0.0), (0.06, 0.0),
+        # bin 9: prob 1.0 clamps in; mean 0.95, all positive -> 0.05
+        (0.90, 1.0), (1.00, 1.0),
+        # bin 5: perfectly calibrated half-half
+        (0.50, 1.0), (0.50, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "keep_prob double, label double")
+    rep = {r["bin"]: r for r in calibration_report(df).collect()}
+    assert set(rep) == {0, 5, 9}
+    assert rep[0]["n"] == 2 and rep[0]["gap"] == 0.05
+    assert rep[0]["p_lo"] == 0.0
+    assert rep[9]["n"] == 2 and rep[9]["mean_prob"] == 0.95
+    assert rep[9]["frac_positive"] == 1.0 and rep[9]["gap"] == 0.05
+    assert rep[5]["gap"] == 0.0
+    ece = expected_calibration_error(df)
+    assert abs(ece - (2 * 0.05 + 2 * 0.05 + 2 * 0.0) / 6) < 1e-9
+    with pytest.raises(ValueError):
+        calibration_report(df, n_bins=1)
+    empty = spark.createDataFrame([], "keep_prob double, label double")
+    assert expected_calibration_error(empty) == 0.0

@@ -146,3 +146,53 @@ def apply_quality_filter(df: DataFrame, model,
             .withColumn(keep_col, F.col(prob_col) >= threshold)
             .drop("__raw", "__features", "rawPrediction",
                   "probability", "prediction"))
+
+
+def calibration_report(scored: DataFrame,
+                       prob_col: str = "keep_prob",
+                       label_col: str = "label",
+                       n_bins: int = 10) -> DataFrame:
+    """Reliability table for a scored validation set: one row per
+    probability bin — (bin, p_lo, n, mean_prob, frac_positive, gap) —
+    the artifact that says whether "keep_prob 0.9" MEANS 90% keepable.
+    A filter whose threshold is applied to miscalibrated scores
+    silently shifts the corpus quality/volume trade-off, so release
+    pipelines publish this next to the model (standard reliability-
+    diagram binning; gap = |mean_prob - frac_positive| per bin).
+
+    One narrow projection + one ``n_bins``-row aggregate — nothing
+    corpus-scale.  Labels cast to double (1.0 = positive)."""
+    if n_bins < 2:
+        raise ValueError("n_bins must be >= 2")
+    b = F.least(F.floor(F.col(prob_col) * n_bins).cast("int"),
+                F.lit(n_bins - 1))
+    return (scored
+            .select(b.alias("bin"),
+                    F.col(prob_col).alias("__p"),
+                    F.col(label_col).cast("double").alias("__y"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.avg("__p"), 6).alias("mean_prob"),
+                 F.round(F.avg("__y"), 6).alias("frac_positive"))
+            .withColumn("p_lo", F.round(F.col("bin")
+                                        / F.lit(float(n_bins)), 6))
+            .withColumn("gap", F.round(F.abs(
+                F.col("mean_prob") - F.col("frac_positive")), 6))
+            .select("bin", "p_lo", "n", "mean_prob",
+                    "frac_positive", "gap")
+            .orderBy("bin"))
+
+
+def expected_calibration_error(scored: DataFrame,
+                               prob_col: str = "keep_prob",
+                               label_col: str = "label",
+                               n_bins: int = 10) -> float:
+    """Scalar ECE: bin-weighted mean of the reliability gaps (the
+    single number quoted from :func:`calibration_report`).  Driver-
+    side float — the report is <= ``n_bins`` rows."""
+    rows = calibration_report(scored, prob_col, label_col,
+                              n_bins).collect()
+    total = sum(r["n"] for r in rows)
+    if total == 0:
+        return 0.0
+    return sum(r["n"] * r["gap"] for r in rows) / total
