@@ -154,6 +154,53 @@ def test_user_running_stats_stateful(spark, event_dir, tmp_path):
     assert stats2 == want2
 
 
+def test_user_funnel_state_matches_batch(spark, event_dir, tmp_path):
+    """Streaming funnel == batch funnel_depths when per-user events
+    arrive time-ordered across batches: run availableNow over the
+    early half (by timestamp), append the late half, resume from the
+    same checkpoint — the merged final depths must equal the batch
+    fold over everything (chain-window variant included)."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_depths,
+    )
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_funnel_state,
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    within = 3 * 24 * 3600.0
+    full = spark.read.parquet(event_dir)
+    cut = full.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = str(tmp_path / "funnel_src")
+    full.where(F.col("ts") <= cut).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_funnel")
+
+    def run(name):
+        out = str(tmp_path / name)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_funnel_state(read_event_stream(spark, src), steps,
+                               within_seconds=within)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = {r["user_id"]: r["depth"] for r in run("funnel1").collect()}
+    full.where(F.col("ts") > cut).write.mode("append").parquet(src)
+    for r in run("funnel2").collect():
+        got[r["user_id"]] = r["depth"]      # later state wins
+    got = {u: d for u, d in got.items() if d > 0}
+    want = {r["user_id"]: r["depth"] for r in
+            funnel_depths(full, steps,
+                          within_seconds=within).collect()}
+    assert got == want and len(want) >= 10
+
+
 def test_stream_stream_attribution_join(spark, event_dir, tmp_path):
     """Stream-stream interval join result must equal the batch
     interval join over the same data."""

@@ -162,6 +162,79 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def user_funnel_state(events: DataFrame, steps: list[str],
+                      within_seconds: float | None = None) -> DataFrame:
+    """Streaming conversion funnel: per-user chain state maintained
+    across micro-batches via ``applyInPandasWithState`` — each batch
+    emits the user's updated funnel ``depth`` (update-mode).  The
+    streaming twin of ``operators.funnels.funnel_depths``: the chain
+    fold is a LEFT fold over time-sorted events, and a left fold
+    composes over stream prefixes, so when each user's events arrive
+    in timestamp order across batches (in-batch disorder is fine —
+    the batch is sorted before folding) the final depths equal the
+    batch operator's exactly (parity-tested, including a
+    checkpoint-restart).  A late event older than already-folded
+    state folds at arrival position — the standard streaming
+    approximation; feed time-partitioned sources in order for exact
+    parity.
+
+    State per user: the k chain-start timestamps (micros; -1 =
+    unreached) — O(#users x k) total, independent of stream length."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    if len(set(steps)) != k:
+        raise ValueError(f"duplicate step names: {steps}")
+    sid = {s: i for i, s in enumerate(steps)}
+    win_us = (int(within_seconds * 1_000_000)
+              if within_seconds is not None else None)
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        reached = ([None if v < 0 else v for v in state.get]
+                   if state.exists else [None] * k)
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"].astype("int64"),
+                            pdf["__s"].astype("int64")))
+        # same tie rule as the batch fold: sort by (t, step index)
+        for t, s in sorted(rows):
+            t, s = int(t), int(s)
+            if s == 0:
+                if reached[0] is None:
+                    reached[0] = t
+            elif (reached[s] is None and reached[s - 1] is not None
+                  and (win_us is None
+                       or t - reached[s - 1] <= win_us)):
+                # promote the CHAIN-START time, like the batch fold
+                reached[s] = reached[s - 1]
+        state.update(tuple(-1 if v is None else v for v in reached))
+        depth = sum(1 for v in reached if v is not None)
+        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+
+    step_id = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_id = F.when(F.col("event_type") == s,
+                         F.lit(k - 1 - i)).otherwise(step_id)
+    ev = (events.where(F.col("event_type").isin(*steps))
+          .select("user_id",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("__t"),
+                  step_id.alias("__s")))
+    state_schema = ", ".join(f"r{i} long" for i in range(k))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, depth int",
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(stream: DataFrame, spark: SparkSession,
                          path: str, key: str, checkpoint: str,
                          n_buckets: int = 16):
