@@ -201,6 +201,96 @@ def test_user_funnel_state_matches_batch(spark, event_dir, tmp_path):
     assert got == want and len(want) >= 10
 
 
+def test_user_transition_state_matches_batch(spark, event_dir,
+                                             tmp_path):
+    """Summed streaming transition increments == the batch matrix,
+    across a time-split two-run resume — including the pairs that
+    straddle the batch/run boundary (the remembered last event)."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        next_event_transitions,
+    )
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_transition_state,
+    )
+    full = spark.read.parquet(event_dir)
+    cut = full.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = str(tmp_path / "trans_src")
+    full.where(F.col("ts") <= cut).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_trans")
+    out = str(tmp_path / "trans_out")
+
+    def run():
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_transition_state(read_event_stream(spark, src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    full.where(F.col("ts") > cut).write.mode("append").parquet(src)
+    run()
+    got = {(r["from_event"], r["to_event"]): r["total"] for r in
+           (spark.read.parquet(out)
+            .groupBy("from_event", "to_event")
+            .agg(F.sum("n").alias("total"))).collect()}
+    want = {(r["from_event"], r["to_event"]): r["n_transitions"]
+            for r in next_event_transitions(full).collect()}
+    assert got == want and len(want) >= 4
+
+
+def test_user_retention_state_matches_batch(spark, event_dir,
+                                            tmp_path):
+    """Counted streaming activations == retention_cohorts' n_active
+    per (cohort, period_index), across a time-split two-run resume —
+    already-activated periods must not re-emit on the second run."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        retention_cohorts,
+    )
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_retention_state,
+    )
+    full = spark.read.parquet(event_dir)
+    cut = full.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = str(tmp_path / "ret_src")
+    full.where(F.col("ts") <= cut).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_ret")
+    out = str(tmp_path / "ret_out")
+
+    def run():
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_retention_state(read_event_stream(spark, src))
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    full.where(F.col("ts") > cut).write.mode("append").parquet(src)
+    run()
+    emitted = spark.read.parquet(out)
+    # no (user, cohort, period) activation may emit twice
+    assert emitted.count() == emitted.distinct().count()
+    got = {(str(r["c"]), r["period_index"]): r["n"] for r in
+           (emitted
+            .select(F.date_from_unix_date("cohort").alias("c"),
+                    "period_index")
+            .groupBy("c", "period_index")
+            .agg(F.count(F.lit(1)).alias("n"))).collect()}
+    want = {(str(r["cohort"]), r["period_index"]): r["n_active"]
+            for r in retention_cohorts(
+                full, granularity="week").collect()}
+    assert got == want and len(want) > 3
+
+
 def test_stream_stream_attribution_join(spark, event_dir, tmp_path):
     """Stream-stream interval join result must equal the batch
     interval join over the same data."""

@@ -235,6 +235,126 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     )
 
 
+def user_transition_state(events: DataFrame) -> DataFrame:
+    """Streaming next-event transition counts: per-user LAST-EVENT
+    state via ``applyInPandasWithState`` — each micro-batch emits the
+    (from_event, to_event, n) increments its events produced for that
+    user, including the pair that straddles the batch boundary (the
+    remembered last event chains to the batch's first).  Summing the
+    emitted increments over the stream reproduces
+    ``operators.funnels.next_event_transitions``' counts exactly when
+    each user's events arrive in timestamp order across batches
+    (in-batch disorder is sorted away; same contract as
+    :func:`user_funnel_state`).
+
+    State per user: one (timestamp, event_type) pair — O(#users),
+    stream-length independent.  The emitted increments are
+    |event-types|^2-bounded per (user, batch); roll them up with a
+    plain groupBy-sum in the sink."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        rows = []
+        for pdf in pdf_iter:
+            rows.extend(zip(pdf["__t"].astype("int64"), pdf["__s"]))
+        # same order as the batch operator's sort_array over
+        # struct(t, s): ties break by event string
+        rows = sorted((int(t), str(s)) for t, s in rows)
+        if state.exists:
+            lt, ls = state.get
+            rows = [(int(lt), str(ls))] + rows
+        counts: dict = {}
+        for (_, a), (_, b) in zip(rows, rows[1:]):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+        if rows:
+            state.update((rows[-1][0], rows[-1][1]))
+        if counts:
+            ks = sorted(counts)
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(ks),
+                "from_event": [a for a, _ in ks],
+                "to_event": [b for _, b in ks],
+                "n": [counts[k] for k in ks]})
+
+    ev = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
+        F.col("event_type").alias("__s"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id long, from_event string, "
+                          "to_event string, n long"),
+        stateStructType="t long, s string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def user_retention_state(events: DataFrame,
+                         granularity: str = "week") -> DataFrame:
+    """Streaming cohort-retention activations: per-user (cohort,
+    seen-periods) state via ``applyInPandasWithState`` — each batch
+    emits one (cohort, period_index) row per NEWLY activated period
+    for that user, so a groupBy-count over the emitted rows equals
+    ``operators.funnels.retention_cohorts``' ``n_active`` exactly
+    (same in-order contract as :func:`user_funnel_state`; the first
+    event's period IS the cohort when events arrive in time order).
+    Completes the streaming event-analytics triple (funnel,
+    transitions, retention).
+
+    State per user: cohort as epoch days + the activated period
+    indexes as a comma string — activations per user are bounded by
+    the retention horizon in periods (weeks of stream history), not
+    stream length.  ``cohort`` is emitted as epoch days; convert with
+    ``F.date_from_unix_date`` for the report."""
+    import pandas as pd  # noqa: F401 (worker-side)
+    from pyspark.sql.streaming.state import (
+        GroupState, GroupStateTimeout,
+    )
+    if granularity not in ("day", "week"):
+        raise ValueError(
+            f"granularity must be day|week, got {granularity!r}")
+    step = 1 if granularity == "day" else 7
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+        days = []
+        for pdf in pdf_iter:
+            days.extend(int(d) for d in pdf["__p"])
+        if not days:
+            return
+        if state.exists:
+            cohort, seen_s = state.get
+            seen = set(int(x) for x in seen_s.split(",") if x != "")
+        else:
+            cohort, seen = min(days), set()
+        fresh = sorted({(d - cohort) // step for d in days} - seen)
+        seen.update(fresh)
+        state.update((cohort,
+                      ",".join(str(i) for i in sorted(seen))))
+        if fresh:
+            yield pd.DataFrame({
+                "user_id": [key[0]] * len(fresh),
+                "cohort": [cohort] * len(fresh),
+                "period_index": fresh})
+
+    per = F.date_trunc(granularity, F.col("ts")).cast("date")
+    ev = events.select(
+        "user_id", F.unix_date(per).alias("__p"))
+    return ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=("user_id long, cohort int, "
+                          "period_index int"),
+        stateStructType="cohort int, seen string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def foreach_batch_upsert(stream: DataFrame, spark: SparkSession,
                          path: str, key: str, checkpoint: str,
                          n_buckets: int = 16):
