@@ -189,6 +189,54 @@ def test_funnel_and_retention_plan_shapes(spark):
     assert "Join" not in rplan and "BatchEvalPython" not in rplan
 
 
+def test_funnel_tie_semantics_match_progressive_sql(spark):
+    """q62's oracle claim under stress: the greedy fold's tie rule
+    (same-timestamp later step still counts — sort by (t, step))
+    equals progressive per-user min-ts SQL with ``>=`` boundaries on
+    EVERY input.  Timestamps drawn from a tiny set so nearly every
+    user has colliding-timestamp events — the adversarial case the
+    real events table barely exercises."""
+    import random
+
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    rng = random.Random(62)
+    steps = ["a", "b", "c"]
+    rows = []
+    for u in range(200):
+        for _ in range(rng.randrange(1, 9)):
+            rows.append((u, float(rng.randrange(5)),   # 5 distinct ts
+                         rng.choice(steps + ["x"])))
+    ev = (spark.createDataFrame(
+            rows, "user_id long, sec double, event_type string")
+          .withColumn("ts", F.timestamp_seconds("sec")))
+    got = {r["step"]: r["n_users"] for r in
+           funnel_counts(ev, steps).collect()}
+    con = duckdb.connect()
+    con.register("e", ev.select("user_id", "sec", "event_type")
+                 .toPandas())
+    ref = con.execute("""
+        WITH t0 AS (SELECT user_id, min(sec) s FROM e
+                    WHERE event_type = 'a' GROUP BY 1),
+        t1 AS (SELECT e.user_id, min(e.sec) s FROM e
+               JOIN t0 USING (user_id)
+               WHERE event_type = 'b' AND e.sec >= t0.s GROUP BY 1),
+        t2 AS (SELECT e.user_id, min(e.sec) s FROM e
+               JOIN t1 USING (user_id)
+               WHERE event_type = 'c' AND e.sec >= t1.s GROUP BY 1)
+        SELECT (SELECT count(*) FROM t0), (SELECT count(*) FROM t1),
+               (SELECT count(*) FROM t2)
+    """).fetchone()
+    assert [got[s] for s in steps] == list(ref)
+    # ties actually occurred (the stress is real, not vacuous)
+    n_tie_users = (ev.groupBy("user_id", "sec")
+                   .agg(F.count(F.lit(1)).alias("n"))
+                   .where("n > 1").select("user_id")
+                   .distinct().count())
+    assert n_tie_users > 50
+
+
 def test_transitions_match_duckdb(spark):
     from trial_data_ingestion_spark.operators.funnels import (
         next_event_transitions,
