@@ -2283,8 +2283,12 @@ def q64_release_pipeline(spark, sf_dir):
     extracted = html_to_text(pages).drop("html", "title")
     benchmark = (extracted.where(F.col("doc_id") % 97 == 3)
                  .select("doc_id", "text"))
+    # lid="arrow": this query already crosses into Python for the
+    # HTML kernel, and the Arrow LID twin runs the whole composition
+    # 6x faster than the native CASE-expression LID here (3.2 s vs
+    # 20.4 s cold at sf0.01) — same deterministic labels
     out = curate(extracted, benchmark=benchmark,
-                 config=CurationConfig(lid="native",
+                 config=CurationConfig(lid="arrow",
                                        line_dedup_min_chars=12))
     return (out.groupBy("split")
             .agg(F.count(F.lit(1)).alias("n_docs"),
