@@ -89,6 +89,7 @@ HEADLINE = [
     "b21_event_analytics",          # funnel + retention + transitions
     # round-6 additions
     "b22_rejection_audit",          # kitchen-sink attrition audit
+    "b23_multi_decontam",           # 3-suite tagged-gram attribution
 ]
 
 
@@ -516,6 +517,22 @@ def _bench_extra():
         return curation_funnel(docs, benchmark=bench_set, config=cfg,
                                url_blocklist=["s3-ex.com"])
 
+    def b23_multi_decontam(spark, sf_dir):
+        """Per-suite contamination attribution across three benchmark
+        slices in ONE corpus gram pass (tagged broadcast union) —
+        aggregated so .count() executes the matched-gram computation
+        (b02's lesson)."""
+        from trial_data_ingestion_spark.operators.decontam import (
+            multi_benchmark_contamination,
+        )
+        docs = _docs(spark, sf_dir)
+        marks = {f"suite{i}": docs.where(F.col("doc_id") % 97 == i)
+                 .select("doc_id", "text") for i in (3, 11, 29)}
+        att = multi_benchmark_contamination(docs, marks, n=8)
+        return att.groupBy("benchmark").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("matched_grams").alias("total_matched"))
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -541,7 +558,8 @@ def _bench_extra():
                 b15_unigram_train_tokenize, b16_fuzzy_decontam,
                 b17_dsir_select, b18_image_dedup,
                 b19_content_policy, b20_subseq_search,
-                b21_event_analytics, b22_rejection_audit)}}
+                b21_event_analytics, b22_rejection_audit,
+                b23_multi_decontam)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
