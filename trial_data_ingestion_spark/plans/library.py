@@ -2206,6 +2206,61 @@ def q62_funnel(spark, sf_dir):
         .otherwise(F.lit(0.0)))
 
 
+@_retire("q65_funnel_windowed", """
+WITH e AS (SELECT user_id, ts, event_type FROM events),
+t0 AS (SELECT user_id, min(ts) AS ts FROM e
+       WHERE event_type = 'signup' GROUP BY 1),
+t1 AS (SELECT e.user_id, min(e.ts) AS ts
+       FROM e JOIN t0 USING (user_id)
+       WHERE event_type = 'view' AND e.ts >= t0.ts
+         AND e.ts <= t0.ts + INTERVAL 3 DAY GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS ts
+       FROM e JOIN t1 USING (user_id) JOIN t0 USING (user_id)
+       WHERE event_type = 'click' AND e.ts >= t1.ts
+         AND e.ts <= t0.ts + INTERVAL 3 DAY GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS ts
+       FROM e JOIN t2 USING (user_id) JOIN t0 USING (user_id)
+       WHERE event_type = 'purchase' AND e.ts >= t2.ts
+         AND e.ts <= t0.ts + INTERVAL 3 DAY GROUP BY 1),
+n AS (SELECT 0 AS step_index, 'signup' AS step,
+             (SELECT count(*) FROM t0) AS n_users
+      UNION ALL SELECT 1, 'view', (SELECT count(*) FROM t1)
+      UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+      UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3))
+SELECT step_index, step, n_users,
+       CASE WHEN max(CASE WHEN step_index = 0 THEN n_users END)
+                 OVER () > 0
+            THEN floor(n_users * 1000000.0 /
+                       max(CASE WHEN step_index = 0 THEN n_users END)
+                         OVER () + 0.5) / 1000000
+            ELSE 0.0 END AS frac_of_first
+FROM n
+""")
+def q65_funnel_windowed(spark, sf_dir):
+    """q62's chain-window variant (3-day window measured from the
+    chain START — the greedy fold promotes the chain-start time, so
+    every step's deadline is t0 + W): pytest-oracle-verified in the
+    retired registry (the driver's 50 slots grade the unwindowed
+    funnel; this pins the window arithmetic).  The SQL recursion
+    carries t0 alongside each stage for the shared deadline, with
+    the same tie-exact ``>=`` boundaries as q62."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts,
+    )
+    ev = _events(spark, sf_dir)
+    fc = funnel_counts(ev, _FUNNEL_STEPS,
+                       within_seconds=3 * 24 * 3600.0) \
+        .drop("frac_of_first")
+    entered = F.max(F.when(F.col("step_index") == 0,
+                           F.col("n_users"))).over(Window.partitionBy())
+    return fc.withColumn(
+        "frac_of_first",
+        F.when(entered > 0,
+               F.floor(F.col("n_users") * 1_000_000.0 / entered + 0.5)
+               / 1_000_000)
+        .otherwise(F.lit(0.0)))
+
+
 @_register("q63_retention", """
 WITH a AS (SELECT DISTINCT user_id, date_trunc('week', ts)::date AS p
            FROM events),
