@@ -504,6 +504,48 @@ def test_curate_kitchen_sink_plan_census(spark):
     assert out.where("url like '%s3-ex.com%'").count() == 0
 
 
+def test_curate_observation_metrics(spark):
+    """metrics={} fills named Observations whose values ride the
+    FIRST action — free counters (CollectMetrics on the existing
+    plan, zero extra jobs), consistent with the planted junk: input
+    conserves, gates drop the junk, dedup drops the twin, output
+    matches the materialized count.  Works with the line-dedup
+    config too (its self-joins re-reference the upstream subtree —
+    the observe points must not double-fire or error)."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    rows = _rows()   # 60 good + 100/101/103 junk + 102 exact dup
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, rows[5][1])],
+                                  "doc_id long, text string")
+    m: dict = {}
+    out = curate(docs, benchmark=bench,
+                 config=CurationConfig(lid="native"), metrics=m)
+    n_out = out.count()
+    vals = {k: v.get["rows"] for k, v in m.items()}
+    assert vals["input"] == len(rows)
+    assert vals["post_gates"] == len(rows) - 3      # 100/101/103 gated
+    assert vals["post_dedup"] == vals["post_gates"] - 1   # 102 deduped
+    assert vals["output"] == n_out == vals["post_dedup"] - 1  # doc 5
+    # line-dedup config: subtree re-referenced by its self-joins
+    m2: dict = {}
+    out2 = curate(docs, benchmark=bench,
+                  config=CurationConfig(lid="native",
+                                        line_dedup_min_chars=12),
+                  metrics=m2)
+    n2 = out2.count()
+    v2 = {k: v.get["rows"] for k, v in m2.items()}
+    assert v2["input"] == len(rows)
+    assert v2["post_gates"] == len(rows) - 3
+    assert v2["output"] == n2
+    # no metrics dict -> identical plan to before (no CollectMetrics)
+    plain = curate(docs, benchmark=bench,
+                   config=CurationConfig(lid="native"))
+    assert "CollectMetrics" not in \
+        plain._jdf.queryExecution().executedPlan().toString()
+
+
 def test_rejection_audit_kitchen_sink_plan_census(spark):
     """The b22 bench plan (curation_funnel over the kitchen-sink
     config), pinned at the wide-op level like curate()'s: the audit

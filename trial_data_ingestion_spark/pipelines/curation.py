@@ -150,7 +150,8 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            dsir_target: DataFrame | None = None,
            url_blocklist: DataFrame | list | tuple | None = None,
            url_allowlist: DataFrame | list | tuple | None = None,
-           quality_model=None, ppl_lm=None) -> DataFrame:
+           quality_model=None, ppl_lm=None,
+           metrics: dict | None = None) -> DataFrame:
     """Curated corpus: input rows that survive the optional URL
     filter (``config.url_col`` + ``url_blocklist``/``url_allowlist``),
     hygiene gates, the optional trained text-quality model
@@ -161,8 +162,35 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
     corpus — with ``lang``, ``quality``, ``split``, and (when the
     DSIR stage ran) ``dsir_score`` attached.  Returns a DataFrame;
     callers export with
-    ``sinks.training_export.write_training_shards`` per split."""
+    ``sinks.training_export.write_training_shards`` per split.
+
+    ``metrics``: pass an empty dict to get free run counters — it is
+    filled with named ``pyspark.sql.Observation`` handles (``input``,
+    ``post_url``, ``post_gates``, ``post_dedup``, plus ``output`` row
+    counts) whose values materialize WITH the first action on the
+    returned frame: ``CollectMetrics`` rides the existing plan, so
+    unlike :func:`rejection_audit` (exact per-doc taxonomy, extra
+    wide ops) the counters cost zero additional jobs — the A1
+    run-summary contract at pipeline scale.  Read
+    ``metrics[name].get["rows"]`` AFTER an action; each Observation
+    is single-use, so pass a fresh dict per materialization."""
     cfg = config or CurationConfig()
+
+    def _observe(df: DataFrame, name: str) -> DataFrame:
+        if metrics is None:
+            return df
+        from pyspark.sql import Observation
+        metrics[name] = Observation(name)
+        return df.observe(metrics[name],
+                          F.count(F.lit(1)).alias("rows"))
+
+    # decontam's raw flag source must stay OBSERVE-FREE: it re-reads
+    # the input subtree, and a CollectMetrics node evaluated in two
+    # branches of one query would double-fire its observation.  The
+    # pre-URL-filter frame is still a sound flag source (superset
+    # rule — extra flagged ids no-op in the anti-join).
+    raw_input = docs
+    docs = _observe(docs, "input")
     if cfg.url_col is not None:
         from trial_data_ingestion_spark.operators.url_filter import (
             filter_urls,
@@ -173,6 +201,7 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                 .where("url_keep")
                 .drop("url_domain", "url_word_score",
                       "url_keep", "url_reason"))
+        docs = _observe(docs, "post_url")
     gated = hygiene_gate(docs, cfg)
     if quality_model is not None:
         from trial_data_ingestion_spark.operators.quality_filter import (
@@ -197,7 +226,9 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         t = cfg.gopher if isinstance(cfg.gopher, GopherThresholds) \
             else None
         gated = gopher_filter(gated, text_col=cfg.text_col, t=t)
+    gated = _observe(gated, "post_gates")
     deduped = dedup_exact(gated, ["fingerprint"], order_col=cfg.id_col)
+    deduped = _observe(deduped, "post_dedup")
     rewritten = (cfg.substring_dedup_ngram is not None
                  or cfg.line_dedup_min_chars is not None)
     if cfg.line_dedup_min_chars is not None:
@@ -223,7 +254,7 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         # runs that may no longer exist, so decontam must gram the
         # rewritten corpus itself.
         raw = (None if rewritten
-               else docs.select(cfg.id_col, cfg.text_col))
+               else raw_input.select(cfg.id_col, cfg.text_col))
         deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
                                 text_col=cfg.text_col,
                                 n=cfg.decontam_ngram, flag_from=raw)
@@ -248,8 +279,9 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                   .select(cfg.id_col, F.round("dsir_score", 6)
                           .alias("dsir_score")),
             cfg.id_col)
-    return split_by_hash(deduped, cfg.id_col, cfg.split_weights,
-                         seed=cfg.split_seed)
+    out = split_by_hash(deduped, cfg.id_col, cfg.split_weights,
+                        seed=cfg.split_seed)
+    return _observe(out, "output")
 
 
 def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,

@@ -2190,7 +2190,14 @@ def q62_funnel(spark, sf_dir):
     ``t >= u_prev`` is exactly that tie rule in SQL, so the two
     formulations agree on EVERY input, ties included.  frac_of_first
     is re-derived with the q13/q47 floor idiom (round() diverges
-    between engines on some doubles)."""
+    between engines on some doubles).
+
+    Known edge if the driver ever ships events.ts as NANOS again
+    (r1-r3 shape): _events floors to micros, so two events distinct
+    only below the microsecond would tie on the Spark side but not in
+    DuckDB's nanosecond view — the synthetic generator emits >= ms
+    granularity, so this is theoretical; revisit only on a testdata
+    shape flip."""
     from trial_data_ingestion_spark.operators.funnels import (
         funnel_counts,
     )
