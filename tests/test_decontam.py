@@ -103,6 +103,64 @@ def test_multi_benchmark_attribution(spark):
         multi_benchmark_contamination(corpus, {})
 
 
+def test_scrub_contaminated_spans_known_answers(spark):
+    """Surgical scrub: exactly the benchmark-matching token run is
+    removed (case-insensitively), the rest of the doc survives,
+    clean docs pass through byte-identical, and short docs / short
+    benchmark items cannot match."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        scrub_contaminated_spans,
+    )
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string")              # exactly 8 tokens
+    corpus = spark.createDataFrame([
+        # planted mid-doc, case-varied -> scrubbed (8 tokens)
+        (1, "intro words here ALPHA beta GAMMA delta epsilon zeta "
+            "eta theta and a clean tail"),
+        # clean -> byte-identical (incl. odd spacing)
+        (2, "totally  unrelated   text with   odd spacing kept"),
+        # overlapping occurrence: 9-token run holds two matching
+        # 8-gram starts only if both windows match the benchmark —
+        # here just the one window matches, 8 tokens scrubbed
+        (3, "alpha beta gamma delta epsilon zeta eta theta coda"),
+        # 7-token prefix of the item -> below n, survives
+        (4, "alpha beta gamma delta epsilon zeta eta stops short"),
+    ], "doc_id long, text string")
+    out = {r["doc_id"]: (r["text"], r["n_scrubbed_tokens"]) for r in
+           scrub_contaminated_spans(corpus, bench, n=8).collect()}
+    assert out[1] == ("intro words here and a clean tail", 8)
+    assert out[2] == ("totally  unrelated   text with   odd spacing "
+                      "kept", 0)
+    assert out[3] == ("coda", 8)
+    assert out[4][1] == 0 and out[4][0].startswith("alpha beta")
+    # case-sensitive mode: the case-varied plant survives
+    strict = {r["doc_id"]: r["n_scrubbed_tokens"] for r in
+              scrub_contaminated_spans(corpus, bench, n=8,
+                                       lowercase=False).collect()}
+    assert strict[1] == 0 and strict[3] == 8
+    # exact-string keys agree with hashed keys
+    unhashed = {r["doc_id"]: r["n_scrubbed_tokens"] for r in
+                scrub_contaminated_spans(corpus, bench, n=8,
+                                         hash_grams=False).collect()}
+    assert unhashed == {1: 8, 2: 0, 3: 8, 4: 0}
+
+
+def test_scrub_plan_broadcasts_benchmark(spark):
+    """The scrubber inherits decontam's 100 TB shape: benchmark grams
+    broadcast, no corpus shuffle by gram, no Python."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        scrub_contaminated_spans,
+    )
+    bench = spark.createDataFrame(BENCH_ROWS, "doc_id long, text string")
+    corpus = spark.createDataFrame(CORPUS_ROWS, "doc_id long, text string")
+    plan = (scrub_contaminated_spans(corpus, bench, n=8)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_contamination_report_matches_duckdb(spark):
     """Value parity with an independent DuckDB implementation over
     the sf0.001 documents table, benchmark = 5 of its own docs (so

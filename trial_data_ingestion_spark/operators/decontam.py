@@ -220,6 +220,78 @@ def decontaminate_multi(corpus: DataFrame, benchmarks: dict,
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def scrub_contaminated_spans(corpus: DataFrame, bench: DataFrame,
+                             id_col: str = "doc_id",
+                             text_col: str = "text",
+                             bench_text_col: str = "text",
+                             n: int = 8,
+                             lowercase: bool = True,
+                             hash_grams: bool = True) -> DataFrame:
+    """SURGICAL decontamination: rewrite ``text_col`` with every
+    token run matching a benchmark n-gram removed, keeping the rest
+    of the document — the middle ground between doing nothing and
+    :func:`decontaminate`'s whole-document drop (a long document
+    quoting one eval item is mostly good training data; published
+    pipelines increasingly scrub the span, not the doc).  Adds
+    ``n_scrubbed_tokens``; uncontaminated documents pass through
+    byte-identical.
+
+    Matching is on the WHITESPACE token stream (substring_dedup's
+    convention) so spans map faithfully back to the original text —
+    ``lowercase=True`` folds case on the MATCH KEY only (the original
+    tokens are what get removed, positions are case-independent).
+    Punctuation variants therefore do not match — this scrubber is
+    deliberately conservative; compose with :func:`decontaminate`
+    (normalized matching) when doc-level drops are acceptable.
+
+    Scale shape (inherited from substring_dedup): narrow gram
+    explode, benchmark grams distinct + BROADCAST (never a corpus
+    shuffle by gram), one keyed shuffle of marked positions per doc,
+    native higher-order span filter — no Python.  ``hash_grams``
+    folds keys to xxhash64 before the join (8-byte keys; the
+    ~#grams^2/2^65 collision odds trade exactly as documented
+    there)."""
+    from trial_data_ingestion_spark.operators.substring_dedup import (
+        _gram_occurrences, _ws_tokens,
+    )
+
+    def key(col: Column) -> Column:
+        k = F.lower(col) if lowercase else col
+        return F.xxhash64(k) if hash_grams else k
+
+    occ = _gram_occurrences(corpus, id_col, text_col, n,
+                            hash_grams=False)
+    occ = occ.withColumn("g", key(F.col("g")))
+
+    btoks = _ws_tokens(F.col(bench_text_col))
+    bcount = F.size(btoks) - (n - 1)
+    bgrams = F.when(
+        bcount >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(bcount, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(btoks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+    bg = (bench.select(F.explode(bgrams).alias("g"))
+          .select(key(F.col("g")).alias("g")).distinct())
+
+    marked = (occ.join(F.broadcast(bg), "g")
+              .groupBy(F.col("doc").alias(id_col))
+              .agg(F.collect_list("pos").alias("__spans")))
+    out = corpus.join(marked, id_col, "left")
+    toks = _ws_tokens(F.col(text_col))
+    covered = lambda i: F.exists(                      # noqa: E731
+        F.col("__spans"), lambda s: (i >= s) & (i < s + n))
+    kept = F.filter(toks, lambda t, i: ~covered(i))
+    return (out.withColumn(
+                "n_scrubbed_tokens",
+                F.when(F.col("__spans").isNull(), F.lit(0))
+                 .otherwise(F.size(toks) - F.size(kept)).cast("long"))
+            .withColumn(
+                text_col,
+                F.when(F.col("__spans").isNull(), F.col(text_col))
+                 .otherwise(F.array_join(kept, " ")))
+            .drop("__spans"))
+
+
 def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
                            id_col: str = "doc_id",
                            text_col: str = "text",
