@@ -504,6 +504,41 @@ def test_curate_kitchen_sink_plan_census(spark):
     assert out.where("url like '%s3-ex.com%'").count() == 0
 
 
+def test_curate_scrub_policy(spark):
+    """decontam_policy='scrub': the contaminated doc SURVIVES with
+    its benchmark-matching run rewritten away (n_scrubbed_tokens
+    attached); 'drop' removes it; the audit refuses the scrub policy
+    (nothing is rejected, so there is no reason to attribute)."""
+    import pytest
+
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    rows = _rows()
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, rows[5][1])],
+                                  "doc_id long, text string")
+    dropped = {r["doc_id"] for r in
+               curate(docs, benchmark=bench,
+                      config=CurationConfig(lid="native")).collect()}
+    assert 5 not in dropped
+    scrub_cfg = CurationConfig(lid="native", decontam_policy="scrub")
+    out = {r["doc_id"]: r for r in
+           curate(docs, benchmark=bench, config=scrub_cfg).collect()}
+    assert 5 in out                     # kept, not dropped
+    assert out[5]["n_scrubbed_tokens"] > 0
+    assert out[5]["text"] != rows[5][1]     # the quoted run is gone
+    # a clean doc is untouched and reports zero scrubbed tokens
+    assert out[7]["n_scrubbed_tokens"] == 0
+    assert dropped | {5} == set(out)        # only doc 5 differs
+    with pytest.raises(ValueError, match="drop"):
+        rejection_audit(docs, benchmark=bench, config=scrub_cfg)
+    with pytest.raises(ValueError, match="drop|scrub"):
+        curate(docs, benchmark=bench,
+               config=CurationConfig(lid="native",
+                                     decontam_policy="weird"))
+
+
 def test_curate_observation_metrics(spark):
     """metrics={} fills named Observations whose values ride the
     FIRST action — free counters (CollectMetrics on the existing

@@ -51,6 +51,13 @@ class CurationConfig:
         "train": 0.9, "val": 0.05, "test": 0.05})
     split_seed: str = "s0"
     decontam_ngram: int = 8
+    #: what to do with benchmark overlap: "drop" removes the whole
+    #: document (decontaminate's anti-join — the strict policy);
+    #: "scrub" rewrites only the matching token runs
+    #: (decontam.scrub_contaminated_spans) and keeps the document,
+    #: adding ``n_scrubbed_tokens``.  rejection_audit only supports
+    #: "drop" (scrubbing rejects nothing, so there is no reason row)
+    decontam_policy: str = "drop"
     lid: str = "arrow"
     #: None = off; else remove duplicated token runs of this length
     #: (50 is the published convention) after exact dedup
@@ -246,18 +253,35 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
             deduped, cfg.id_col, cfg.text_col,
             n=cfg.substring_dedup_ngram)
     if benchmark is not None:
-        # flags come from the RAW scan: identical fingerprints imply
-        # identical decontam grams, so flagging the superset is exact
-        # — and the expensive hygiene/dedup subtree is evaluated once,
-        # not twice (plan-census test + b05_curate pin this).  When
-        # substring dedup rewrote the text, raw flags would refer to
-        # runs that may no longer exist, so decontam must gram the
-        # rewritten corpus itself.
-        raw = (None if rewritten
-               else raw_input.select(cfg.id_col, cfg.text_col))
-        deduped = decontaminate(deduped, benchmark, id_col=cfg.id_col,
-                                text_col=cfg.text_col,
-                                n=cfg.decontam_ngram, flag_from=raw)
+        if cfg.decontam_policy == "scrub":
+            # surgical policy: rewrite matching runs, keep the doc —
+            # always grams the CURRENT text (a scrub must see exactly
+            # what will ship, rewritten or not)
+            from trial_data_ingestion_spark.operators.decontam import (
+                scrub_contaminated_spans,
+            )
+            deduped = scrub_contaminated_spans(
+                deduped, benchmark, id_col=cfg.id_col,
+                text_col=cfg.text_col, n=cfg.decontam_ngram)
+        elif cfg.decontam_policy == "drop":
+            # flags come from the RAW scan: identical fingerprints
+            # imply identical decontam grams, so flagging the superset
+            # is exact — and the expensive hygiene/dedup subtree is
+            # evaluated once, not twice (plan-census test + b05_curate
+            # pin this).  When substring dedup rewrote the text, raw
+            # flags would refer to runs that may no longer exist, so
+            # decontam must gram the rewritten corpus itself.
+            raw = (None if rewritten
+                   else raw_input.select(cfg.id_col, cfg.text_col))
+            deduped = decontaminate(deduped, benchmark,
+                                    id_col=cfg.id_col,
+                                    text_col=cfg.text_col,
+                                    n=cfg.decontam_ngram,
+                                    flag_from=raw)
+        else:
+            raise ValueError(
+                f"decontam_policy must be drop|scrub, "
+                f"got {cfg.decontam_policy!r}")
     if dsir_target is not None and cfg.dsir_keep_frac is not None:
         if not 0.0 < cfg.dsir_keep_frac <= 1.0:
             raise ValueError(
@@ -404,6 +428,13 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
     ``url:blocked_words``)."""
     from pyspark.sql.window import Window
     cfg = config or CurationConfig()
+    if benchmark is not None and cfg.decontam_policy != "drop":
+        raise ValueError(
+            "rejection_audit requires decontam_policy='drop': the "
+            "scrub policy rewrites spans and rejects nothing, so "
+            "there is no decontam rejection to attribute — audit "
+            "scrubbed tokens via the n_scrubbed_tokens column on "
+            "curate()'s output instead")
     idc, txt = cfg.id_col, cfg.text_col
 
     work = docs
