@@ -448,6 +448,40 @@ def test_streaming_curation_matches_batch_sweep(spark, doc_dir, tmp_path):
     assert len(skey) == len(srows)
 
 
+def test_streaming_scrub_matches_batch(spark, doc_dir, tmp_path):
+    """Streaming surgical scrub == batch scrub_contaminated_spans
+    (hash_grams=False twin) per document, over a REAL availableNow
+    stream whose benchmark grams ship in the kernel closure."""
+    from trial_data_ingestion_spark.operators.decontam import (
+        benchmark_span_grams, scrub_contaminated_spans,
+    )
+    from trial_data_ingestion_spark.streaming.documents import (
+        read_document_stream, scrubbed_document_stream,
+    )
+    batch_docs = (spark.read.parquet(doc_dir)
+                  .select("doc_id", "text"))
+    bench = batch_docs.where(F.col("doc_id") % 97 == 3)
+    grams = benchmark_span_grams(bench, n=8)
+    assert grams
+    stream = (read_document_stream(spark, doc_dir,
+                                   max_files_per_trigger=2)
+              .select("doc_id", "text"))
+    q = (scrubbed_document_stream(stream, grams, n=8)
+         .writeStream.format("memory").queryName("scrubbed_docs")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_scrub"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (r["text"], r["n_scrubbed_tokens"]) for r in
+           spark.sql("SELECT * FROM scrubbed_docs").collect()}
+    want = {r["doc_id"]: (r["text"], r["n_scrubbed_tokens"]) for r in
+            scrub_contaminated_spans(batch_docs, bench, n=8,
+                                     hash_grams=False).collect()}
+    assert got == want
+    # benchmark members scrub themselves entirely (their own grams)
+    assert all(v[1] > 0 for d, v in got.items() if d % 97 == 3)
+
+
 def test_streaming_curation_watermarked_dedup(spark, doc_dir, tmp_path):
     """The bounded-state variant: with an ingest-time column the
     fingerprint state is watermark-bounded via

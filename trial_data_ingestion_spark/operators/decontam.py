@@ -220,6 +220,23 @@ def decontaminate_multi(corpus: DataFrame, benchmarks: dict,
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def _span_gram_array(text_col: str, n: int) -> Column:
+    """Space-joined WHITESPACE-token n-gram array of a text column —
+    the span-faithful gram convention shared by the surgical scrubber
+    and :func:`benchmark_span_grams` (substring_dedup's tokenization,
+    NOT the normalized decontam one)."""
+    from trial_data_ingestion_spark.operators.substring_dedup import (
+        _ws_tokens,
+    )
+    toks = _ws_tokens(F.col(text_col))
+    count = F.size(toks) - (n - 1)
+    return F.when(
+        count >= 1,
+        F.transform(F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def scrub_contaminated_spans(corpus: DataFrame, bench: DataFrame,
                              id_col: str = "doc_id",
                              text_col: str = "text",
@@ -263,14 +280,8 @@ def scrub_contaminated_spans(corpus: DataFrame, bench: DataFrame,
                             hash_grams=False)
     occ = occ.withColumn("g", key(F.col("g")))
 
-    btoks = _ws_tokens(F.col(bench_text_col))
-    bcount = F.size(btoks) - (n - 1)
-    bgrams = F.when(
-        bcount >= 1,
-        F.transform(F.sequence(F.lit(1), F.greatest(bcount, F.lit(1))),
-                    lambda i: F.concat_ws(" ", F.slice(btoks, i, n)))
-    ).otherwise(F.array().cast("array<string>"))
-    bg = (bench.select(F.explode(bgrams).alias("g"))
+    bg = (bench.select(
+              F.explode(_span_gram_array(bench_text_col, n)).alias("g"))
           .select(key(F.col("g")).alias("g")).distinct())
 
     marked = (occ.join(F.broadcast(bg), "g")
@@ -290,6 +301,19 @@ def scrub_contaminated_spans(corpus: DataFrame, bench: DataFrame,
                 F.when(F.col("__spans").isNull(), F.col(text_col))
                  .otherwise(F.array_join(kept, " ")))
             .drop("__spans"))
+
+
+def benchmark_span_grams(bench: DataFrame, text_col: str = "text",
+                         n: int = 8) -> list:
+    """The benchmark's distinct space-joined WHITESPACE-token n-gram
+    strings, collected (eval suites are small by construction — this
+    is the closure payload for
+    ``streaming.documents.scrubbed_document_stream``; the batch
+    scrubber builds the same table without collecting)."""
+    return [r["g"] for r in
+            bench.select(F.explode(_span_gram_array(text_col, n))
+                         .alias("g"))
+                 .distinct().collect()]
 
 
 def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,

@@ -84,6 +84,61 @@ def contaminated_document_stream(docs: DataFrame,
             .select(id_col).dropDuplicates([id_col]))
 
 
+def scrubbed_document_stream(docs: DataFrame, bench_grams,
+                             text_col: str = "text",
+                             n: int = 8,
+                             lowercase: bool = True) -> DataFrame:
+    """Streaming surgical decontamination: rewrite each arriving
+    document with benchmark-matching token runs removed — the
+    streaming twin of ``decontam.scrub_contaminated_spans``
+    (parity-tested against it with ``hash_grams=False``).
+
+    ``bench_grams`` is the benchmark's space-joined token n-gram
+    strings (an iterable; build once per benchmark release from the
+    batch side).  Eval suites are small by construction, so the set
+    ships in the kernel closure — the broadcast-state pattern of this
+    module — making the scrub a STATELESS per-row Arrow kernel: no
+    aggregation, no watermark, and the identical function runs on a
+    batch frame."""
+    import pandas as pd
+    from typing import Iterator
+
+    grams = frozenset((g.lower() if lowercase else g)
+                      for g in bench_grams)
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in docs.schema.fields)
+    out_schema = f"{fields}, n_scrubbed_tokens long"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, scrubbed = [], []
+            for t in pdf[text_col]:
+                toks = (t or "").split()
+                covered = [False] * len(toks)
+                for i in range(len(toks) - n + 1):
+                    key = " ".join(toks[i:i + n])
+                    if lowercase:
+                        key = key.lower()
+                    if key in grams:
+                        for j in range(i, i + n):
+                            covered[j] = True
+                if any(covered):
+                    kept = [tok for tok, c in zip(toks, covered)
+                            if not c]
+                    texts.append(" ".join(kept))
+                    scrubbed.append(len(toks) - len(kept))
+                else:
+                    texts.append(t)
+                    scrubbed.append(0)
+            pdf = pdf.copy()
+            pdf[text_col] = texts
+            pdf["n_scrubbed_tokens"] = pd.Series(scrubbed,
+                                                 dtype="int64")
+            yield pdf
+
+    return docs.mapInPandas(kernel, schema=out_schema)
+
+
 def curated_document_stream(docs: DataFrame,
                             config: CurationConfig | None = None,
                             ingest_ts_col: str | None = None,
