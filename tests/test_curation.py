@@ -537,6 +537,24 @@ def test_curate_scrub_policy(spark):
         curate(docs, benchmark=bench,
                config=CurationConfig(lid="native",
                                      decontam_policy="weird"))
+    # incremental delta under scrub == the full run's rows for those
+    # ids (scrubbing is per-doc, no corpus-wide state to diverge on)
+    from trial_data_ingestion_spark.pipelines.curation import (
+        curate_incremental,
+    )
+    first = [(i, t) for i, t in rows if i < 30]
+    delta = [(i, t) for i, t in rows if i >= 30]
+    existing = curate(spark.createDataFrame(first,
+                                            "doc_id long, text string"),
+                      benchmark=bench, config=scrub_cfg)
+    inc = curate_incremental(
+        spark.createDataFrame(delta, "doc_id long, text string"),
+        existing, benchmark=bench, config=scrub_cfg)
+    inc_rows = sorted((r["doc_id"], r["text"], r["split"])
+                      for r in inc.collect())
+    full_delta = sorted((r["doc_id"], r["text"], r["split"])
+                        for r in out.values() if r["doc_id"] >= 30)
+    assert inc_rows == full_delta and inc_rows
 
 
 def test_curate_observation_metrics(spark):

@@ -380,10 +380,24 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
         existing_curated.select("fingerprint").distinct(),
         "fingerprint", "left_anti")
     if benchmark is not None:
-        raw = new_docs.select(cfg.id_col, cfg.text_col)
-        fresh = decontaminate(fresh, benchmark, id_col=cfg.id_col,
-                              text_col=cfg.text_col,
-                              n=cfg.decontam_ngram, flag_from=raw)
+        if cfg.decontam_policy == "scrub":
+            # scrubbing is per-doc (no corpus-wide state), so the
+            # incremental batch scrubs exactly like a full run would
+            from trial_data_ingestion_spark.operators.decontam import (
+                scrub_contaminated_spans,
+            )
+            fresh = scrub_contaminated_spans(
+                fresh, benchmark, id_col=cfg.id_col,
+                text_col=cfg.text_col, n=cfg.decontam_ngram)
+        elif cfg.decontam_policy == "drop":
+            raw = new_docs.select(cfg.id_col, cfg.text_col)
+            fresh = decontaminate(fresh, benchmark, id_col=cfg.id_col,
+                                  text_col=cfg.text_col,
+                                  n=cfg.decontam_ngram, flag_from=raw)
+        else:
+            raise ValueError(
+                f"decontam_policy must be drop|scrub, "
+                f"got {cfg.decontam_policy!r}")
     return split_by_hash(fresh, cfg.id_col, cfg.split_weights,
                          seed=cfg.split_seed)
 
