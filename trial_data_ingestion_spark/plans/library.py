@@ -2331,7 +2331,12 @@ def q64_release_pipeline(spark, sf_dir):
     from trial_data_ingestion_spark.pipelines.curation import (
         CurationConfig, curate,
     )
-    d = _t(spark, sf_dir, "documents")
+    from trial_data_ingestion_spark.session import ensure_parallelism
+
+    # single-file parquet would run the HTML kernel in ONE task;
+    # repartition the pre-extraction rows (the standard discipline in
+    # front of CPU-heavy kernels, see session.ensure_parallelism)
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     pages = d.select(
         "doc_id",
         F.concat(
