@@ -276,6 +276,75 @@ def test_dedup_ngram_jaccard_cluster_correct(spark):
     assert kept == [1, 9]
 
 
+def test_keep_best_per_cluster_elects_by_score(spark):
+    # component {1, 2, 3}: doc 3 has the best score and survives even
+    # though min-id policy would keep 1; singleton 7 passes through.
+    df = spark.createDataFrame(
+        [(1, 0.2), (2, 0.5), (3, 0.9), (7, 0.1)], ["doc_id", "quality"])
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.keep_best_per_cluster(df, pairs, "doc_id",
+                                              "quality").collect())
+    assert kept == [3, 7]
+    # prefer='min' flips the direction
+    kept_min = sorted(r["doc_id"] for r in
+                      dedup.keep_best_per_cluster(df, pairs, "doc_id",
+                                                  "quality", prefer="min")
+                      .collect())
+    assert kept_min == [1, 7]
+
+
+def test_keep_best_ties_and_nulls_match_min_id(spark):
+    # constant score -> identical to drop_non_representatives (min id);
+    # a NULL score loses to any scored member.
+    df = spark.createDataFrame(
+        [(1, 1.0), (2, 1.0), (3, 1.0), (7, 1.0)], ["doc_id", "quality"])
+    pairs = spark.createDataFrame([(1, 3), (2, 3)], ["doc_a", "doc_b"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.keep_best_per_cluster(df, pairs, "doc_id",
+                                              "quality").collect())
+    assert kept == [1, 7]
+
+    df_null = spark.createDataFrame(
+        [(1, None), (2, 0.1), (3, None)], "doc_id long, quality double")
+    kept_null = sorted(r["doc_id"] for r in
+                       dedup.keep_best_per_cluster(df_null, pairs, "doc_id",
+                                                   "quality").collect())
+    assert kept_null == [2]
+    # all-NULL cluster falls back to min id
+    df_all_null = spark.createDataFrame(
+        [(1, None), (2, None), (3, None)], "doc_id long, quality double")
+    kept_all = sorted(r["doc_id"] for r in
+                      dedup.keep_best_per_cluster(df_all_null, pairs,
+                                                  "doc_id", "quality")
+                      .collect())
+    assert kept_all == [1]
+
+    with pytest.raises(ValueError):
+        dedup.keep_best_per_cluster(df, pairs, "doc_id", "quality",
+                                    prefer="highest")
+
+
+def test_dedup_minhash_keep_best_end_to_end(spark):
+    # Three byte-near-identical docs (one char apart) form one cluster;
+    # the longest (here: highest `quality`) survives instead of min id.
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    df = spark.createDataFrame(
+        [(1, base + "a", 0.3), (2, base + "b", 0.9), (3, base + "c", 0.6),
+         (9, "completely different text about spark executors and shuffles",
+          0.99)],
+        ["doc_id", "text", "quality"])
+    kept = sorted(r["doc_id"] for r in
+                  dedup.dedup_minhash(df, "doc_id", "text", threshold=0.7,
+                                      score_col="quality").collect())
+    assert kept == [2, 9]
+    # default policy unchanged: min id
+    kept_default = sorted(r["doc_id"] for r in
+                          dedup.dedup_minhash(df, "doc_id", "text",
+                                              threshold=0.7).collect())
+    assert kept_default == [1, 9]
+
+
 def test_empty_pairs_noop(spark):
     df = spark.createDataFrame([(1,), (2,)], ["doc_id"])
     pairs = spark.createDataFrame([], "doc_a long, doc_b long")

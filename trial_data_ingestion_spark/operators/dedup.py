@@ -431,12 +431,55 @@ def drop_non_representatives(df: DataFrame, pairs: DataFrame,
     return df.join(drops, id_col, "left_anti")
 
 
+def keep_best_per_cluster(df: DataFrame, pairs: DataFrame,
+                          id_col: str, score_col: str,
+                          prefer: str = "max") -> DataFrame:
+    """Quality-aware cluster removal: within each connected component
+    of the confirmed-duplicate pair graph, keep the member with the
+    best ``score_col`` (RefinedWeb-style "keep the best copy") instead
+    of the smallest id.  Docs in no pair pass through untouched.
+
+    Election semantics (deterministic):
+      * ``prefer='max'`` keeps the highest score, ``'min'`` the lowest;
+      * score ties break on the smaller id, so with a constant score
+        the result is identical to :func:`drop_non_representatives`;
+      * a NULL score always loses to any non-NULL score (nulls sort
+        last in both directions); an all-NULL cluster keeps its min id.
+
+    Scale: the winner election shuffles ONLY the duplicate subset —
+    the tiny (doc, label) table is broadcast-joined against the corpus
+    projection ``(id, score)``, the row_number window partitions by
+    cluster label over that filtered subset, and the corpus itself is
+    touched once by the final ``left_anti`` on the drop list, exactly
+    like :func:`drop_non_representatives`.
+    """
+    if prefer not in ("max", "min"):
+        raise ValueError(f"prefer must be 'max' or 'min', got {prefer!r}")
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components_min_label(pairs)
+    scored = (F.broadcast(labels)
+              .join(df.select(F.col(id_col).alias("doc"),
+                              F.col(score_col).alias("_score")), "doc"))
+    order = (F.col("_score").desc_nulls_last() if prefer == "max"
+             else F.col("_score").asc_nulls_last())
+    win = Window.partitionBy("label").orderBy(order, F.col("doc").asc())
+    drops = (scored.withColumn("_rk", F.row_number().over(win))
+             .where(F.col("_rk") > 1)
+             .select(F.col("doc").alias(id_col)))
+    return df.join(drops, id_col, "left_anti")
+
+
 def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
                   k: int = 8, num_hashes: int = 32, bands: int = 8,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8, score_col: str | None = None,
+                  prefer: str = "max") -> DataFrame:
     """End-to-end near-dup removal: LSH candidates -> Jaccard verify ->
-    connected components over confirmed pairs -> keep the min-id doc
-    per duplicate cluster.
+    connected components over confirmed pairs -> keep one doc per
+    duplicate cluster.
+
+    The survivor policy is keep-min-id by default; pass ``score_col``
+    to elect the best-scoring member instead (``prefer`` picks the
+    direction) — see :func:`keep_best_per_cluster`.
 
     The candidate-pair table is persisted: it is tiny (pairs, not
     docs) but feeds three downstream consumers (semi-filter, doc_a
@@ -445,6 +488,9 @@ def dedup_minhash(df: DataFrame, id_col: str, text_col: str,
     cands = minhash_lsh_candidates(df, id_col, text_col, k, num_hashes,
                                    bands).persist()
     confirmed = jaccard_verify(df, cands, id_col, text_col, k, threshold)
+    if score_col is not None:
+        return keep_best_per_cluster(df, confirmed, id_col, score_col,
+                                     prefer=prefer)
     return drop_non_representatives(df, confirmed, id_col)
 
 
