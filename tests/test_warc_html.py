@@ -148,6 +148,87 @@ def test_streaming_warc_matches_batch(spark, warc_dir, tmp_path):
     assert got == want and len(got) == 2
 
 
+_ARTICLE = """<html><head><title>T</title><style>.x{color:red}</style></head>
+<body>
+<nav><a href="/">Home</a> <a href="/about">About</a> <a href="/faq">FAQ</a></nav>
+<main>
+<h2>Article heading</h2>
+<p>This is the main body of the article with enough words to be a good
+block of content for the extractor.</p>
+<p>The second paragraph also has plenty of words and no links at all
+inside of it, so it stays.</p>
+<div><a href="/a">Related story one</a> <a href="/b">Related story two</a>
+<a href="/c">Related story three with more words</a></div>
+</main>
+<footer>Copyright 2026 Example Corp all rights reserved worldwide</footer>
+</body></html>"""
+
+
+def test_extract_main_content_strips_boilerplate():
+    from trial_data_ingestion_spark.functions.html_text import (
+        extract_main_content,
+    )
+    text, kept, total, frac = extract_main_content(_ARTICLE)
+    lines = text.split("\n")
+    # heading is SHORT but promoted by the adjacent GOOD paragraph
+    assert lines[0] == "Article heading"
+    assert lines[1].startswith("This is the main body")
+    assert lines[2].startswith("The second paragraph")
+    assert kept == 3
+    # nav (structural), related-links div (link density ~1), and footer
+    # (structural, despite its word count) are all gone
+    assert "Home" not in text and "Related" not in text
+    assert "Copyright" not in text
+    assert total > kept and 0.0 < frac < 1.0
+
+
+def test_extract_main_content_isolated_short_drops():
+    from trial_data_ingestion_spark.functions.html_text import (
+        extract_main_content,
+    )
+    # a short fragment with no GOOD neighbor has nothing to inherit
+    text, kept, total, frac = extract_main_content(
+        "<p>Hi there</p><div><a href='/x'>click</a></div>")
+    assert text == "" and kept == 0 and total == 2 and frac == 1.0
+    assert extract_main_content("") == ("", 0, 0, 0.0)
+    assert extract_main_content(None) == ("", 0, 0, 0.0)
+
+
+def test_extract_main_content_stopword_gate():
+    from trial_data_ingestion_spark.functions.html_text import (
+        extract_main_content,
+    )
+    from trial_data_ingestion_spark.operators.textstats import STOPWORDS
+    sw = frozenset(STOPWORDS["en"])
+    html = ("<p>The cat sat in the hat with the mat and the rat.</p>"
+            "<p>lorem zzz qqq xxx vvv kkk jjj www yyy nnn mmm ppp</p>")
+    text, kept, total, _ = extract_main_content(
+        html, min_stopword_density=0.25, stopwords=sw)
+    assert kept == 1 and total == 2
+    assert text.startswith("The cat sat")
+    # gate off: both blocks pass
+    text_all, kept_all, _, _ = extract_main_content(html)
+    assert kept_all == 2 and "lorem" in text_all
+
+
+def test_html_to_main_text_spark_kernel(spark):
+    from trial_data_ingestion_spark.functions.html_text import (
+        html_to_main_text,
+    )
+    df = spark.createDataFrame(
+        [(1, _ARTICLE), (2, "<p>Hi</p>")], ["doc_id", "html"])
+    out = {r["doc_id"]: r for r in
+           html_to_main_text(df, stopword_lang="en").collect()}
+    assert out[1]["kept_blocks"] == 3
+    assert out[1]["main_text"].startswith("Article heading")
+    assert out[1]["removed_char_frac"] > 0
+    assert out[2]["main_text"] == "" and out[2]["total_blocks"] == 1
+    # audit columns ride along with the originals
+    assert set(out[1].asDict()) == {"doc_id", "html", "main_text",
+                                    "kept_blocks", "total_blocks",
+                                    "removed_char_frac"}
+
+
 def test_extract_links_known_answers():
     from trial_data_ingestion_spark.functions.html_text import (
         extract_links,

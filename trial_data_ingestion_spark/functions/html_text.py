@@ -78,6 +78,191 @@ def extract_text(html: str) -> tuple:
     return title, "\n".join(lines)
 
 
+_STRUCTURAL_BP = {"nav", "aside", "footer", "header"}
+_HEADINGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
+
+
+class _BlockExtractor(HTMLParser):
+    """Segments the page into text blocks at block-tag boundaries,
+    tracking per block: the chars emitted inside ``<a>`` subtrees
+    (link density), whether the block sits inside a structural
+    boilerplate container (nav/aside/header/footer), and whether it
+    opened as a heading."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list = []          # (text, link_chars, in_bp, heading)
+        self._parts: list = []
+        self._link_chars = 0
+        self._skip_depth = 0
+        self._anchor_depth = 0
+        self._bp_depth = 0
+        self._heading = False
+        self._in_title = False
+
+    def _flush(self):
+        text = " ".join("".join(self._parts).split())
+        if text:
+            self.blocks.append((text, self._link_chars, self._bp_depth > 0,
+                                self._heading))
+        self._parts = []
+        self._link_chars = 0
+        self._heading = False
+
+    def handle_starttag(self, tag, attrs):
+        if tag in _SKIP:
+            self._skip_depth += 1
+        if tag == "title":
+            self._in_title = True
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in _STRUCTURAL_BP:
+            self._flush()
+            self._bp_depth += 1
+        elif tag in _BLOCK:
+            self._flush()
+        if tag in _HEADINGS:
+            self._heading = True
+
+    def handle_endtag(self, tag):
+        if tag in _SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+        if tag == "title":
+            self._in_title = False
+        if tag == "a" and self._anchor_depth > 0:
+            self._anchor_depth -= 1
+        if tag in _STRUCTURAL_BP:
+            self._flush()
+            if self._bp_depth > 0:
+                self._bp_depth -= 1
+        elif tag in _BLOCK:
+            self._flush()
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and not self._in_title:
+            self._parts.append(data)
+            if self._anchor_depth > 0:
+                self._link_chars += len(data)
+
+
+def extract_main_content(html: str, min_words: int = 5,
+                         max_link_density: float = 0.4,
+                         min_stopword_density: float = 0.0,
+                         stopwords: frozenset | None = None) -> tuple:
+    """jusText-lite boilerplate removal: ``(main_text, kept_blocks,
+    total_blocks, removed_char_frac)``.
+
+    Two deterministic passes over the block list (no trained model):
+
+    1. Each block is GOOD if it has ``>= min_words`` words, link
+       density ``<= max_link_density``, and (when a stopword set is
+       given) stopword density ``>= min_stopword_density``; BAD if it
+       is link-dominated or sits inside nav/aside/header/footer;
+       otherwise SHORT (undecided).
+    2. SHORT blocks inherit GOOD from an adjacent GOOD neighbor —
+       jusText's context rule, which keeps headings and short
+       connective paragraphs inside article bodies while dropping
+       isolated short fragments (button labels, copyright lines).
+
+    ``min_stopword_density=0`` disables the stopword gate (the right
+    default for code and non-English corpora); pass
+    ``textstats.STOPWORDS['en']`` semantics via ``stopwords`` to
+    enable it for English web text.
+    """
+    p = _BlockExtractor()
+    try:
+        p.feed(html or "")
+        p.close()
+    except Exception:
+        pass          # truncated/hostile markup: keep what parsed
+    p._flush()
+    blocks = p.blocks
+    if not blocks:
+        return "", 0, 0, 0.0
+
+    classes = []      # 1 good, 0 short, -1 bad
+    for text, link_chars, in_bp, _heading in blocks:
+        ld = link_chars / max(len(text), 1)
+        if in_bp or ld > max_link_density:
+            classes.append(-1)
+            continue
+        words = text.split()
+        if len(words) < min_words:
+            classes.append(0)
+            continue
+        if stopwords is not None and min_stopword_density > 0:
+            sw = sum(1 for w in words if w.lower().strip(".,;:!?\"'()")
+                     in stopwords)
+            if sw / len(words) < min_stopword_density:
+                classes.append(-1)
+                continue
+        classes.append(1)
+
+    final = list(classes)
+    for i, c in enumerate(classes):
+        if c == 0:
+            prev_good = i > 0 and classes[i - 1] == 1
+            next_good = i + 1 < len(classes) and classes[i + 1] == 1
+            final[i] = 1 if (prev_good or next_good) else -1
+
+    kept = [blocks[i][0] for i in range(len(blocks)) if final[i] == 1]
+    total_chars = sum(len(b[0]) for b in blocks)
+    kept_chars = sum(len(t) for t in kept)
+    removed_frac = ((total_chars - kept_chars) / total_chars
+                    if total_chars else 0.0)
+    return "\n".join(kept), len(kept), len(blocks), removed_frac
+
+
+def html_to_main_text(df: DataFrame, html_col: str = "html",
+                      text_col: str = "main_text",
+                      min_words: int = 5,
+                      max_link_density: float = 0.4,
+                      min_stopword_density: float = 0.0,
+                      stopword_lang: str | None = None) -> DataFrame:
+    """Attach boilerplate-stripped ``text_col`` plus audit columns
+    ``kept_blocks``/``total_blocks``/``removed_char_frac`` — the
+    content-extraction step between ``html_to_text`` (tag stripping)
+    and the hygiene gates.  Same stateless Arrow-kernel contract as
+    ``html_to_text``: no shuffle, streaming-safe; the stopword set
+    (when ``stopword_lang`` is given) is a module constant on the
+    executor, not a broadcast."""
+    import pandas as pd
+
+    sw = None
+    if stopword_lang is not None:
+        from ..operators.textstats import STOPWORDS
+        sw = frozenset(STOPWORDS[stopword_lang])
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = (f"{fields}, {text_col} string, kept_blocks int, "
+                  f"total_blocks int, removed_char_frac double")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, keptc, totc, fracs = [], [], [], []
+            for h in pdf[html_col]:
+                if isinstance(h, (bytes, bytearray)):
+                    h = bytes(h).decode("utf-8", "replace")
+                t, k, n, fr = extract_main_content(
+                    h, min_words=min_words,
+                    max_link_density=max_link_density,
+                    min_stopword_density=min_stopword_density,
+                    stopwords=sw)
+                texts.append(t)
+                keptc.append(k)
+                totc.append(n)
+                fracs.append(fr)
+            pdf = pdf.copy()
+            pdf[text_col] = texts
+            pdf["kept_blocks"] = keptc
+            pdf["total_blocks"] = totc
+            pdf["removed_char_frac"] = fracs
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
 class _LinkExtractor(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
