@@ -1,0 +1,122 @@
+"""Document clustering: cell assignment geometry, profiles, keyword
+lift, and the cluster-balanced sampling composition."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from trial_data_ingestion_spark.operators import clustering
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    """Two orthogonal topics in 4-d plus one zero vector.  Centroids
+    are passed explicitly so assignments are known answers, not a
+    property of the Lloyd fit."""
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], "spark shuffle partition spark executor"),
+        (2, [0.9, 0.1, 0.0, 0.0], "spark shuffle broadcast join executor"),
+        (3, [2.0, 0.0, 0.0, 0.0], "partition shuffle spark spark codegen"),
+        (4, [0.0, 1.0, 0.0, 0.0], "tokenizer corpus dedup minhash corpus"),
+        (5, [0.0, 0.8, 0.2, 0.0], "corpus dedup tokenizer jaccard corpus"),
+        (6, [0.0, 0.0, 0.0, 0.0], "directionless junk row"),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "text"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cell_id int, centroid array<double>")
+    return df, cents
+
+
+def test_cluster_documents_known_assignment(toy):
+    df, cents = toy
+    out = {r["vec_id"]: r for r in
+           clustering.cluster_documents(df, dim=4, centroids=cents)
+           .collect()}
+    assert {i: out[i]["cell_id"] for i in (1, 2, 3, 4, 5)} == \
+        {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    # doc 3 is angularly identical to doc 1 despite twice the norm
+    assert out[3]["cos_to_centroid"] == pytest.approx(1.0)
+    assert out[1]["cos_to_centroid"] == pytest.approx(1.0)
+    assert 0.9 < out[2]["cos_to_centroid"] < 1.0
+    # zero vector: NULL cell, still present with its original columns
+    assert out[6]["cell_id"] is None
+    assert out[6]["cos_to_centroid"] is None
+    assert len(out) == 6
+
+
+def test_cluster_profile_counts_and_share(toy):
+    df, cents = toy
+    assigned = clustering.cluster_documents(df, dim=4, centroids=cents)
+    prof = {r["cell_id"]: r for r in
+            clustering.cluster_profile(assigned).collect()}
+    assert prof[0]["n_docs"] == 3 and prof[1]["n_docs"] == 2
+    assert prof[0]["share"] == pytest.approx(0.6)
+    assert prof[1]["share"] == pytest.approx(0.4)
+    assert prof[0]["mean_cos"] <= 1.0 and prof[0]["p10_cos"] <= \
+        prof[0]["mean_cos"] + 1e-9
+    # size_col switches on the token budget column
+    sized = clustering.cluster_profile(
+        assigned.withColumn("n_tok", F.lit(10)), size_col="n_tok")
+    assert {r["cell_id"]: r["total_size"] for r in sized.collect()} == \
+        {0: 30.0, 1: 20.0}
+
+
+def test_cluster_keywords_lift(toy):
+    df, cents = toy
+    assigned = clustering.cluster_documents(df, dim=4, centroids=cents)
+    kw = clustering.cluster_keywords(assigned, text_col="text",
+                                     id_col="vec_id", top_k=3)
+    by_cell = {}
+    for r in kw.collect():
+        by_cell.setdefault(r["cell_id"], []).append(r["token"])
+    # "spark"/"shuffle" only in cell 0 docs, "corpus"/"dedup" in cell 1;
+    # every token needs df >= 2 within its cell
+    assert "spark" in by_cell[0] and "shuffle" in by_cell[0]
+    assert "corpus" in by_cell[1] and "dedup" in by_cell[1]
+    assert "corpus" not in by_cell[0] and "spark" not in by_cell[1]
+    # rank is 1..k dense per cell
+    ranks = [r["rank"] for r in kw.where(F.col("cell_id") == 0)
+             .orderBy("rank").collect()]
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_cluster_balanced_sample_flattens_head(spark):
+    # 60/20 head-tail imbalance over two obvious topics; alpha=0.5
+    # trims the head toward sqrt proportions while the tail keeps all
+    rows = ([(i, [1.0, 0.0], "head") for i in range(60)]
+            + [(1000 + i, [0.0, 1.0], "tail") for i in range(20)])
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "text"])
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cell_id int, centroid array<double>")
+    assigned = clustering.cluster_documents(df, dim=2, centroids=cents)
+    samp = clustering.cluster_balanced_sample(assigned, key_col="vec_id",
+                                              alpha=0.5)
+    got = (samp.groupBy("cell_id").count().collect())
+    counts = {r["cell_id"]: r["count"] for r in got}
+    # scarcest source (tail, 20 docs) is kept whole; head trimmed to
+    # ~20 * sqrt(60/20) ≈ 34 (hash-sampled, so allow slack)
+    assert counts[1] == 20
+    assert 20 < counts[0] < 60
+    # determinism: same seed, same draw
+    again = {r["cell_id"]: r["count"] for r in
+             clustering.cluster_balanced_sample(
+                 assigned, key_col="vec_id", alpha=0.5)
+             .groupBy("cell_id").count().collect()}
+    assert again == counts
+
+
+def test_cluster_documents_real_embeddings(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    assigned = clustering.cluster_documents(emb, dim=64, num_clusters=4,
+                                            sample_size=2000)
+    assert assigned.count() == n
+    cells = assigned.where(F.col("cell_id").isNotNull())
+    assert cells.select("cell_id").distinct().count() >= 2
+    # cos_to_centroid is a valid cosine everywhere it's defined
+    bad = cells.where((F.col("cos_to_centroid") < -1.0001)
+                      | (F.col("cos_to_centroid") > 1.0001)).count()
+    assert bad == 0

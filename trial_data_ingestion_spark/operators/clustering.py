@@ -1,0 +1,165 @@
+"""Document clustering over embeddings: topic cells, cluster
+profiles, distinctive keywords, and cluster-balanced sampling.
+
+Training-data-pipeline tier (north-star; no reference counterpart —
+the reference stops at per-document features).  Clustering is the
+unsupervised complement to the explicit ``source``/domain column:
+web-scale corpora have no trustworthy domain labels, so mixture
+balancing, coverage audits, and pruning decisions (Tirumala et al.
+2023, arXiv:2308.12284 — D4 clusters before pruning; SemDeDup
+clusters before dedup) all run over embedding-space cells instead.
+
+This module deliberately REUSES the geometry already proven in
+``semantic_dedup``/``similarity`` (unit-sphere projection, bounded
+sampled-Lloyd codebooks, broadcast centroid assignment) and feeds
+its output into the existing ``sampling`` operators — cluster ids
+are just a derived domain column.
+
+Scale notes (100 TB):
+  * Codebook fit is bounded: ``sample_size`` unit vectors
+    (content-stable xxhash64 draw) through a driver-side Lloyd —
+    identical cost at any corpus size.
+  * Assignment is a broadcast crossJoin against k centroids plus an
+    argmax — the corpus is scanned once; the only wide op is the
+    per-id window Spark needs to pick the best cell, which AQE
+    coalesces to the corpus partitioning.
+  * Profiles/keywords aggregate tokens, not documents — two keyed
+    shuffles on (cell, token), both map-side-combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from trial_data_ingestion_spark.functions.vector import dot_fixed, l2_norm_fixed
+from trial_data_ingestion_spark.operators.sampling import temperature_mixture
+from trial_data_ingestion_spark.operators.semantic_dedup import (
+    _with_unit,
+    sampled_kmeans_centroids,
+)
+
+
+def cluster_documents(embeddings: DataFrame, dim: int,
+                      num_clusters: int = 16,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      centroids: DataFrame | None = None,
+                      sample_size: int = 20_000,
+                      seed: int = 42) -> DataFrame:
+    """Assign each document to its nearest (cosine) centroid cell:
+    all input columns plus ``cell_id`` and ``cos_to_centroid``
+    (prototypicality — 1.0 is the cluster's dead center; D4-style
+    pruning drops the most AND least prototypical tails).
+
+    ``centroids`` defaults to a spherical codebook from
+    :func:`semantic_dedup.sampled_kmeans_centroids` (bounded sample,
+    deterministic).  Zero-norm vectors have no direction: they come
+    out with NULL ``cell_id``/``cos_to_centroid`` and are excluded
+    from every downstream profile rather than polluting cell 0.
+    """
+    if centroids is None:
+        centroids = sampled_kmeans_centroids(
+            embeddings, dim, num_clusters=num_clusters, id_col=id_col,
+            vec_col=vec_col, sample_size=sample_size, seed=seed)
+    unit = _with_unit(embeddings, vec_col, dim)
+    cnorm = l2_norm_fixed("centroid", dim)
+    scored = (unit.where(F.col("__u").isNotNull())
+              .crossJoin(F.broadcast(centroids))
+              .withColumn("__cos", dot_fixed("__u", "centroid", dim)
+                          / F.when(cnorm > 0, cnorm)))
+    w = Window.partitionBy(id_col).orderBy(F.col("__cos").desc(),
+                                           F.col("cell_id").asc())
+    assigned = (scored.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select(*embeddings.columns,
+                        F.col("cell_id"),
+                        F.col("__cos").alias("cos_to_centroid")))
+    directionless = (unit.where(F.col("__u").isNull())
+                     .select(*embeddings.columns,
+                             F.lit(None).cast("int").alias("cell_id"),
+                             F.lit(None).cast("double")
+                              .alias("cos_to_centroid")))
+    return assigned.unionByName(directionless)
+
+
+def cluster_profile(assigned: DataFrame,
+                    size_col: str | None = None) -> DataFrame:
+    """Per-cluster census over :func:`cluster_documents` output:
+    ``cell_id, n_docs, share, mean_cos, p10_cos`` (+ ``total_size``
+    when ``size_col`` e.g. token counts is given).  ``mean_cos`` is
+    cohesion; a cell with low ``p10_cos`` has a loose tail — the
+    first place to look for junk.  One keyed aggregate; the share
+    denominator comes from a window over the k-row result, not a
+    second corpus pass."""
+    aggs = [F.count(F.lit(1)).alias("n_docs"),
+            F.avg("cos_to_centroid").alias("mean_cos"),
+            F.percentile_approx("cos_to_centroid", 0.1).alias("p10_cos")]
+    if size_col is not None:
+        aggs.append(F.sum(F.col(size_col).cast("double"))
+                    .alias("total_size"))
+    prof = (assigned.where(F.col("cell_id").isNotNull())
+            .groupBy("cell_id").agg(*aggs))
+    total = Window.partitionBy()
+    return (prof.withColumn(
+                "share", F.col("n_docs") / F.sum("n_docs").over(total))
+            .orderBy("cell_id"))
+
+
+def cluster_keywords(assigned: DataFrame, text_col: str = "text",
+                     id_col: str = "vec_id",
+                     top_k: int = 10, min_cluster_df: int = 2,
+                     min_token_len: int = 3) -> DataFrame:
+    """Distinctive terms per cluster by log-lift: for each (cell,
+    token), ``lift = (freq in cell) / (freq in corpus)``; the top-k
+    tokens per cell by lift (ties: raw count desc, token asc) label
+    the cluster for a human reader.  Tokens must appear in
+    ``min_cluster_df`` distinct docs of the cell — a single weird
+    document cannot name a cluster.
+
+    Two shuffles, both on (cell, token) — token-cardinality keyed,
+    corpus-size independent after the map-side combine."""
+    toks = (assigned.where(F.col("cell_id").isNotNull())
+            .select("cell_id",
+                    F.col(id_col).alias("__doc"),
+                    F.explode(F.split(F.lower(F.col(text_col)),
+                                      r"[^a-z0-9]+")).alias("token"))
+            .where(F.length("token") >= min_token_len))
+    per_cell = (toks.groupBy("cell_id", "token")
+                .agg(F.count(F.lit(1)).alias("cnt"),
+                     F.countDistinct("__doc").alias("df"))
+                .where(F.col("df") >= min_cluster_df))
+    cell_tot = Window.partitionBy("cell_id")
+    corpus_tot = Window.partitionBy()
+    token_tot = Window.partitionBy("token")
+    scored = (per_cell
+              .withColumn("__cell_n", F.sum("cnt").over(cell_tot))
+              .withColumn("__tok_n", F.sum("cnt").over(token_tot))
+              .withColumn("__corpus_n", F.sum("cnt").over(corpus_tot))
+              .withColumn("lift",
+                          (F.col("cnt") / F.col("__cell_n"))
+                          / (F.col("__tok_n") / F.col("__corpus_n"))))
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("lift").desc(), F.col("cnt").desc(), F.col("token").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("cell_id", "rank", "token", "cnt",
+                    F.round("lift", 6).alias("lift")))
+
+
+def cluster_balanced_sample(assigned: DataFrame, key_col: str,
+                            alpha: float = 0.5,
+                            max_rows: int | None = None,
+                            seed: str = "s0",
+                            size_col: str | None = None) -> DataFrame:
+    """Temperature-flattened sample over embedding-space cells: the
+    cluster ids from :func:`cluster_documents` feed straight into
+    :func:`sampling.temperature_mixture` as the domain column —
+    head topics get trimmed toward ``count ** alpha`` while every
+    cell stays content-stable.  Unassigned (zero-norm) docs carry no
+    topic signal and are excluded."""
+    return temperature_mixture(
+        assigned.where(F.col("cell_id").isNotNull()),
+        "cell_id", key_col, alpha=alpha, max_rows=max_rows,
+        seed=seed, size_col=size_col)
