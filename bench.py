@@ -90,6 +90,7 @@ HEADLINE = [
     # round-6 additions
     "b22_rejection_audit",          # kitchen-sink attrition audit
     "b23_multi_decontam",           # 3-suite tagged-gram attribution
+    "b24_cluster_mixture",          # topic cells -> profile/keywords/sample
 ]
 
 
@@ -533,6 +534,35 @@ def _bench_extra():
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("matched_grams").alias("total_matched"))
 
+    def b24_cluster_mixture(spark, sf_dir):
+        """Embedding-space topic pipeline end to end: bounded-sample
+        Lloyd codebook -> broadcast cell assignment -> per-cell
+        profile + keyword lift + D4 prototypicality pruning +
+        temperature-balanced sample, collapsed into one summary row
+        so .count() executes every branch.  The assignment is
+        persisted: it feeds four consumers and the crossJoin+argmax
+        subtree would otherwise run four times."""
+        from trial_data_ingestion_spark.operators.clustering import (
+            cluster_balanced_sample, cluster_documents,
+            cluster_keywords, cluster_profile, prune_prototypicality,
+        )
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+            .select(F.col("doc_id").alias("vec_id"), "text")
+        assigned = cluster_documents(
+            emb.join(docs, "vec_id"), dim=64, num_clusters=16).persist()
+        prof = cluster_profile(assigned).agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("n_docs").alias("n_assigned"))
+        kw = cluster_keywords(assigned, text_col="text", top_k=10) \
+            .agg(F.count(F.lit(1)).alias("n_keywords"))
+        pruned = prune_prototypicality(assigned, drop_low_frac=0.05,
+                                       drop_high_frac=0.05)
+        samp = cluster_balanced_sample(pruned, key_col="vec_id",
+                                       alpha=0.5) \
+            .agg(F.count(F.lit(1)).alias("n_sampled"))
+        return prof.crossJoin(kw).crossJoin(samp)
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -559,7 +589,7 @@ def _bench_extra():
                 b17_dsir_select, b18_image_dedup,
                 b19_content_policy, b20_subseq_search,
                 b21_event_analytics, b22_rejection_audit,
-                b23_multi_decontam)}}
+                b23_multi_decontam, b24_cluster_mixture)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0

@@ -108,6 +108,27 @@ def test_cluster_balanced_sample_flattens_head(spark):
     assert again == counts
 
 
+def test_prune_prototypicality_cuts_both_tails(spark):
+    # one cell, cosines 0.1..1.0 in steps; drop bottom 20% / top 20%
+    rows = [(i, 0, 0.1 * i) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["vec_id", "cell_id",
+                                      "cos_to_centroid"])
+    kept = sorted(r["vec_id"] for r in
+                  clustering.prune_prototypicality(
+                      df, drop_low_frac=0.2, drop_high_frac=0.2)
+                  .collect())
+    # percent_rank over 10 rows = (rank-1)/9: keep 0.2 <= pr <= 0.8,
+    # i.e. ranks 3..8 (rank 9 sits at 8/9 ~ 0.889)
+    assert kept == [3, 4, 5, 6, 7, 8]
+    # NULL-cell rows are dropped, fraction validation trips
+    with_null = df.union(spark.createDataFrame(
+        [(99, None, None)], df.schema))
+    assert clustering.prune_prototypicality(with_null).count() == 10
+    with pytest.raises(ValueError):
+        clustering.prune_prototypicality(df, drop_low_frac=0.6,
+                                         drop_high_frac=0.5)
+
+
 def test_cluster_documents_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     n = emb.count()

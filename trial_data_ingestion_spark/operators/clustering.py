@@ -148,6 +148,29 @@ def cluster_keywords(assigned: DataFrame, text_col: str = "text",
                     F.round("lift", 6).alias("lift")))
 
 
+def prune_prototypicality(assigned: DataFrame,
+                          drop_low_frac: float = 0.0,
+                          drop_high_frac: float = 0.0) -> DataFrame:
+    """D4-style per-cluster pruning by prototypicality rank: within
+    each cell, drop the ``drop_high_frac`` most prototypical docs
+    (highest ``cos_to_centroid`` — dense-mode near-duplicates in
+    meaning space) and/or the ``drop_low_frac`` least prototypical
+    (loose-tail junk).  ``percent_rank`` ties break on the underlying
+    sort (cos asc), so equal-cosine docs prune together —
+    deterministic.  Unassigned (NULL-cell) docs are dropped: they
+    have no rank to defend.  One keyed shuffle on cell_id."""
+    if not (0 <= drop_low_frac < 1 and 0 <= drop_high_frac < 1
+            and drop_low_frac + drop_high_frac < 1):
+        raise ValueError("drop fractions must be in [0,1) and sum < 1")
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("cos_to_centroid").asc())
+    return (assigned.where(F.col("cell_id").isNotNull())
+            .withColumn("__pr", F.percent_rank().over(w))
+            .where((F.col("__pr") >= drop_low_frac)
+                   & (F.col("__pr") <= 1.0 - drop_high_frac))
+            .drop("__pr"))
+
+
 def cluster_balanced_sample(assigned: DataFrame, key_col: str,
                             alpha: float = 0.5,
                             max_rows: int | None = None,
