@@ -229,6 +229,39 @@ def test_html_to_main_text_spark_kernel(spark):
                                     "removed_char_frac"}
 
 
+def test_main_content_vs_line_dedup_on_planted_boilerplate(spark):
+    """The q64 composition strips shared nav/footer boilerplate with
+    CORPUS-WIDE line dedup; main-content extraction removes the same
+    boilerplate per document with NO corpus state — each doc's
+    main_text is exactly its original text (structural nav/footer
+    blocks die on the spot)."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.functions.html_text import (
+        html_to_main_text,
+    )
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(20))
+    pages = docs.select(
+        "doc_id", F.col("text").alias("orig"),
+        F.concat(
+            F.lit("<html><head><title>Doc x</title></head><body>"
+                  "<nav>home | topics | about | contact</nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer>corpus release archive footer"
+                  "</footer></body></html>")).alias("html"))
+    out = html_to_main_text(pages).collect()
+    assert len(out) == 20
+    for r in out:
+        want = "\n".join(" ".join(l.split()) for l in
+                         r["orig"].split("\n") if l.strip())
+        assert r["main_text"] == " ".join(want.split("\n")) or \
+            r["main_text"] == want
+        assert "home | topics" not in r["main_text"]
+        assert "archive footer" not in r["main_text"]
+
+
 def test_extract_links_known_answers():
     from trial_data_ingestion_spark.functions.html_text import (
         extract_links,
