@@ -46,6 +46,40 @@ def test_cluster_documents_known_assignment(toy):
     assert len(out) == 6
 
 
+def test_cluster_documents_zero_shuffle_and_tie_rule(toy, spark):
+    df, cents = toy
+    assigned = clustering.cluster_documents(df, dim=4, centroids=cents)
+    # narrow path: the assignment plan has NO exchange at all
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    # cosine tie (vector equidistant from both centroids) -> smaller cell
+    tie = spark.createDataFrame(
+        [(42, [1.0, 1.0, 0.0, 0.0], "tie text")],
+        ["vec_id", "embedding", "text"])
+    row = clustering.cluster_documents(tie, dim=4,
+                                       centroids=cents).collect()[0]
+    assert row["cell_id"] == 0
+    assert row["cos_to_centroid"] == pytest.approx(2 ** -0.5)
+
+
+def test_cluster_documents_fallback_path_parity(toy, monkeypatch):
+    df, cents = toy
+    narrow = {(r["vec_id"]): (r["cell_id"], r["cos_to_centroid"])
+              for r in clustering.cluster_documents(
+                  df, dim=4, centroids=cents).collect()}
+    monkeypatch.setattr(clustering, "_NARROW_TERM_LIMIT", 1)
+    wide = {(r["vec_id"]): (r["cell_id"], r["cos_to_centroid"])
+            for r in clustering.cluster_documents(
+                df, dim=4, centroids=cents).collect()}
+    assert set(narrow) == set(wide)
+    for k in narrow:
+        assert narrow[k][0] == wide[k][0]
+        if narrow[k][1] is None:
+            assert wide[k][1] is None
+        else:
+            assert narrow[k][1] == pytest.approx(wide[k][1])
+
+
 def test_cluster_profile_counts_and_share(toy):
     df, cents = toy
     assigned = clustering.cluster_documents(df, dim=4, centroids=cents)

@@ -62,6 +62,29 @@ def test_quality_filter_learns_and_generalizes(spark):
     assert all(0.0 <= r["keep_prob"] <= 1.0 for r in got)
 
 
+def test_fitted_models_carry_no_training_summary(spark):
+    """Regression: the LR trainingSummary pins the SparkSession, and
+    transform's prediction UDF captures the model — with the summary
+    retained, task serialization dies on the session's
+    ObservationManager (order-dependent: surfaced only in full-suite
+    runs after Observation-using tests).  Both fit paths must return
+    summary-free models."""
+    from trial_data_ingestion_spark.operators.quality_filter import (
+        fit_quality_filter, fit_text_quality_filter,
+    )
+    from trial_data_ingestion_spark.operators.textstats import (
+        hygiene_report,
+    )
+    rows = _corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string, label double")
+    rep = hygiene_report(df, lid="native").join(
+        df.select("doc_id", "label"), "doc_id")
+    for model in (fit_quality_filter(rep),
+                  fit_text_quality_filter(df)):
+        for st in model.stages:
+            assert not getattr(st, "hasSummary", False), type(st)
+
+
 def test_quality_filter_model_save_load_round_trip(spark, tmp_path):
     """The persistence contract the docstring claims: at 100 TB the
     artifact a sweep reuses is the saved model, not the fit.  Scores

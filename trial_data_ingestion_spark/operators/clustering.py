@@ -41,6 +41,19 @@ from trial_data_ingestion_spark.operators.semantic_dedup import (
 )
 
 
+#: above this many literal multiply-add terms (k * dim) the argmax
+#: projection risks blowing codegen's method-size limits; fall back
+#: to the broadcast crossJoin + window path.
+_NARROW_TERM_LIMIT = 16_384
+
+
+def _unit_literal(vec: list) -> list | None:
+    import math
+
+    n = math.sqrt(sum(float(x) * float(x) for x in vec))
+    return [float(x) / n for x in vec] if n > 0 else None
+
+
 def cluster_documents(embeddings: DataFrame, dim: int,
                       num_clusters: int = 16,
                       id_col: str = "vec_id",
@@ -58,12 +71,46 @@ def cluster_documents(embeddings: DataFrame, dim: int,
     deterministic).  Zero-norm vectors have no direction: they come
     out with NULL ``cell_id``/``cos_to_centroid`` and are excluded
     from every downstream profile rather than polluting cell 0.
+
+    Scale shape: the codebook is collected (k rows) and inlined as
+    LITERALS, so assignment is one narrow codegen projection —
+    argmax over k cosine expressions via ``array_max`` on
+    ``(cos, -cell_id)`` structs (ties to the smaller cell) — ZERO
+    shuffle, and therefore usable unchanged on a streaming
+    DataFrame.  Past ``k * dim > 16384`` terms the projection falls
+    back to the broadcast crossJoin + per-id window path.
     """
     if centroids is None:
         centroids = sampled_kmeans_centroids(
             embeddings, dim, num_clusters=num_clusters, id_col=id_col,
             vec_col=vec_col, sample_size=sample_size, seed=seed)
+    cent_rows = sorted(centroids.select("cell_id", "centroid").collect(),
+                       key=lambda r: r["cell_id"])
+    cents = [(int(r["cell_id"]), _unit_literal(r["centroid"]))
+             for r in cent_rows]
+    cents = [(cid, cv) for cid, cv in cents if cv is not None]
+    if not cents:
+        raise ValueError("codebook has no non-zero centroid")
     unit = _with_unit(embeddings, vec_col, dim)
+
+    if len(cents) * dim <= _NARROW_TERM_LIMIT:
+        def lit_cos(cv):
+            out = F.element_at("__u", 1) * F.lit(cv[0])
+            for i in range(1, dim):
+                out = out + F.element_at("__u", i + 1) * F.lit(cv[i])
+            return out
+
+        best = F.array_max(F.array(*[
+            F.struct(lit_cos(cv).alias("cos"),
+                     F.lit(-cid).alias("neg"))
+            for cid, cv in cents]))
+        return (unit.withColumn(
+                    "__best", F.when(F.col("__u").isNotNull(), best))
+                .select(*embeddings.columns,
+                        (-F.col("__best.neg")).cast("int")
+                         .alias("cell_id"),
+                        F.col("__best.cos").alias("cos_to_centroid")))
+
     cnorm = l2_norm_fixed("centroid", dim)
     scored = (unit.where(F.col("__u").isNotNull())
               .crossJoin(F.broadcast(centroids))

@@ -29,6 +29,34 @@ DEFAULT_FEATURES = ["quality", "n_tokens", "n_subwords", "n_chars",
                     "top_bigram_ratio"]
 
 
+def _detach_training_summary(model):
+    """Drop the fitted LogisticRegression's ``trainingSummary`` from a
+    PipelineModel's stages (diagnostic-only; nothing here reads it).
+
+    The summary object pins the live SparkSession, and ``transform``'s
+    prediction UDF captures the whole model — so a retained summary
+    drags the session (whose ``ObservationManager`` is not
+    java-serializable in Spark 4.1) into every task closure.  The
+    failure is order-dependent at the suite level, which is exactly
+    why the field is stripped unconditionally at fit time rather than
+    worked around in tests.  Best-effort via the JVM setter; a model
+    loaded from disk never has a summary, so the save/load path is
+    already clean."""
+    try:
+        stages = getattr(model, "stages", None) or [model]
+        for st in stages:
+            j = getattr(st, "_java_obj", None)
+            if j is not None and getattr(st, "hasSummary", False):
+                from pyspark import SparkContext
+
+                empty = SparkContext._active_spark_context \
+                    ._jvm.scala.Option.empty()
+                j.setSummary(empty)
+    except Exception:
+        pass          # diagnostics field only — never fail a fit on it
+    return model
+
+
 def fit_quality_filter(labeled: DataFrame,
                        feature_cols: list[str] | None = None,
                        label_col: str = "label",
@@ -53,7 +81,7 @@ def fit_quality_filter(labeled: DataFrame,
                                 F.col(label_col).cast("double"))
     for c in cols:
         casted = casted.withColumn(c, F.col(c).cast("double"))
-    return pipe.fit(casted)
+    return _detach_training_summary(pipe.fit(casted))
 
 
 def fit_text_quality_filter(labeled: DataFrame,
@@ -102,7 +130,7 @@ def fit_text_quality_filter(labeled: DataFrame,
                                      regParam=1e-4))
     casted = labeled.withColumn(label_col,
                                 F.col(label_col).cast("double"))
-    return Pipeline(stages=stages).fit(casted)
+    return _detach_training_summary(Pipeline(stages=stages).fit(casted))
 
 
 def apply_text_quality_filter(df: DataFrame, model,
