@@ -62,22 +62,43 @@ def test_cluster_documents_zero_shuffle_and_tie_rule(toy, spark):
     assert row["cos_to_centroid"] == pytest.approx(2 ** -0.5)
 
 
-def test_cluster_documents_fallback_path_parity(toy, monkeypatch):
+def test_cluster_documents_kernel_matches_reference(toy):
+    """Arrow-kernel assignment equals a from-scratch python argmax
+    over unit cosines (the definition, computed with a different
+    association order)."""
+    import math
+
     df, cents = toy
-    narrow = {(r["vec_id"]): (r["cell_id"], r["cos_to_centroid"])
-              for r in clustering.cluster_documents(
-                  df, dim=4, centroids=cents).collect()}
-    monkeypatch.setattr(clustering, "_NARROW_TERM_LIMIT", 1)
-    wide = {(r["vec_id"]): (r["cell_id"], r["cos_to_centroid"])
-            for r in clustering.cluster_documents(
-                df, dim=4, centroids=cents).collect()}
-    assert set(narrow) == set(wide)
-    for k in narrow:
-        assert narrow[k][0] == wide[k][0]
-        if narrow[k][1] is None:
-            assert wide[k][1] is None
-        else:
-            assert narrow[k][1] == pytest.approx(wide[k][1])
+    got = {r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+           for r in clustering.cluster_documents(
+               df, dim=4, centroids=cents).collect()}
+    cent_rows = {r["cell_id"]: r["centroid"] for r in cents.collect()}
+    for row in df.collect():
+        v = row["embedding"]
+        n = math.sqrt(sum(x * x for x in v))
+        if n == 0:
+            assert got[row["vec_id"]] == (None, None)
+            continue
+        best = None
+        for cid in sorted(cent_rows):
+            c = cent_rows[cid]
+            cn = math.sqrt(sum(x * x for x in c))
+            cos = sum(a * b for a, b in zip(v, c)) / (n * cn)
+            if best is None or cos > best[1] + 1e-12:
+                best = (cid, cos)
+        assert got[row["vec_id"]][0] == best[0]
+        assert got[row["vec_id"]][1] == pytest.approx(best[1])
+
+
+def test_cluster_documents_ragged_and_null_vectors(spark, toy):
+    _, cents = toy
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]), (2, None), (3, [1.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r["cell_id"] for r in
+           clustering.cluster_documents(df, dim=4,
+                                        centroids=cents).collect()}
+    assert out == {1: 0, 2: None, 3: None}
 
 
 def test_cluster_profile_counts_and_share(toy):
