@@ -184,6 +184,74 @@ def test_prune_prototypicality_cuts_both_tails(spark):
                                          drop_high_frac=0.5)
 
 
+def test_centroid_store_round_trip_and_drift(toy, spark, tmp_path):
+    import math
+
+    df, cents = toy
+    path = str(tmp_path / "centroids")
+    clustering.write_centroids(cents, path)
+    loaded = clustering.load_centroids(spark, path)
+    assert {(r["cell_id"], tuple(r["centroid"]))
+            for r in loaded.collect()} == \
+        {(r["cell_id"], tuple(r["centroid"])) for r in cents.collect()}
+    df.write.mode("overwrite").parquet(str(tmp_path / "not_cents"))
+    with pytest.raises(ValueError):
+        clustering.load_centroids(spark, str(tmp_path / "not_cents"))
+
+    # drift between two snapshots assigned against the SAME codebook
+    a1 = clustering.cluster_documents(df, dim=4, centroids=loaded)
+    p1 = clustering.cluster_profile(a1)
+    # second snapshot: drop both cell-1 docs -> mix shifts to {0: 1.0}
+    a2 = clustering.cluster_documents(
+        df.where("vec_id not in (4, 5)"), dim=4, centroids=loaded)
+    p2 = clustering.cluster_profile(a2)
+    drift = {r["cell_id"]: r for r in
+             clustering.cluster_drift_report(p1, p2).collect()}
+    assert drift[0]["share_old"] == pytest.approx(0.6)
+    assert drift[0]["share_new"] == pytest.approx(1.0)
+    assert drift[1]["share_new"] == 0.0
+    js = sum(r["js_term"] for r in drift.values())
+
+    def _js(p, q):
+        tot = 0.0
+        for a, b in zip(p, q):
+            m = (a + b) / 2
+            if a > 0:
+                tot += a * math.log(a / m) / 2
+            if b > 0:
+                tot += b * math.log(b / m) / 2
+        return tot
+
+    assert js == pytest.approx(_js([0.6, 0.4], [1.0, 0.0]))
+    # identical snapshots: zero drift everywhere
+    zero = clustering.cluster_drift_report(p1, p1).collect()
+    assert all(r["js_term"] == pytest.approx(0.0)
+               and r["share_delta"] == pytest.approx(0.0) for r in zero)
+
+
+def test_cluster_assignment_streaming_parity(toy, spark, tmp_path):
+    """cluster_documents is a stateless zero-shuffle kernel, so the
+    SAME call must work on a streaming DataFrame and emit exactly
+    the batch rows (given the same persisted codebook)."""
+    df, cents = toy
+    src = str(tmp_path / "stream_src")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (clustering.cluster_documents(stream, dim=4, centroids=cents)
+         .select("vec_id", "cell_id", "cos_to_centroid")
+         .writeStream.format("memory").queryName("s_cluster")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cluster"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+           for r in spark.sql("SELECT * FROM s_cluster").collect()}
+    want = {r["vec_id"]: (r["cell_id"], r["cos_to_centroid"])
+            for r in clustering.cluster_documents(
+                df, dim=4, centroids=cents).collect()}
+    assert got == want and len(got) == 6
+
+
 def test_cluster_documents_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     n = emb.count()

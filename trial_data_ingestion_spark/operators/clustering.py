@@ -130,6 +130,52 @@ def cluster_documents(embeddings: DataFrame, dim: int,
     return embeddings.mapInPandas(kernel, schema=out_schema)
 
 
+def write_centroids(centroids: DataFrame, path: str) -> None:
+    """Persist a codebook (k rows) so future batches — and streaming
+    micro-batches — assign against the SAME cells: stable cell_ids
+    are the contract that makes profiles comparable across snapshots
+    (the incremental-index pattern: fit once, probe forever)."""
+    centroids.select("cell_id", "centroid").coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> DataFrame:
+    df = spark.read.parquet(path)
+    missing = {"cell_id", "centroid"} - set(df.columns)
+    if missing:
+        raise ValueError(f"not a centroid store: missing {missing}")
+    return df
+
+
+def cluster_drift_report(profile_old: DataFrame,
+                         profile_new: DataFrame) -> DataFrame:
+    """Topic-mix drift between two :func:`cluster_profile` snapshots
+    taken against the SAME persisted codebook: per-cell
+    ``share_old/share_new/share_delta`` plus each cell's
+    Jensen-Shannon term (``js_term``, natural log; ``sum(js_term)``
+    is the corpus-level JS divergence, 0 = identical mix).  A cell
+    missing from one side reads as share 0 — new topics appearing
+    and old topics dying both surface.  k-row frames: every op here
+    is driver-scale."""
+    o = profile_old.select("cell_id", F.col("share").alias("share_old"))
+    n = profile_new.select("cell_id", F.col("share").alias("share_new"))
+    j = (o.join(n, "cell_id", "full_outer")
+         .select("cell_id",
+                 F.coalesce("share_old", F.lit(0.0)).alias("share_old"),
+                 F.coalesce("share_new", F.lit(0.0)).alias("share_new")))
+    m = (F.col("share_old") + F.col("share_new")) / 2
+    term = (F.when(F.col("share_old") > 0,
+                   F.col("share_old") * F.log(F.col("share_old") / m) / 2)
+            .otherwise(0.0)
+            + F.when(F.col("share_new") > 0,
+                     F.col("share_new") * F.log(F.col("share_new") / m) / 2)
+            .otherwise(0.0))
+    return (j.withColumn("share_delta",
+                         F.col("share_new") - F.col("share_old"))
+            .withColumn("js_term", term)
+            .orderBy("cell_id"))
+
+
 def cluster_profile(assigned: DataFrame,
                     size_col: str | None = None) -> DataFrame:
     """Per-cluster census over :func:`cluster_documents` output:
@@ -164,8 +210,13 @@ def cluster_keywords(assigned: DataFrame, text_col: str = "text",
     ``min_cluster_df`` distinct docs of the cell — a single weird
     document cannot name a cluster.
 
-    Two shuffles, both on (cell, token) — token-cardinality keyed,
-    corpus-size independent after the map-side combine."""
+    Scale shape: the wide ops are keyed on (cell, token), token, and
+    cell — all map-side-combined aggregates or keyed windows over the
+    already-aggregated (cell, token) table, never the corpus.  The
+    corpus-wide token total is a scalar aggregate broadcast back via
+    crossJoin — NOT a ``Window.partitionBy()`` (that is a
+    SinglePartition exchange: every (cell, token) row through one
+    task)."""
     toks = (assigned.where(F.col("cell_id").isNotNull())
             .select("cell_id",
                     F.col(id_col).alias("__doc"),
@@ -177,12 +228,12 @@ def cluster_keywords(assigned: DataFrame, text_col: str = "text",
                      F.countDistinct("__doc").alias("df"))
                 .where(F.col("df") >= min_cluster_df))
     cell_tot = Window.partitionBy("cell_id")
-    corpus_tot = Window.partitionBy()
     token_tot = Window.partitionBy("token")
+    corpus_n = per_cell.agg(F.sum("cnt").alias("__corpus_n"))
     scored = (per_cell
               .withColumn("__cell_n", F.sum("cnt").over(cell_tot))
               .withColumn("__tok_n", F.sum("cnt").over(token_tot))
-              .withColumn("__corpus_n", F.sum("cnt").over(corpus_tot))
+              .crossJoin(F.broadcast(corpus_n))
               .withColumn("lift",
                           (F.col("cnt") / F.col("__cell_n"))
                           / (F.col("__tok_n") / F.col("__corpus_n"))))
