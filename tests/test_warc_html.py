@@ -285,6 +285,32 @@ def test_extract_links_known_answers():
     assert extract_links("<a href='x" ) == []
 
 
+def test_extract_links_with_anchor_text(spark):
+    from trial_data_ingestion_spark.functions.html_text import (
+        extract_links, html_to_anchor_links,
+    )
+    html = ('<p><a href="https://a.com/x">Great <b>article</b>\n here</a>'
+            '<a href="https://b.com/">  </a>'
+            '<a href="#frag">skip</a>'
+            '<a href="mailto:x@y.z">skip too</a>'
+            '<a href="/rel">relative link</a>'
+            '<a href="https://a.com/x">dup ignored</a></p>')
+    pairs = extract_links(html, base_url="https://base.org/p/",
+                          with_text=True)
+    assert pairs == [("https://a.com/x", "Great article here"),
+                     ("https://b.com/", ""),
+                     ("https://base.org/rel", "relative link")]
+    # plain mode unchanged
+    assert extract_links(html, base_url="https://base.org/p/") == \
+        [u for u, _ in pairs]
+    # Spark kernel: struct array rides along, explodable
+    df = spark.createDataFrame([(1, html, "https://base.org/p/")],
+                               ["doc_id", "html", "url"])
+    out = html_to_anchor_links(df).selectExpr(
+        "doc_id", "inline(anchor_links)").collect()
+    assert [(r["url"], r["anchor"]) for r in out] == pairs
+
+
 def test_html_links_to_domain_pagerank(spark):
     """The crawl loop end-to-end: html -> links -> registrable-domain
     edges -> pagerank.  The most-cited domain ranks first."""

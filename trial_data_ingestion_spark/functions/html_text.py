@@ -264,22 +264,44 @@ def html_to_main_text(df: DataFrame, html_col: str = "html",
 
 
 class _LinkExtractor(HTMLParser):
+    """Collects (href, anchor text) pairs; text accumulates between
+    an anchor's open and close tags (nested anchors are invalid HTML
+    — the inner open implicitly closes the outer, matching browser
+    recovery)."""
+
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self.hrefs: list = []
+        self.hrefs: list = []          # (href, [text parts])
+        self._open = False
 
     def handle_starttag(self, tag, attrs):
         if tag == "a":
+            self._open = False
             for k, v in attrs:
                 if k == "href" and v:
-                    self.hrefs.append(v)
+                    self.hrefs.append((v, []))
+                    self._open = True
+                    break
+
+    def handle_endtag(self, tag):
+        if tag == "a":
+            self._open = False
+
+    def handle_data(self, data):
+        if self._open and self.hrefs:
+            self.hrefs[-1][1].append(data)
 
 
-def extract_links(html: str, base_url: str | None = None) -> list:
+def extract_links(html: str, base_url: str | None = None,
+                  with_text: bool = False) -> list:
     """Ordered, de-duplicated outbound link URLs from anchor hrefs;
     relative hrefs resolve against ``base_url`` (RFC 3986 join);
     fragment-only and non-http(s) schemes (mailto:, javascript:)
-    are dropped."""
+    are dropped.  With ``with_text`` each entry is an
+    ``(url, anchor_text)`` pair (first occurrence's text,
+    whitespace-normalized, empty string for imageless/empty anchors)
+    — anchor text is the classic relevance signal for link-graph
+    features and URL-level quality models."""
     from urllib.parse import urljoin, urlparse
 
     p = _LinkExtractor()
@@ -289,7 +311,7 @@ def extract_links(html: str, base_url: str | None = None) -> list:
     except Exception:
         pass
     out, seen = [], set()
-    for h in p.hrefs:
+    for h, parts in p.hrefs:
         h = h.strip()
         if not h or h.startswith("#"):
             continue
@@ -299,7 +321,8 @@ def extract_links(html: str, base_url: str | None = None) -> list:
             continue
         if u not in seen:
             seen.add(u)
-            out.append(u)
+            out.append((u, " ".join("".join(parts).split()))
+                       if with_text else u)
     return out
 
 
@@ -326,6 +349,39 @@ def html_to_links(df: DataFrame, html_col: str = "html",
                     h = bytes(h).decode("utf-8", "replace")
                 links.append(extract_links(
                     h, b if isinstance(b, str) else None))
+            pdf = pdf.copy()
+            pdf[out_col] = links
+            yield pdf
+
+    return df.mapInPandas(kernel, schema=out_schema)
+
+
+def html_to_anchor_links(df: DataFrame, html_col: str = "html",
+                         base_url_col: str | None = "url",
+                         out_col: str = "anchor_links") -> DataFrame:
+    """Attach ``out_col array<struct<url string, anchor string>>`` —
+    outbound links WITH their anchor text (the relevance signal
+    link-graph features and URL quality models train on).  Same
+    dedup/scheme rules as :func:`html_to_links`; same stateless
+    Arrow-kernel contract."""
+    import pandas as pd
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    out_schema = (f"{fields}, {out_col} "
+                  f"array<struct<url: string, anchor: string>>")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            links = []
+            bases = (pdf[base_url_col] if base_url_col in pdf.columns
+                     else [None] * len(pdf))
+            for h, b in zip(pdf[html_col], bases):
+                if isinstance(h, (bytes, bytearray)):
+                    h = bytes(h).decode("utf-8", "replace")
+                links.append(extract_links(
+                    h, b if isinstance(b, str) else None,
+                    with_text=True))
             pdf = pdf.copy()
             pdf[out_col] = links
             yield pdf
