@@ -58,6 +58,43 @@ def test_flatten_custom_template(spark):
     assert got == "### user: a\n\n### assistant: b"
 
 
+def test_redact_conversation_pii(spark):
+    from trial_data_ingestion_spark.operators.conversations import (
+        flatten_conversation, redact_conversation_pii,
+    )
+    rows = [(0, _conv(
+        ("user", "mail me at a.b+1@corp.io or call 415-555-1234"),
+        ("assistant", "sent to 10.0.0.1 just now"),
+        ("user", None)))]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = df.select(
+        redact_conversation_pii(F.col("messages")).alias("m")).collect()[0]
+    msgs = out["m"]
+    assert msgs[0]["content"] == "mail me at [EMAIL] or call [PHONE]"
+    assert msgs[1]["content"] == "sent to [IP] just now"
+    assert msgs[2]["content"] is None          # defect, not redaction
+    assert [m["role"] for m in msgs] == ["user", "assistant", "user"]
+    # composes before flattening: placeholders land in the rendering
+    flat = df.select(flatten_conversation(
+        redact_conversation_pii(F.col("messages"))).alias("t")) \
+        .collect()[0]["t"]
+    assert "[EMAIL]" in flat and "415" not in flat
+
+
+def test_redact_conversation_pii_preserves_extra_fields(spark):
+    from trial_data_ingestion_spark.operators.conversations import (
+        redact_conversation_pii,
+    )
+    schema = ("conv_id long, messages array<struct<role:string, "
+              "content:string, weight:double>>")
+    df = spark.createDataFrame(
+        [(0, [{"role": "user", "content": "ip 10.0.0.1",
+               "weight": 0.5}])], schema)
+    m = df.select(redact_conversation_pii(F.col("messages"))
+                  .alias("m")).collect()[0]["m"][0]
+    assert m["content"] == "ip [IP]" and m["weight"] == 0.5
+
+
 def test_validate_turns_defect_taxonomy(spark):
     from trial_data_ingestion_spark.operators.conversations import (
         validate_turns,

@@ -73,6 +73,22 @@ def conversation_fingerprint(msgs: Column) -> Column:
     return F.md5(F.array_join(norm, TURN_SEP))
 
 
+def redact_conversation_pii(msgs: Column) -> Column:
+    """Scrub emails / IPv4s / phone-shaped digit runs from every
+    turn's content (typed placeholders via
+    :func:`textstats.redact_pii`) — the chat-tier twin of the
+    document scrub pass, applied BEFORE flattening so the
+    placeholders land in every downstream rendering and span.
+    ``withField`` rewrites only ``content``: roles and any extra turn
+    fields (weights, names, tool ids) pass through untouched, and
+    NULL content stays NULL (a missing turn body is a
+    ``validate_turns`` defect, not an empty redaction)."""
+    from trial_data_ingestion_spark.operators.textstats import redact_pii
+
+    return F.transform(
+        msgs, lambda m: m.withField("content", redact_pii(m["content"])))
+
+
 def validate_turns(msgs: Column,
                    roles: tuple = ("system", "user", "assistant"),
                    require_alternation: bool = True) -> Column:
