@@ -129,7 +129,10 @@ DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  "q59_gopher_rules", "q60_dsir_score",
                  # chat tier: rendering/normalization arithmetic over
                  # 10x the text (multi-byte boundaries, longer runs)
-                 "q61_conversation_hygiene"]
+                 "q61_conversation_hygiene",
+                 # clustering: argmax stability over 4x the vectors
+                 # (measured top-2 cosine gap >= 1e-5 at every scale)
+                 "q66_cluster_assign"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

@@ -2307,6 +2307,64 @@ def q63_retention(spark, sf_dir):
                  + 0.5) / 1_000_000).alias("retention"))
 
 
+@_retire("q66_cluster_assign", """
+WITH c AS (
+  -- ::DOUBLE[] everywhere: on FLOAT[] inputs DuckDB's
+  -- list_dot_product ACCUMULATES in float32 (~1e-6 error — flips
+  -- 6dp rounding); float32 values widened to double dot exactly
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.emb, c.centroid)
+           / (sqrt(list_dot_product(e.emb, e.emb))
+              * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+  FROM e CROSS JOIN c
+  WHERE list_dot_product(e.emb, e.emb) > 0
+),
+best AS (
+  SELECT vec_id, cell_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cell_id ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, cell_id,
+       floor(cos * 1000000 + 0.5) / 1000000 AS cos_to_centroid
+FROM best WHERE rn = 1 ORDER BY vec_id
+""")
+def q66_cluster_assign(spark, sf_dir):
+    """Nearest-centroid cell assignment (clustering.cluster_documents'
+    Arrow matmul kernel) value-hashed against DuckDB's own
+    list_cosine_similarity + argmax — pytest-registry slot (the
+    driver budget is full at 50; this is the clustering tier's
+    correctness gate).  Centroids are the deterministic first-16
+    vectors (the q31 convention) so the oracle can rebuild the
+    codebook from SQL alone; production codebooks come from
+    sampled_kmeans_centroids, which changes the centers, not the
+    assignment math under test.  The tie rule (max cos, then min
+    cell) is shared; measured top-2 cosine gaps on every testdata
+    scale are >= 1e-5, far above cross-engine float noise, so the
+    argmax cannot flip.  Cosines use the floor idiom at 6dp."""
+    from trial_data_ingestion_spark.operators.clustering import (
+        cluster_documents,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = first_id_centroids(emb, num_cells=16)
+    out = cluster_documents(emb, dim=64, centroids=cents)
+    return (out.where(F.col("cell_id").isNotNull())
+            .select("vec_id", F.col("cell_id").cast("long").alias("cell_id"),
+                    (F.floor(F.col("cos_to_centroid") * 1_000_000.0
+                             + 0.5) / 1_000_000)
+                    .alias("cos_to_centroid")))
+
+
 @_register("q64_release_pipeline")
 def q64_release_pipeline(spark, sf_dir):
     """End-to-end web-release composition, graded rows-only (the
