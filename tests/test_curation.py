@@ -145,6 +145,44 @@ def test_curate_end_to_end(spark):
     assert again == ids
 
 
+def test_curate_redact_pii_stage(spark):
+    """redact_pii=True: placeholders in every surviving text, the
+    raw values gone, and two docs differing ONLY in the redacted
+    value collapse to one exact dupe (redaction runs before
+    fingerprinting).  The audit sees the same text: survivor ids
+    stay identical to curate()'s."""
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate, rejection_audit,
+    )
+    base = ("please contact our support team about the renewal at {} "
+            "before the end of the quarter thanks")
+    rows = [(0, base.format("alice@corp.io")),
+            (1, base.format("bob@other.org")),      # dupe of 0 post-redact
+            (2, "a completely different well formed document about "
+                "spark shuffle partitioning and broadcast joins")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = CurationConfig(lid="native", redact_pii=True)
+    out = curate(docs, config=cfg).collect()
+    ids = sorted(r["doc_id"] for r in out)
+    assert ids == [0, 2]          # 1 became an exact dupe of 0
+    texts = {r["doc_id"]: r["text"] for r in out}
+    assert "[EMAIL]" in texts[0] and "alice" not in texts[0]
+    # off by default: both email docs survive, raw text intact
+    off = curate(docs, config=CurationConfig(lid="native")).collect()
+    assert sorted(r["doc_id"] for r in off) == [0, 1, 2]
+    assert "alice@corp.io" in {r["doc_id"]: r["text"]
+                               for r in off}[0]
+    # audit parity under the redact config
+    audit = rejection_audit(docs, config=cfg)
+    survivors = sorted(r["doc_id"] for r in
+                       audit.where(F.col("reason").isNull()).collect())
+    assert survivors == ids
+    reasons = {r["doc_id"]: r["reason"] for r in audit.collect()}
+    assert reasons[1] == "exact_dup"
+
+
 def test_curate_incremental_matches_full(spark, tmp_path):
     """curate(A ∪ B) must equal curate(A) ∪ curate_incremental(B)
     row-for-row when batch ids sort after corpus ids: the delta path

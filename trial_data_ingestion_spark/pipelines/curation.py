@@ -95,6 +95,15 @@ class CurationConfig:
     #: score_perplexity (one per-doc aggregate — the only stage here
     #: that shuffles, documented cost) and buckets with global cuts
     ppl_keep_buckets: tuple = ("head", "middle")
+    #: True = rewrite emails/IPv4s/phone-shaped runs to typed
+    #: placeholders (textstats.redact_pii) as the FIRST text
+    #: transform, before any signal, fingerprint, or gram is
+    #: computed: redacting up front makes docs differing only in the
+    #: redacted value exact dupes (the desired dedup behavior), keeps
+    #: decontam's raw flag source consistent with the shipped text,
+    #: and costs three native regexp passes — no extra stage.  A
+    #: rewrite, not a gate: rejection_audit parity is unaffected.
+    redact_pii: bool = False
 
 
 #: columns hygiene_report attaches — same-named input columns are
@@ -152,6 +161,18 @@ def _ppl_gate(gated: DataFrame, ppl_lm,
                 cfg.id_col))
 
 
+def _maybe_redact(docs: DataFrame, cfg: CurationConfig) -> DataFrame:
+    """The ``redact_pii`` rewrite, shared verbatim by curate /
+    curate_incremental / rejection_audit so all three see identical
+    text (the audit's survivor-parity invariant depends on it)."""
+    if not cfg.redact_pii:
+        return docs
+    from trial_data_ingestion_spark.operators.textstats import redact_pii
+
+    return docs.withColumn(cfg.text_col,
+                           redact_pii(F.col(cfg.text_col)))
+
+
 def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            config: CurationConfig | None = None,
            dsir_target: DataFrame | None = None,
@@ -191,6 +212,10 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
         return df.observe(metrics[name],
                           F.count(F.lit(1)).alias("rows"))
 
+    # PII redaction is the first text transform (see the config
+    # field's rationale) — ABOVE raw_input, so decontam's raw flag
+    # source grams the same redacted text the survivors carry
+    docs = _maybe_redact(docs, cfg)
     # decontam's raw flag source must stay OBSERVE-FREE: it re-reads
     # the input subtree, and a CollectMetrics node evaluated in two
     # branches of one query would double-fire its observation.  The
@@ -346,6 +371,7 @@ def curate_incremental(new_docs: DataFrame, existing_curated: DataFrame,
             "batch against the persisted line store with "
             "operators.line_dedup.line_dedup_incremental (or the "
             "streaming sink) before curating it.")
+    new_docs = _maybe_redact(new_docs, cfg)
     if cfg.url_col is not None:
         from trial_data_ingestion_spark.operators.url_filter import (
             filter_urls,
@@ -451,7 +477,7 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
             "curate()'s output instead")
     idc, txt = cfg.id_col, cfg.text_col
 
-    work = docs
+    work = _maybe_redact(docs, cfg)
     has_url = cfg.url_col is not None
     if has_url:
         from trial_data_ingestion_spark.operators.url_filter import (
