@@ -252,6 +252,46 @@ def test_cluster_assignment_streaming_parity(toy, spark, tmp_path):
     assert got == want and len(got) == 6
 
 
+def test_clustered_document_sink_reloads_codebook(toy, spark, tmp_path):
+    """The foreachBatch sink loads the codebook per micro-batch: a
+    refreshed store changes assignments for LATER batches with no
+    stream restart."""
+    df, cents = toy
+    cpath = str(tmp_path / "cents")
+    out = str(tmp_path / "assigned")
+    src = str(tmp_path / "src")
+    clustering.write_centroids(cents, cpath)
+    df.where("vec_id <= 3").write.mode("append").parquet(src)
+
+    from trial_data_ingestion_spark.streaming.documents import (
+        clustered_document_sink,
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    writer = clustered_document_sink(stream, cpath, out, dim=4)
+    q = writer.option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got1 = {r["vec_id"]: r["cell_id"] for r in
+            spark.read.parquet(out).collect()}
+    assert got1 == {1: 0, 2: 0, 3: 0}
+
+    # refresh the codebook (swap the two centroids' ids), add a batch
+    swapped = cents.selectExpr("cast(1 - cell_id as int) as cell_id",
+                               "centroid")
+    clustering.write_centroids(swapped, cpath)
+    df.where("vec_id >= 4").write.mode("append").parquet(src)
+    q = clustered_document_sink(
+        spark.readStream.schema(df.schema).parquet(src), cpath, out,
+        dim=4).option("checkpointLocation", str(tmp_path / "ck")) \
+        .trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    got2 = {r["vec_id"]: r["cell_id"] for r in
+            spark.read.parquet(out).collect()}
+    # earlier batch rows untouched; new rows use the refreshed ids
+    assert got2[1] == 0 and got2[4] == 0 and got2[5] == 0
+    assert got2[6] is None
+
+
 def test_cluster_documents_real_embeddings(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     n = emb.count()

@@ -203,6 +203,33 @@ def line_deduped_document_sink(docs: DataFrame, index_path: str,
     return docs.writeStream.foreachBatch(sink)
 
 
+def clustered_document_sink(embeddings: DataFrame, centroid_path: str,
+                            out_path: str, dim: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Streaming topic-cell assignment that RE-LOADS the persisted
+    codebook every micro-batch: a codebook refresh (periodic re-fit
+    over the grown corpus, written with
+    ``clustering.write_centroids``) takes effect without a stream
+    restart.  For a fixed codebook the zero-overhead path is calling
+    ``clustering.cluster_documents`` directly on the stream —
+    assignment is a stateless Arrow kernel, and the centroids are
+    then pinned at plan time for the stream's lifetime.  Assigned
+    batches append as parquet at ``out_path``; returns the
+    ``DataStreamWriter`` — caller picks the trigger."""
+    from trial_data_ingestion_spark.operators.clustering import (
+        cluster_documents, load_centroids,
+    )
+
+    def sink(batch_df, batch_id):
+        cents = load_centroids(batch_df.sparkSession, centroid_path)
+        out = cluster_documents(batch_df, dim=dim, id_col=id_col,
+                                vec_col=vec_col, centroids=cents)
+        out.write.mode("append").parquet(out_path)
+
+    return embeddings.writeStream.foreachBatch(sink)
+
+
 def deduped_media_sink(media: DataFrame, index_path: str,
                        out_path: str, hasher=None):
     """Streaming perceptual media dedup: every micro-batch runs
