@@ -417,3 +417,38 @@ def test_temperature_mixture_token_units(spark):
     assert toks["wiki"] == 20_000
     share = toks["web"] / (toks["web"] + toks["wiki"])
     assert abs(share - 0.75) < 0.08, toks
+
+
+def test_leakage_safe_split_families_move_together(spark):
+    """Confirmed near-dup families land in ONE split; docs outside
+    any pair keep exactly the split plain split_by_hash gives their
+    own id (enabling leakage safety never reshuffles clean docs)."""
+    from trial_data_ingestion_spark.operators.sampling import (
+        leakage_safe_split, split_by_hash,
+    )
+    docs = spark.createDataFrame([(i,) for i in range(200)],
+                                 ["doc_id"])
+    # three families incl. a transitive chain, rest unpaired
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 3), (10, 11), (50, 199)], ["doc_a", "doc_b"])
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = {r["doc_id"]: r["split"] for r in
+           leakage_safe_split(docs, pairs, "doc_id", w).collect()}
+    assert got[1] == got[2] == got[3]
+    assert got[10] == got[11]
+    assert got[50] == got[199]
+    plain = {r["doc_id"]: r["split"] for r in
+             split_by_hash(docs, "doc_id", w).collect()}
+    paired = {1, 2, 3, 10, 11, 50, 199}
+    for i in set(plain) - paired:
+        assert got[i] == plain[i]
+    # family hashes on its min-id label: the family's split equals
+    # the label doc's plain split
+    assert got[1] == plain[1] and got[10] == plain[10]
+    assert got[50] == plain[50]
+    # deterministic
+    again = {r["doc_id"]: r["split"] for r in
+             leakage_safe_split(docs, pairs, "doc_id", w).collect()}
+    assert again == got
+    with pytest.raises(ValueError):
+        leakage_safe_split(docs, pairs, "doc_id", {"train": 0.5})

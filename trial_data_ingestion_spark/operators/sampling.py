@@ -78,6 +78,38 @@ def split_by_hash(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def leakage_safe_split(df: DataFrame, pairs: DataFrame, id_col: str,
+                       weights: dict[str, float],
+                       seed: str = "s0",
+                       out_col: str = "split") -> DataFrame:
+    """:func:`split_by_hash`, but near-duplicate FAMILIES move as a
+    unit: every doc in a connected component of the confirmed-pair
+    graph (MinHash/SimHash/embedding verify output — any
+    ``(doc_a, doc_b)`` frame) hashes on its component label instead
+    of its own id, so a paraphrase can never land in train while its
+    twin sits in test — the split-leakage failure mode
+    ``decontam.split_leakage_report`` audits after the fact, closed
+    off at assignment time.
+
+    Scale: component labels exist only for the dup subset (pairs,
+    not corpus); the label table broadcast-joins back and unpaired
+    docs fall through to their own id via coalesce — one corpus
+    scan, no corpus shuffle beyond the join."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+
+    pairs = pairs.select("doc_a", "doc_b").localCheckpoint()
+    labels = connected_components_min_label(pairs).withColumnRenamed(
+        "doc", id_col)
+    keyed = (df.join(F.broadcast(labels), id_col, "left")
+             .withColumn("__split_key",
+                         F.coalesce(F.col("label"), F.col(id_col)))
+             .drop("label"))
+    return split_by_hash(keyed, "__split_key", weights, seed=seed,
+                         out_col=out_col).drop("__split_key")
+
+
 def stratified_sample(df: DataFrame, strata_col: str,
                       fractions: dict[str, float],
                       key_col: str,
