@@ -452,3 +452,43 @@ def test_leakage_safe_split_families_move_together(spark):
     assert again == got
     with pytest.raises(ValueError):
         leakage_safe_split(docs, pairs, "doc_id", {"train": 0.5})
+
+
+def test_plan_mixture_recipe_table(spark):
+    from trial_data_ingestion_spark.operators.sampling import (
+        mixture_with_epochs, plan_mixture,
+    )
+    rows = ([(i, "web") for i in range(80)]
+            + [(1000 + i, "wiki") for i in range(20)])
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    # alpha=1: natural proportions, planned = share * total
+    p1 = {r["source"]: r for r in
+          plan_mixture(df, "source", target_total=50).collect()}
+    assert p1["web"]["natural_share"] == pytest.approx(0.8)
+    assert p1["web"]["target_share"] == pytest.approx(0.8)
+    assert p1["web"]["planned"] == pytest.approx(40.0)
+    assert p1["wiki"]["epochs_needed"] == pytest.approx(0.5)
+    assert p1["web"]["feasible"] and p1["wiki"]["feasible"]
+    # alpha=0.5 flattens toward the tail: sqrt(80):sqrt(20) = 2:1
+    p2 = {r["source"]: r for r in
+          plan_mixture(df, "source", target_total=150,
+                       alpha=0.5).collect()}
+    assert p2["web"]["target_share"] == pytest.approx(2 / 3)
+    assert p2["wiki"]["target_share"] == pytest.approx(1 / 3)
+    # wiki needs 150/3 = 50 from 20 available -> 2.5 epochs
+    assert p2["wiki"]["epochs_needed"] == pytest.approx(2.5)
+    assert p2["wiki"]["feasible"]
+    assert not plan_mixture(df, "source", target_total=150, alpha=0.5,
+                            max_epochs=2).where(
+                                "source = 'wiki'").collect()[0]["feasible"]
+    # the plan EXECUTES: mixture_with_epochs at the planned weights
+    # lands near the planned per-source volumes (downsampled sources
+    # draw by content-stable hash fraction, so +/-10% at n=80)
+    weights = {s: p2[s]["target_share"] for s in p2}
+    out = mixture_with_epochs(df, "source", weights, "doc_id",
+                              total_rows=150)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert abs(got["web"] - 100) <= 10 and abs(got["wiki"] - 50) <= 5
+    with pytest.raises(ValueError):
+        plan_mixture(df, "source", 10, alpha=0.0)

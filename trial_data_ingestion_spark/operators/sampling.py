@@ -324,6 +324,48 @@ def cap_per_group(df: DataFrame, group_col: str, n: int,
               .drop("__rn"))
 
 
+def plan_mixture(df: DataFrame, source_col: str, target_total: float,
+                 alpha: float = 1.0, size_col: str | None = None,
+                 max_epochs: float = 5.0) -> DataFrame:
+    """The pretraining-recipe TABLE for a temperature-``alpha``
+    mixture at a chosen ``target_total`` (rows, or tokens with
+    ``size_col``): one row per source with ``available``,
+    ``natural_share``, ``target_share`` (prop. to
+    ``available ** alpha``), ``planned`` units, ``epochs_needed``
+    (planned / available — above 1 means up-sampling), and
+    ``feasible`` under ``max_epochs`` — the GPT-3/LLaMA data-card
+    view, computed BEFORE committing to a run.  Execute the plan with
+    :func:`mixture_with_epochs` (its weights = this table's
+    ``target_share``).
+
+    One per-source aggregate; the k-row table is joined to its own
+    scalar totals by broadcast crossJoin — no corpus re-scan, no
+    driver math."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    size = (F.count(F.lit(1)) if size_col is None
+            else F.coalesce(F.sum(F.col(size_col).cast("double")),
+                            F.lit(0.0)))
+    counts = (df.groupBy(F.col(source_col).alias("source"))
+              .agg(size.cast("double").alias("available"))
+              .where(F.col("available") > 0))
+    totals = counts.agg(
+        F.sum("available").alias("__tot"),
+        F.sum(F.pow("available", F.lit(alpha))).alias("__ptot"))
+    share = F.pow("available", F.lit(alpha)) / F.col("__ptot")
+    return (counts.crossJoin(F.broadcast(totals))
+            .select("source", "available",
+                    (F.col("available") / F.col("__tot"))
+                    .alias("natural_share"),
+                    share.alias("target_share"),
+                    (share * target_total).alias("planned"),
+                    (share * target_total / F.col("available"))
+                    .alias("epochs_needed"))
+            .withColumn("feasible",
+                        F.col("epochs_needed") <= max_epochs)
+            .orderBy("source"))
+
+
 def mixture_with_epochs(df: DataFrame, source_col: str,
                         target_weights: dict[str, float],
                         key_col: str,
