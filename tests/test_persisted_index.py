@@ -75,6 +75,38 @@ def test_ivf_index_matches_q31_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
+    """Index built from half the corpus + append_to_ivf_index of the
+    other half must answer queries IDENTICALLY to a one-shot build
+    over everything (same centroids — assignment is deterministic,
+    and the query path doesn't care which write placed a row)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        append_to_ivf_index, first_id_centroids, topk_ivf_over_index,
+        write_ivf_index,
+    )
+    emb = _emb(spark)
+    cents = first_id_centroids(emb, 16)
+    full_path = str(tmp_path / "ivf_full")
+    inc_path = str(tmp_path / "ivf_inc")
+    write_ivf_index(emb, cents, full_path)
+    write_ivf_index(emb.where("vec_id % 2 = 0"), cents, inc_path)
+    append_to_ivf_index(emb.where("vec_id % 2 = 1"), cents, inc_path)
+    q = _queries(spark)
+    want = {(r["query_id"], r["neighbor_id"], r["rank"],
+             round(r["score"], 9)) for r in
+            topk_ivf_over_index(spark, full_path, q, cents,
+                                k=5, nprobe=4).collect()}
+    got = {(r["query_id"], r["neighbor_id"], r["rank"],
+            round(r["score"], 9)) for r in
+           topk_ivf_over_index(spark, inc_path, q, cents,
+                               k=5, nprobe=4).collect()}
+    assert got == want and len(got) > 0
+    # appended rows landed inside the existing cell directories
+    import os
+    dirs = [d for d in os.listdir(inc_path) if d.startswith("cell_id=")]
+    assert len(dirs) <= 16 and len(dirs) > 0
+
+
 def test_ivf_index_prunes_to_probed_cells(spark, tmp_path):
     """Re-query must read only the probed cell partitions (static
     pruning from literal cell ids) and do no centroid work on the

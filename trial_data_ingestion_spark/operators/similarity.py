@@ -478,6 +478,28 @@ def write_ivf_index(embeddings: DataFrame, centroids: DataFrame,
     embeddings.sparkSession.catalog.refreshByPath(path)
 
 
+def append_to_ivf_index(new_embeddings: DataFrame, centroids: DataFrame,
+                        path: str, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        dim: int | None = None) -> None:
+    """Add a delta batch to a persisted :func:`write_ivf_index`
+    layout WITHOUT rebuilding: the batch assigns against the SAME
+    centroid table the index was built with (pass the same frame —
+    different centers would route probes to the wrong cells) and
+    appends into the per-cell partition directories.  Cost is
+    proportional to the batch; the standing index is never read or
+    shuffled — the incremental-dedup operating contract for ANN.
+    Recall drifts only as the data distribution drifts away from the
+    frozen centers; re-fit + rebuild on a schedule, like any IVF.
+    Caller dedups ids (the index is a layout, not a keyed store)."""
+    cells = _nearest_cells(new_embeddings, centroids, vec_col, id_col,
+                           1, dim)
+    if dim is not None:
+        cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
+    cells.write.mode("append").partitionBy("cell_id").parquet(path)
+    new_embeddings.sparkSession.catalog.refreshByPath(path)
+
+
 def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
                         centroids: DataFrame,
                         id_col: str = "vec_id", vec_col: str = "embedding",
