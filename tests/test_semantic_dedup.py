@@ -45,6 +45,27 @@ def test_semantic_dedup_known_answers(spark):
     assert kept == [1, 10, 99]
 
 
+def test_semantic_dedup_keep_best_rule(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup,
+    )
+    # quality elects doc 3 from group {1,2,3} and doc 11 from {10,11}
+    df = _toy(spark).withColumn(
+        "quality", F.col("vec_id").cast("double"))
+    kept = sorted(r["vec_id"] for r in
+                  semantic_dedup(df, dim=DIM, num_clusters=2,
+                                 eps=0.99, keep="best",
+                                 score_col="quality").collect())
+    assert kept == [3, 11, 99]
+    with pytest.raises(ValueError):
+        semantic_dedup(df, dim=DIM, keep="best")
+    with pytest.raises(ValueError):
+        semantic_dedup(df, dim=DIM, keep="nope")
+
+
 def test_semantic_dup_pairs_cosine_values(spark):
     from trial_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dup_pairs,

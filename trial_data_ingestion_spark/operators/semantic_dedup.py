@@ -177,14 +177,24 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    keep: str = "min_id", seed: int = 42,
                    sample_size: int = 20_000,
-                   centroids: DataFrame | None = None) -> DataFrame:
+                   centroids: DataFrame | None = None,
+                   score_col: str | None = None) -> DataFrame:
     """Corpus with semantic duplicates removed: one representative
     survives per epsilon-connected same-cell duplicate group; rows in
     no duplicate pair pass through untouched.  Pass ``centroids`` to
     reuse a trained codebook across sweeps (at scale the codebook,
-    like the quality-filter model, is a persisted artifact)."""
-    if keep not in ("min_id", "farthest"):
-        raise ValueError(f"keep must be min_id|farthest, got {keep!r}")
+    like the quality-filter model, is a persisted artifact).
+
+    Representative rules: ``min_id`` (default, DuckDB-reproducible),
+    ``farthest`` (lowest cosine to the cell centroid — the paper's
+    anti-dense-mode choice), or ``keep="best"`` with a ``score_col``
+    (highest quality score wins, ties to min id — the RefinedWeb
+    election shared with ``dedup.keep_best_per_cluster``)."""
+    if keep not in ("min_id", "farthest", "best"):
+        raise ValueError(f"keep must be min_id|farthest|best, "
+                         f"got {keep!r}")
+    if keep == "best" and score_col is None:
+        raise ValueError("keep='best' requires score_col")
     if centroids is None:
         centroids = sampled_kmeans_centroids(
             embeddings, dim, num_clusters, id_col, vec_col,
@@ -192,6 +202,12 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
     pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
                                vec_col, eps) \
         .select("doc_a", "doc_b").localCheckpoint()
+    if keep == "best":
+        from trial_data_ingestion_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+        return keep_best_per_cluster(embeddings, pairs, id_col,
+                                     score_col)
     labels = connected_components_min_label(pairs)
     if keep == "min_id":
         drops = (labels.where(F.col("label") != F.col("doc"))
