@@ -305,3 +305,80 @@ def test_transitions_per_user_cap(spark):
     assert rep["events_dropped"] == 490
     with pytest.raises(ValueError):
         next_event_transitions(ev, max_events_per_user=1)
+
+
+def _py_convert_seconds(rows, steps, within_us=None):
+    """Twin of funnel_conversion_times' fold: greedy chain + the
+    completing event's own timestamp."""
+    k = len(steps)
+    reached = [None] * k
+    done = None
+    for t, s in sorted(rows):
+        if s == 0:
+            if reached[0] is None:
+                reached[0] = t
+        elif (reached[s] is None and reached[s - 1] is not None
+              and (within_us is None or t - reached[s - 1] <= within_us)):
+            reached[s] = reached[s - 1]
+            if s == k - 1 and done is None:
+                done = t
+    if reached[k - 1] is None:
+        return None
+    return (done - reached[k - 1]) / 1_000_000.0
+
+
+@pytest.mark.parametrize("within", [None, 3 * 24 * 3600.0])
+def test_conversion_times_match_python_twin(spark, within):
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_times,
+    )
+    ev = _events(spark)
+    got = {r["user_id"]: r["convert_seconds"] for r in
+           funnel_conversion_times(ev, STEPS,
+                                   within_seconds=within).collect()}
+    sid = {s: i for i, s in enumerate(STEPS)}
+    raw = (ev.where(F.col("event_type").isin(*STEPS))
+           .select("user_id",
+                   F.unix_micros(F.col("ts").cast("timestamp"))
+                   .alias("t"), "event_type").collect())
+    by_user: dict = {}
+    for r in raw:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["t"], sid[r["event_type"]]))
+    win_us = None if within is None else int(within * 1_000_000)
+    ref = {u: _py_convert_seconds(rows, STEPS, win_us)
+           for u, rows in by_user.items()}
+    ref = {u: v for u, v in ref.items() if v is not None}
+    assert set(got) == set(ref) and len(got) >= 1
+    for u in ref:
+        assert got[u] == pytest.approx(ref[u])
+
+
+def test_conversion_times_known_answer_and_report(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_report, funnel_conversion_times,
+    )
+    rows = [
+        ("u1", "2026-01-01 00:00:00", "a"),
+        ("u1", "2026-01-01 00:00:10", "b"),
+        ("u1", "2026-01-01 00:00:25", "c"),
+        ("u2", "2026-01-01 00:00:00", "a"),
+        ("u2", "2026-01-01 00:00:05", "b"),
+        ("u2", "2026-01-01 00:00:30", "c"),
+        ("u3", "2026-01-01 00:00:00", "a"),     # never converts
+        ("u3", "2026-01-01 00:00:05", "b"),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "event_type"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["user_id"]: r["convert_seconds"] for r in
+           funnel_conversion_times(ev, ["a", "b", "c"]).collect()}
+    assert got == {"u1": 25.0, "u2": 30.0}
+    # chain window kills the slow chain only
+    w = {r["user_id"]: r["convert_seconds"] for r in
+         funnel_conversion_times(ev, ["a", "b", "c"],
+                                 within_seconds=26).collect()}
+    assert w == {"u1": 25.0}
+    rep = funnel_conversion_report(ev, ["a", "b", "c"]).collect()[0]
+    assert rep["n_converted"] == 2
+    assert rep["p50_seconds"] == pytest.approx(27.5)   # exact interp
+    assert rep["p90_seconds"] == pytest.approx(29.5)

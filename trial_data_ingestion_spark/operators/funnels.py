@@ -131,6 +131,103 @@ def funnel_counts(events: DataFrame, steps: list[str],
             .orderBy("step_index"))
 
 
+def funnel_conversion_times(events: DataFrame, steps: list[str],
+                            user_col: str = "user_id",
+                            ts_col: str = "ts",
+                            type_col: str = "event_type",
+                            within_seconds: float | None = None,
+                            ) -> DataFrame:
+    """(user, convert_seconds) for every user whose greedy chain
+    completed ALL ``steps``: elapsed time from the chain's first
+    step-0 event to the event that completed the final step — the
+    time-to-convert distribution product analytics reports next to
+    the funnel itself.  Same fold and same greedy/window contract as
+    :func:`funnel_depths` (the python-twin test pins both), with one
+    extra accumulator slot capturing the completing event's
+    timestamp the moment the last step promotes.  One keyed
+    shuffle."""
+    k = len(steps)
+    if k < 2:
+        raise ValueError("funnel needs >= 2 steps")
+    if len(set(steps)) != k:
+        raise ValueError(f"duplicate step names: {steps}")
+    step_id = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_id = F.when(F.col(type_col) == s,
+                         F.lit(k - 1 - i)).otherwise(step_id)
+    ev = (ensure_parallelism(events)
+          .where(F.col(type_col).isin(*steps))
+          .select(F.col(user_col).alias("user"),
+                  F.struct(
+                      F.unix_micros(F.col(ts_col).cast("timestamp"))
+                      .alias("t"),
+                      step_id.alias("s")).alias("e")))
+    # slots 0..k-1: chain-start once steps 0..i matched (exactly
+    # funnel_depths' state); slot k: the completing event's own time
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k + 1)])
+    win = (F.lit(int(within_seconds * 1_000_000))
+           if within_seconds is not None else None)
+
+    def merge(acc, e):
+        def upd(x, i):
+            first = F.coalesce(x, F.when(e["s"] == 0, e["t"]))
+            prev = F.element_at(acc, i)       # 1-based: acc[i-1]
+            ok = (e["s"] == i) & prev.isNotNull() & x.isNull()
+            if win is not None:
+                ok = ok & ((e["t"] - prev) <= win)
+            promoted = F.when(ok, prev).otherwise(x)
+            # slot k mirrors slot k-1's promotion condition exactly:
+            # the event IS the final step, the chain reached k-2, the
+            # final level is still empty
+            chain_prev = F.element_at(acc, F.lit(k - 1))   # acc[k-2]
+            final_slot = F.element_at(acc, F.lit(k))       # acc[k-1]
+            ok_last = ((e["s"] == k - 1) & chain_prev.isNotNull()
+                       & final_slot.isNull() & x.isNull())
+            if win is not None:
+                ok_last = ok_last & ((e["t"] - chain_prev) <= win)
+            done = F.when(ok_last, e["t"]).otherwise(x)
+            return (F.when(i == 0, first)
+                    .when(i == k, done)
+                    .otherwise(promoted))
+        return F.transform(acc, upd)
+
+    folded = (ev.groupBy("user")
+              .agg(F.aggregate(F.sort_array(F.collect_list("e")),
+                               init, merge).alias("__r")))
+    start = F.element_at(F.col("__r"), k)       # chain start at depth k
+    done = F.element_at(F.col("__r"), k + 1)
+    return (folded.where(done.isNotNull())
+            .select(F.col("user").alias(user_col),
+                    ((done - start) / 1_000_000.0)
+                    .alias("convert_seconds")))
+
+
+def funnel_conversion_report(events: DataFrame, steps: list[str],
+                             user_col: str = "user_id",
+                             ts_col: str = "ts",
+                             type_col: str = "event_type",
+                             within_seconds: float | None = None,
+                             percentiles: tuple = (0.5, 0.9),
+                             ) -> DataFrame:
+    """One-row summary of the time-to-convert distribution:
+    ``n_converted`` plus EXACT percentiles of ``convert_seconds``
+    (``F.percentile`` — the converted-user set is funnel-sized, far
+    below corpus scale, so exact beats approx here and keeps the
+    report deterministic)."""
+    times = funnel_conversion_times(events, steps, user_col, ts_col,
+                                    type_col, within_seconds)
+    pct = F.percentile("convert_seconds",
+                       F.array(*[F.lit(p) for p in percentiles]))
+    aggs = [F.count(F.lit(1)).alias("n_converted"),
+            pct.alias("__p")]
+    row = times.agg(*aggs)
+    cols = [F.col("n_converted")]
+    for j, p in enumerate(percentiles):
+        cols.append(F.element_at("__p", j + 1)
+                    .alias(f"p{int(p * 100)}_seconds"))
+    return row.select(*cols)
+
+
 def retention_cohorts(events: DataFrame,
                       user_col: str = "user_id", ts_col: str = "ts",
                       granularity: str = "week",
