@@ -100,7 +100,10 @@ WINDOW_QUERIES = ["q13_hourly_events", "q22_sessionize",
                   # event-sequence analytics are density-sensitive the
                   # same way: chains and cohorts that never form in a
                   # 3k-row sample do at 10x the events
-                  "q62_funnel", "q63_retention"]
+                  "q62_funnel", "q63_retention",
+                  # pathfinder: prefix ranking + top-k rank ties are
+                  # exactly the things 10x the users can reshuffle
+                  "q67_top_paths"]
 SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 

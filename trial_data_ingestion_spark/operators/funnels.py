@@ -131,6 +131,48 @@ def funnel_counts(events: DataFrame, steps: list[str],
             .orderBy("step_index"))
 
 
+def top_event_paths(events: DataFrame, max_steps: int = 3,
+                    k: int = 20, user_col: str = "user_id",
+                    ts_col: str = "ts", type_col: str = "event_type",
+                    sep: str = " > ") -> DataFrame:
+    """The pathfinder report: each user's first ``max_steps`` events
+    (by time, ties by event type for determinism) joined with
+    ``sep`` into a path string; output is the ``k`` most common
+    paths — (path, n_users, rank), rank ties broken by path text.
+
+    Scale: one keyed shuffle to assemble per-user prefixes (the
+    row_number window pre-filters to ``max_steps`` rows per user, so
+    the collect_list is bounded — the bot-user guard is structural
+    here, unlike raw transitions), one map-side-combined path count,
+    and a TakeOrdered-sized final rank."""
+    if max_steps < 1:
+        raise ValueError("max_steps must be >= 1")
+    w = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(type_col).asc())
+    prefix = (ensure_parallelism(events)
+              .select(user_col, ts_col, type_col)
+              .withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= max_steps))
+    paths = (prefix.groupBy(user_col)
+             .agg(F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct(F.col("__rn").alias("i"),
+                                  F.col(type_col).alias("s")))),
+                     lambda x: x["s"]), sep).alias("path")))
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_users"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # heaps, no global sort, no SinglePartition window over the full
+    # path-count table); rank is then a window over <= k rows
+    top = counts.orderBy(F.col("n_users").desc(),
+                         F.col("path").asc()).limit(k)
+    rw = Window.partitionBy().orderBy(F.col("n_users").desc(),
+                                      F.col("path").asc())
+    return (top.withColumn("rank", F.row_number().over(rw))
+            .select("rank", "path", "n_users"))
+
+
 def funnel_conversion_times(events: DataFrame, steps: list[str],
                             user_col: str = "user_id",
                             ts_col: str = "ts",

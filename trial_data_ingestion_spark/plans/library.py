@@ -2365,6 +2365,39 @@ def q66_cluster_assign(spark, sf_dir):
                     .alias("cos_to_centroid")))
 
 
+@_retire("q67_top_paths", """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_type) AS rn
+  FROM events
+),
+paths AS (
+  SELECT user_id, string_agg(event_type, ' > ' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+),
+counts AS (SELECT path, count(*) AS n_users FROM paths GROUP BY path)
+SELECT CAST(row_number() OVER (ORDER BY n_users DESC, path) AS BIGINT)
+         AS rank,
+       path, n_users
+FROM counts ORDER BY n_users DESC, path LIMIT 20
+""")
+def q67_top_paths(spark, sf_dir):
+    """Pathfinder: top-20 three-step opening event paths by user
+    count (funnels.top_event_paths) — pytest-registry slot (driver
+    budget full at 50).  The oracle re-derives prefix ranking,
+    path assembly, and the (count desc, path asc) rank from first
+    principles; deterministic because prefix ties break on event
+    type and identical rows produce identical paths."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        top_event_paths,
+    )
+    ev = _events(spark, sf_dir)
+    out = top_event_paths(ev, max_steps=3, k=20)
+    return out.select(F.col("rank").cast("long").alias("rank"),
+                      "path", "n_users")
+
+
 @_register("q64_release_pipeline")
 def q64_release_pipeline(spark, sf_dir):
     """End-to-end web-release composition, graded rows-only (the
