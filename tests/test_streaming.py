@@ -201,6 +201,59 @@ def test_user_funnel_state_matches_batch(spark, event_dir, tmp_path):
     assert got == want and len(want) >= 10
 
 
+def test_user_funnel_state_conversion_matches_batch(spark, event_dir,
+                                                    tmp_path):
+    """emit='conversion': the streaming fold's final convert_seconds
+    (across a time-split two-run resume) equal the batch
+    funnel_conversion_times exactly — the slot-k capture composes
+    over stream prefixes like the rest of the fold."""
+    import pytest as _pt
+
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_times,
+    )
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_funnel_state,
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    full = spark.read.parquet(event_dir)
+    cut = full.agg(
+        F.percentile_approx("ts", 0.5).alias("m")).collect()[0]["m"]
+    src = str(tmp_path / "conv_src")
+    full.where(F.col("ts") <= cut).write.mode("append").parquet(src)
+    ckpt = str(tmp_path / "ckpt_conv")
+
+    def run(name):
+        out = str(tmp_path / name)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_funnel_state(read_event_stream(spark, src), steps,
+                               emit="conversion")
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return spark.read.parquet(out)
+
+    got = {r["user_id"]: r["convert_seconds"]
+           for r in run("conv1").collect()}
+    full.where(F.col("ts") > cut).write.mode("append").parquet(src)
+    for r in run("conv2").collect():
+        got[r["user_id"]] = r["convert_seconds"]
+    got = {u: v for u, v in got.items() if v is not None}
+    want = {r["user_id"]: r["convert_seconds"] for r in
+            funnel_conversion_times(full, steps).collect()}
+    assert set(got) == set(want) and len(want) >= 1
+    for u in want:
+        assert got[u] == _pt.approx(want[u])
+    with _pt.raises(ValueError):
+        user_funnel_state(read_event_stream(spark, src), steps,
+                          emit="nope")
+
+
 def test_user_transition_state_matches_batch(spark, event_dir,
                                              tmp_path):
     """Summed streaming transition increments == the batch matrix,

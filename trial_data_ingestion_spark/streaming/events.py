@@ -163,7 +163,8 @@ def user_running_stats(events: DataFrame) -> DataFrame:
 
 
 def user_funnel_state(events: DataFrame, steps: list[str],
-                      within_seconds: float | None = None) -> DataFrame:
+                      within_seconds: float | None = None,
+                      emit: str = "depth") -> DataFrame:
     """Streaming conversion funnel: per-user chain state maintained
     across micro-batches via ``applyInPandasWithState`` — each batch
     emits the user's updated funnel ``depth`` (update-mode).  The
@@ -178,8 +179,14 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     approximation; feed time-partitioned sources in order for exact
     parity.
 
-    State per user: the k chain-start timestamps (micros; -1 =
-    unreached) — O(#users x k) total, independent of stream length."""
+    State per user: the k chain-start timestamps plus the completing
+    event's timestamp (micros; -1 = unreached) — O(#users x (k+1))
+    total, independent of stream length.
+
+    ``emit="depth"`` (default) emits the updated funnel depth;
+    ``emit="conversion"`` emits ``convert_seconds`` (NULL until the
+    chain completes, then the time-to-convert — the streaming twin of
+    ``funnels.funnel_conversion_times``, same slot-k capture rule)."""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -192,11 +199,13 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     sid = {s: i for i, s in enumerate(steps)}
     win_us = (int(within_seconds * 1_000_000)
               if within_seconds is not None else None)
+    if emit not in ("depth", "conversion"):
+        raise ValueError(f"emit must be depth|conversion, got {emit!r}")
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
         reached = ([None if v < 0 else v for v in state.get]
-                   if state.exists else [None] * k)
+                   if state.exists else [None] * (k + 1))
         rows = []
         for pdf in pdf_iter:
             rows.extend(zip(pdf["__t"].astype("int64"),
@@ -212,9 +221,18 @@ def user_funnel_state(events: DataFrame, steps: list[str],
                        or t - reached[s - 1] <= win_us)):
                 # promote the CHAIN-START time, like the batch fold
                 reached[s] = reached[s - 1]
+                if s == k - 1:
+                    # slot k: the completing event's own timestamp
+                    reached[k] = t
         state.update(tuple(-1 if v is None else v for v in reached))
-        depth = sum(1 for v in reached if v is not None)
-        yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+        if emit == "depth":
+            depth = sum(1 for v in reached[:k] if v is not None)
+            yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
+        else:
+            conv = (None if reached[k] is None
+                    else (reached[k] - reached[k - 1]) / 1_000_000.0)
+            yield pd.DataFrame({"user_id": [key[0]],
+                                "convert_seconds": [conv]})
 
     step_id = F.lit(None).cast("int")
     for i, s in enumerate(reversed(steps)):
@@ -225,10 +243,12 @@ def user_funnel_state(events: DataFrame, steps: list[str],
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("__t"),
                   step_id.alias("__s")))
-    state_schema = ", ".join(f"r{i} long" for i in range(k))
+    state_schema = ", ".join(f"r{i} long" for i in range(k + 1))
+    out_schema = ("user_id long, depth int" if emit == "depth"
+                  else "user_id long, convert_seconds double")
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
-        outputStructType="user_id long, depth int",
+        outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
