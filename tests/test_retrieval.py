@@ -69,6 +69,17 @@ def test_recall_report_known_answer(retrieved, positives):
         retrieval_recall_report(retrieved, positives, ks=())
 
 
+def test_mrr_known_answer(retrieved, positives):
+    from trial_data_ingestion_spark.operators.retrieval import (
+        retrieval_mrr,
+    )
+    row = retrieval_mrr(retrieved, positives).collect()[0]
+    # q1 first gold at rank 1 -> 1.0; q2 no gold retrieved -> 0;
+    # q3 never queried -> 0; macro over 3 queries
+    assert row["mrr"] == pytest.approx((1.0 + 0.0 + 0.0) / 3)
+    assert row["n_queries"] == 3
+
+
 def test_end_to_end_with_bruteforce_topk(spark):
     """Planted geometry: each query's gold doc is its exact nearest
     neighbor, the decoy its second — mining must return the decoy

@@ -49,6 +49,25 @@ def mine_hard_negatives(retrieved: DataFrame, positives: DataFrame,
             .select(query_id_col, neighbor_col, "score", "neg_rank"))
 
 
+def retrieval_mrr(retrieved: DataFrame, positives: DataFrame,
+                  query_id_col: str = "query_id",
+                  neighbor_col: str = "neighbor_id") -> DataFrame:
+    """Macro mean reciprocal rank: per query, 1/rank of the FIRST
+    gold hit in the retrieved list (0 when no gold was retrieved —
+    gold-side left join, same visibility rule as the recall report).
+    One row: (mrr, n_queries)."""
+    gold = positives.select(query_id_col, neighbor_col).distinct()
+    first_hit = (retrieved.join(gold, [query_id_col, neighbor_col])
+                 .groupBy(query_id_col)
+                 .agg(F.min("rank").alias("__r")))
+    per_q = (gold.select(query_id_col).distinct()
+             .join(first_hit, query_id_col, "left")
+             .select(F.coalesce(1.0 / F.col("__r"), F.lit(0.0))
+                     .alias("__rr")))
+    return per_q.agg(F.avg("__rr").alias("mrr"),
+                     F.count(F.lit(1)).alias("n_queries"))
+
+
 def retrieval_recall_report(retrieved: DataFrame, positives: DataFrame,
                             ks: tuple = (1, 5, 10),
                             query_id_col: str = "query_id",
