@@ -103,7 +103,10 @@ WINDOW_QUERIES = ["q13_hourly_events", "q22_sessionize",
                   "q62_funnel", "q63_retention",
                   # pathfinder: prefix ranking + top-k rank ties are
                   # exactly the things 10x the users can reshuffle
-                  "q67_top_paths"]
+                  "q67_top_paths",
+                  # session buckets shift with event density by
+                  # construction
+                  "q68_session_stats"]
 SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 

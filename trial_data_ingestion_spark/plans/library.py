@@ -475,6 +475,72 @@ def q22_sessionize(spark, sf_dir):
                    F.round(F.sum("value"), 2).alias("session_value")))
 
 
+@_retire("q68_session_stats", """
+WITH g AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE OR
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new,
+         event_id
+  FROM events),
+s AS (
+  SELECT user_id, session_id, count(*) AS n_events,
+         floor(date_diff('microsecond', min(ts), max(ts)) / 1000000)
+           AS dur_s
+  FROM (SELECT user_id, ts,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS BIGINT)
+                 AS session_id
+        FROM g)
+  GROUP BY user_id, session_id)
+SELECT bucket, count(*) AS n_sessions,
+       floor(avg(n_events) * 1000000 + 0.5) / 1000000 AS avg_events,
+       floor(avg(dur_s) * 1000000 + 0.5) / 1000000 AS avg_duration_s
+FROM (SELECT CASE WHEN dur_s < 60 THEN 'lt1m'
+                  WHEN dur_s < 600 THEN 'lt10m'
+                  WHEN dur_s < 1800 THEN 'lt30m'
+                  ELSE 'ge30m' END AS bucket,
+             n_events, dur_s FROM s)
+GROUP BY bucket
+""")
+def q68_session_stats(spark, sf_dir):
+    """Session-duration distribution over the q22 sessionization
+    (30-min gap): sessions bucketed by wall duration with average
+    event count and duration per bucket — pytest-registry slot.  The
+    duration floors microsecond diffs to whole seconds on BOTH sides
+    (DuckDB date_diff('microsecond') / Spark timestamp_diff), and the
+    averages use the floor idiom."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("ts").over(w)
+    gap_us = F.timestamp_diff("MICROSECOND", prev, F.col("ts"))
+    is_new = F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000),
+                    1).otherwise(0)
+    sess = (ev.withColumn("is_new", is_new)
+            .withColumn("session_id",
+                        F.sum("is_new").over(frame).cast("long"))
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.floor(F.timestamp_diff("MICROSECOND", F.min("ts"),
+                                          F.max("ts")) / 1_000_000)
+                 .alias("dur_s")))
+    bucket = (F.when(F.col("dur_s") < 60, "lt1m")
+              .when(F.col("dur_s") < 600, "lt10m")
+              .when(F.col("dur_s") < 1800, "lt30m")
+              .otherwise("ge30m"))
+    return (sess.select(bucket.alias("bucket"), "n_events", "dur_s")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 (F.floor(F.avg("n_events") * 1_000_000 + 0.5)
+                  / 1_000_000).alias("avg_events"),
+                 (F.floor(F.avg("dur_s") * 1_000_000 + 0.5)
+                  / 1_000_000).alias("avg_duration_s")))
+
+
 @_retire("q23_asof_last_purchase", """
 SELECT event_id, user_id,
        round(coalesce(last_value(CASE WHEN event_type = 'purchase' THEN value END
