@@ -91,6 +91,7 @@ HEADLINE = [
     "b22_rejection_audit",          # kitchen-sink attrition audit
     "b23_multi_decontam",           # 3-suite tagged-gram attribution
     "b24_cluster_mixture",          # topic cells -> profile/keywords/sample
+    "b25_paths_and_conversion",     # pathfinder + time-to-convert report
 ]
 
 
@@ -563,6 +564,23 @@ def _bench_extra():
             .agg(F.count(F.lit(1)).alias("n_sampled"))
         return prof.crossJoin(kw).crossJoin(samp)
 
+    def b25_paths_and_conversion(spark, sf_dir):
+        """Event-sequence extensions beyond b21's triple: pathfinder
+        top-k opening paths + the time-to-convert exact-percentile
+        report, collapsed to one counted row."""
+        from trial_data_ingestion_spark.operators.funnels import (
+            funnel_conversion_report, top_event_paths,
+        )
+        from trial_data_ingestion_spark.plans.library import _events
+        ev = _events(spark, sf_dir)
+        paths = top_event_paths(ev, max_steps=3, k=20).agg(
+            F.count(F.lit(1)).alias("n_paths"),
+            F.sum("n_users").alias("path_users"))
+        conv = funnel_conversion_report(
+            ev, ["signup", "view", "click", "purchase"],
+            within_seconds=3 * 24 * 3600.0)
+        return paths.crossJoin(conv)
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -589,7 +607,8 @@ def _bench_extra():
                 b17_dsir_select, b18_image_dedup,
                 b19_content_policy, b20_subseq_search,
                 b21_event_analytics, b22_rejection_audit,
-                b23_multi_decontam, b24_cluster_mixture)}}
+                b23_multi_decontam, b24_cluster_mixture,
+                b25_paths_and_conversion)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
