@@ -10,10 +10,10 @@ balancing, coverage audits, and pruning decisions (Tirumala et al.
 clusters before dedup) all run over embedding-space cells instead.
 
 This module deliberately REUSES the geometry already proven in
-``semantic_dedup``/``similarity`` (unit-sphere projection, bounded
-sampled-Lloyd codebooks, broadcast centroid assignment) and feeds
-its output into the existing ``sampling`` operators — cluster ids
-are just a derived domain column.
+``semantic_dedup``/``similarity`` (unit-sphere cosine, bounded
+sampled-Lloyd codebooks) and feeds its output into the existing
+``sampling`` operators — cluster ids are just a derived domain
+column.
 
 Scale notes (100 TB):
   * Codebook fit is bounded: ``sample_size`` unit vectors
