@@ -138,7 +138,9 @@ DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  "q61_conversation_hygiene",
                  # clustering: argmax stability over 4x the vectors
                  # (measured top-2 cosine gap >= 1e-5 at every scale)
-                 "q66_cluster_assign"]
+                 "q66_cluster_assign",
+                 # prune cut points move with per-cell population
+                 "q69_cluster_prune"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

@@ -2464,6 +2464,71 @@ def q67_top_paths(spark, sf_dir):
                       "path", "n_users")
 
 
+@_retire("q69_cluster_prune", """
+WITH c AS (
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+scored AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.emb, c.centroid)
+           / (sqrt(list_dot_product(e.emb, e.emb))
+              * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+  FROM e CROSS JOIN c
+  WHERE list_dot_product(e.emb, e.emb) > 0
+),
+best AS (
+  SELECT vec_id, cell_id, cos,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cell_id ASC) AS rn
+  FROM scored
+),
+assigned AS (SELECT vec_id, cell_id, cos FROM best WHERE rn = 1),
+ranked AS (
+  SELECT vec_id, cell_id,
+         percent_rank() OVER (PARTITION BY cell_id ORDER BY cos ASC)
+           AS pr
+  FROM assigned
+)
+SELECT vec_id, cell_id,
+       floor(pr * 1000000 + 0.5) / 1000000 AS proto_rank
+FROM ranked WHERE pr >= 0.05 AND pr <= 0.95
+""")
+def q69_cluster_prune(spark, sf_dir):
+    """D4-style prototypicality pruning hash-verified end to end on
+    top of q66's assignment: per-cell percent_rank over the cosine,
+    both 5% tails dropped — the oracle recomputes assignment AND the
+    rank cut from scratch.  percent_rank is (rank-1)/(n-1) on both
+    engines and the ranking floats are IEEE-identical (same dots),
+    so the cut is exact; the reported rank uses the floor idiom."""
+    from trial_data_ingestion_spark.operators.clustering import (
+        cluster_documents, prune_prototypicality,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cents = first_id_centroids(emb, num_cells=16)
+    assigned = cluster_documents(emb, dim=64, centroids=cents)
+    # pr is computed over the FULL cell (matching the operator's own
+    # window); the survivor set comes from the operator under test
+    w = Window.partitionBy("cell_id").orderBy(
+        F.col("cos_to_centroid").asc())
+    with_pr = assigned.where(F.col("cell_id").isNotNull()) \
+        .withColumn("__pr", F.percent_rank().over(w))
+    pruned_ids = prune_prototypicality(
+        assigned, drop_low_frac=0.05, drop_high_frac=0.05) \
+        .select("vec_id")
+    return (with_pr.join(pruned_ids, "vec_id")
+            .select("vec_id",
+                    F.col("cell_id").cast("long").alias("cell_id"),
+                    (F.floor(F.col("__pr") * 1_000_000.0 + 0.5)
+                     / 1_000_000).alias("proto_rank")))
+
+
 @_register("q64_release_pipeline")
 def q64_release_pipeline(spark, sf_dir):
     """End-to-end web-release composition, graded rows-only (the
