@@ -140,7 +140,9 @@ DEDUP_QUERIES = ["q19_minhash_dedup", "q28_ngram_jaccard",
                  # (measured top-2 cosine gap >= 1e-5 at every scale)
                  "q66_cluster_assign",
                  # prune cut points move with per-cell population
-                 "q69_cluster_prune"]
+                 "q69_cluster_prune",
+                 # keyword lift: df guard + rank ties over 4x vocab
+                 "q70_cluster_keywords"]
 
 
 @pytest.mark.parametrize("name", DEDUP_QUERIES)

@@ -2529,6 +2529,89 @@ def q69_cluster_prune(spark, sf_dir):
                      / 1_000_000).alias("proto_rank")))
 
 
+@_retire("q70_cluster_keywords", """
+WITH c AS (
+  SELECT vec_id AS cell_id, embedding::DOUBLE[] AS centroid
+  FROM embeddings ORDER BY vec_id LIMIT 16
+),
+e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+scored0 AS (
+  SELECT e.vec_id, c.cell_id,
+         list_dot_product(e.emb, c.centroid)
+           / (sqrt(list_dot_product(e.emb, e.emb))
+              * sqrt(list_dot_product(c.centroid, c.centroid))) AS cos
+  FROM e CROSS JOIN c
+  WHERE list_dot_product(e.emb, e.emb) > 0
+),
+assigned AS (
+  SELECT vec_id, cell_id FROM (
+    SELECT vec_id, cell_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, cell_id ASC) AS rn
+    FROM scored0) WHERE rn = 1
+),
+toks AS (
+  SELECT a.cell_id, d.doc_id AS docid, t.token
+  FROM assigned a
+  JOIN documents d ON d.doc_id = a.vec_id,
+       unnest(string_split_regex(lower(d.text), '[^a-z0-9]+'))
+         AS t(token)
+  WHERE length(t.token) >= 3
+),
+per_cell AS (
+  SELECT cell_id, token, count(*) AS cnt,
+         count(DISTINCT docid) AS df
+  FROM toks GROUP BY cell_id, token
+  HAVING count(DISTINCT docid) >= 2
+),
+tot AS (SELECT sum(cnt) AS corpus_n FROM per_cell),
+cellt AS (SELECT cell_id, sum(cnt) AS cell_n FROM per_cell
+          GROUP BY cell_id),
+tokt AS (SELECT token, sum(cnt) AS tok_n FROM per_cell GROUP BY token),
+lifted AS (
+  SELECT p.cell_id, p.token, p.cnt,
+         (p.cnt / ct.cell_n) / (tt.tok_n / t.corpus_n) AS lift
+  FROM per_cell p
+  JOIN cellt ct USING (cell_id)
+  JOIN tokt tt USING (token)
+  CROSS JOIN tot t
+)
+SELECT CAST(cell_id AS BIGINT) AS cell_id,
+       CAST(rank AS BIGINT) AS rank, token, cnt,
+       round(lift, 6) AS lift
+FROM (SELECT *, row_number() OVER (PARTITION BY cell_id
+                                   ORDER BY lift DESC, cnt DESC,
+                                            token ASC) AS rank
+      FROM lifted)
+WHERE rank <= 10
+""")
+def q70_cluster_keywords(spark, sf_dir):
+    """Cluster keyword labeling hash-verified end to end: the oracle
+    re-derives assignment, tokenization, the min-df guard, and the
+    log-lift ranking from first principles (same division order, so
+    the ordering floats are IEEE-identical; lift value rounded to
+    6dp on both sides)."""
+    from trial_data_ingestion_spark.operators.clustering import (
+        cluster_documents, cluster_keywords,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    docs = _t(spark, sf_dir, "documents") \
+        .select(F.col("doc_id").alias("vec_id"), "text")
+    cents = first_id_centroids(emb, num_cells=16)
+    assigned = cluster_documents(emb.join(docs, "vec_id"), dim=64,
+                                 centroids=cents)
+    kw = cluster_keywords(assigned, text_col="text", id_col="vec_id",
+                          top_k=10)
+    return kw.select(F.col("cell_id").cast("long").alias("cell_id"),
+                     F.col("rank").cast("long").alias("rank"),
+                     "token", "cnt", "lift")
+
+
 @_register("q64_release_pipeline")
 def q64_release_pipeline(spark, sf_dir):
     """End-to-end web-release composition, graded rows-only (the
