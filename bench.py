@@ -92,6 +92,7 @@ HEADLINE = [
     "b23_multi_decontam",           # 3-suite tagged-gram attribution
     "b24_cluster_mixture",          # topic cells -> profile/keywords/sample
     "b25_paths_and_conversion",     # pathfinder + time-to-convert report
+    "b26_main_content",             # jusText-lite boilerplate removal
 ]
 
 
@@ -581,6 +582,34 @@ def _bench_extra():
             within_seconds=3 * 24 * 3600.0)
         return paths.crossJoin(conv)
 
+    def b26_main_content(spark, sf_dir):
+        """jusText-lite extraction over q64-style synthetic pages
+        (nav + link list + footer around each document), aggregated
+        so .count() executes the kernel on every row."""
+        from trial_data_ingestion_spark.functions.html_text import (
+            html_to_main_text,
+        )
+        from trial_data_ingestion_spark.session import (
+            ensure_parallelism,
+        )
+        d = ensure_parallelism(_docs(spark, sf_dir))
+        pages = d.select("doc_id", F.concat(
+            F.lit("<html><head><title>D</title></head><body>"
+                  "<nav>home | topics | about</nav>"
+                  "<div><a href='/a'>rel one</a> "
+                  "<a href='/b'>rel two</a></div><p>"),
+            F.col("text"),
+            F.lit("</p><footer>corpus archive footer</footer>"
+                  "</body></html>")).alias("html"))
+        out = html_to_main_text(pages, stopword_lang="en",
+                                min_stopword_density=0.0)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("kept_blocks").alias("kept"),
+            F.sum("total_blocks").alias("total"),
+            (F.floor(F.avg("removed_char_frac") * 1_000_000 + 0.5)
+             / 1_000_000).alias("avg_removed_frac"))
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -608,7 +637,7 @@ def _bench_extra():
                 b19_content_policy, b20_subseq_search,
                 b21_event_analytics, b22_rejection_audit,
                 b23_multi_decontam, b24_cluster_mixture,
-                b25_paths_and_conversion)}}
+                b25_paths_and_conversion, b26_main_content)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
