@@ -382,3 +382,17 @@ def test_conversion_times_known_answer_and_report(spark):
     assert rep["n_converted"] == 2
     assert rep["p50_seconds"] == pytest.approx(27.5)   # exact interp
     assert rep["p90_seconds"] == pytest.approx(29.5)
+
+
+def test_conversion_report_empty_funnel(spark):
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_report, funnel_conversion_times,
+    )
+    ev = spark.createDataFrame(
+        [("u1", "2026-01-01 00:00:00", "a")],
+        ["user_id", "ts", "event_type"]) \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    assert funnel_conversion_times(ev, ["a", "b"]).count() == 0
+    rep = funnel_conversion_report(ev, ["a", "b"]).collect()[0]
+    assert rep["n_converted"] == 0
+    assert rep["p50_seconds"] is None and rep["p90_seconds"] is None
