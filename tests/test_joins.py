@@ -33,6 +33,42 @@ def test_asof_join_known_answers(spark):
     assert out == {1: None, 2: 1.0, 3: 1.0, 4: 2.0, 5: 9.0, 6: None}
 
 
+def test_asof_join_forward_known_answers_and_duckdb(spark):
+    import duckdb
+    import pytest
+
+    quotes = spark.createDataFrame(
+        [("A", _ts("2024-01-01T10:00:00"), 1.0),
+         ("A", _ts("2024-01-01T10:05:00"), 2.0),
+         ("B", _ts("2024-01-01T10:02:00"), 9.0)],
+        "sym string, qts timestamp, px double")
+    trades = spark.createDataFrame(
+        [(1, "A", _ts("2024-01-01T09:59:00")),   # next quote -> 1.0
+         (2, "A", _ts("2024-01-01T10:00:00")),   # tie -> 1.0 (>= sem.)
+         (3, "A", _ts("2024-01-01T10:04:59")),   # -> 2.0
+         (4, "A", _ts("2024-01-01T10:06:00")),   # nothing ahead -> null
+         (5, "B", _ts("2024-01-01T10:02:00")),   # tie -> 9.0
+         (6, "C", _ts("2024-01-01T10:00:00"))],  # no right rows -> null
+        "tid long, sym string, tts timestamp")
+    out = {r.tid: r.px for r in
+           asof_join(trades, quotes, on=["sym"], left_ts="tts",
+                     right_ts="qts", value_cols=["px"],
+                     direction="forward").collect()}
+    assert out == {1: 1.0, 2: 1.0, 3: 2.0, 4: None, 5: 9.0, 6: None}
+    # DuckDB's own forward ASOF (l.ts <= r.ts) agrees row for row
+    con = duckdb.connect()
+    con.register("t", trades.toPandas())
+    con.register("q", quotes.toPandas())
+    ref = {r[0]: r[1] for r in con.execute(
+        """SELECT t.tid, q.px FROM t ASOF LEFT JOIN q
+           ON t.sym = q.sym AND t.tts <= q.qts""").fetchall()}
+    assert out == ref
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, on=["sym"], left_ts="tts",
+                  right_ts="qts", value_cols=["px"],
+                  direction="sideways")
+
+
 def test_asof_join_preserves_left_rowcount(spark):
     left = spark.range(100).select(
         F.col("id").alias("k"),

@@ -16,7 +16,8 @@ from pyspark.sql.window import Window
 
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str,
-              value_cols: list[str]) -> DataFrame:
+              value_cols: list[str],
+              direction: str = "backward") -> DataFrame:
     """As-of join: for each left row, attach ``value_cols`` from the
     most recent right row with ``right_ts <= left_ts`` (per ``on``
     key); nulls where no prior right row exists.
@@ -34,7 +35,17 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     the same cost as a regular sort-merge join, independent of time-
     range density.  If multiple right rows share (key, ts), pre-
     aggregate the right side to make the result deterministic.
+
+    ``direction="forward"`` flips the semantics to the NEXT right row
+    with ``right_ts >= left_ts`` (DuckDB ``ASOF ... ON l.ts <= r.ts``)
+    — same union plan with the window frame reversed: first-ignorenulls
+    over current-row..unbounded-following, left rows sorting before
+    right rows at equal timestamps so a simultaneous right row is
+    still visible.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be backward|forward, got {direction!r}")
     rtypes = dict(right.dtypes)
     ltypes = dict(left.dtypes)
     lcols = left.columns
@@ -56,12 +67,20 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         [f"__v_{c}" for c in value_cols]
     unioned = lt.select(*out_cols).unionByName(rt.select(*out_cols))
 
-    w = (Window.partitionBy(*on)
-         .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction == "backward":
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+    else:
+        # left (1) sorts before right (0) at equal ts: descending on
+        # the side flag, so the forward frame still sees same-ts rows
+        w = (Window.partitionBy(*on)
+             .orderBy(F.col("__ts").asc(), F.col("__is_left").desc())
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
     for c in value_cols:
-        unioned = unioned.withColumn(
-            c, F.last(f"__v_{c}", ignorenulls=True).over(w))
+        unioned = unioned.withColumn(c, pick(f"__v_{c}"))
     return (unioned.where(F.col("__is_left") == 1)
             .select(*lcols, *value_cols))
 
