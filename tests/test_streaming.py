@@ -254,6 +254,37 @@ def test_user_funnel_state_conversion_matches_batch(spark, event_dir,
                           emit="nope")
 
 
+def test_user_funnel_state_ttl_smoke(spark, event_dir, tmp_path):
+    """state_ttl_minutes switches on ProcessingTimeTimeout; within a
+    single availableNow run nothing times out, so results must equal
+    the no-TTL stream exactly (the TTL is a state-size bound, not a
+    semantics change for live users)."""
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_funnel_state,
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    src = str(tmp_path / "ttl_src")
+    spark.read.parquet(event_dir).write.parquet(src)
+
+    def run(name, **kw):
+        out = str(tmp_path / name)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_funnel_state(read_event_stream(spark, src), steps,
+                               **kw)
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation", str(tmp_path / ("ck" + name)))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["user_id"]: r["depth"] for r in
+                spark.read.parquet(out).collect()}
+
+    assert run("ttl", state_ttl_minutes=60.0) == run("nottl")
+
+
 def test_user_transition_state_matches_batch(spark, event_dir,
                                              tmp_path):
     """Summed streaming transition increments == the batch matrix,

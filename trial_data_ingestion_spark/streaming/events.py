@@ -164,7 +164,8 @@ def user_running_stats(events: DataFrame) -> DataFrame:
 
 def user_funnel_state(events: DataFrame, steps: list[str],
                       within_seconds: float | None = None,
-                      emit: str = "depth") -> DataFrame:
+                      emit: str = "depth",
+                      state_ttl_minutes: float | None = None) -> DataFrame:
     """Streaming conversion funnel: per-user chain state maintained
     across micro-batches via ``applyInPandasWithState`` — each batch
     emits the user's updated funnel ``depth`` (update-mode).  The
@@ -186,7 +187,14 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     ``emit="depth"`` (default) emits the updated funnel depth;
     ``emit="conversion"`` emits ``convert_seconds`` (NULL until the
     chain completes, then the time-to-convert — the streaming twin of
-    ``funnels.funnel_conversion_times``, same slot-k capture rule)."""
+    ``funnels.funnel_conversion_times``, same slot-k capture rule).
+
+    ``state_ttl_minutes`` bounds total state at 100 TB-stream scale:
+    a user idle past the TTL (processing time) has their chain state
+    dropped — a later event restarts their funnel from scratch, the
+    standard streaming-state trade (documented approximation; the
+    batch-parity tests run with TTL off).  Without it, state is
+    O(all users ever seen)."""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -201,9 +209,14 @@ def user_funnel_state(events: DataFrame, steps: list[str],
               if within_seconds is not None else None)
     if emit not in ("depth", "conversion"):
         raise ValueError(f"emit must be depth|conversion, got {emit!r}")
+    ttl_ms = (int(state_ttl_minutes * 60_000)
+              if state_ttl_minutes is not None else None)
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         reached = ([None if v < 0 else v for v in state.get]
                    if state.exists else [None] * (k + 1))
         rows = []
@@ -225,6 +238,8 @@ def user_funnel_state(events: DataFrame, steps: list[str],
                     # slot k: the completing event's own timestamp
                     reached[k] = t
         state.update(tuple(-1 if v is None else v for v in reached))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
         if emit == "depth":
             depth = sum(1 for v in reached[:k] if v is not None)
             yield pd.DataFrame({"user_id": [key[0]], "depth": [depth]})
@@ -246,12 +261,14 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     state_schema = ", ".join(f"r{i} long" for i in range(k + 1))
     out_schema = ("user_id long, depth int" if emit == "depth"
                   else "user_id long, convert_seconds double")
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout
+               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 
