@@ -272,7 +272,9 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     )
 
 
-def user_transition_state(events: DataFrame) -> DataFrame:
+def user_transition_state(events: DataFrame,
+                          state_ttl_minutes: float | None = None,
+                          ) -> DataFrame:
     """Streaming next-event transition counts: per-user LAST-EVENT
     state via ``applyInPandasWithState`` — each micro-batch emits the
     (from_event, to_event, n) increments its events produced for that
@@ -287,14 +289,29 @@ def user_transition_state(events: DataFrame) -> DataFrame:
     State per user: one (timestamp, event_type) pair — O(#users),
     stream-length independent.  The emitted increments are
     |event-types|^2-bounded per (user, batch); roll them up with a
-    plain groupBy-sum in the sink."""
+    plain groupBy-sum in the sink.
+
+    ``state_ttl_minutes`` bounds state to recently-active users: an
+    idle user's remembered last event is dropped, so the single pair
+    straddling their idle gap is not counted — usually the DESIRED
+    semantics (a session boundary), and the documented trade.
+    (``user_retention_state`` deliberately has NO such knob: cohort
+    identity must persist for the whole analysis horizon, or a
+    returning user re-cohorts and inflates later cohorts — bound that
+    operator's state with ``max_periods`` instead.)"""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
     )
 
+    ttl_ms = (int(state_ttl_minutes * 60_000)
+              if state_ttl_minutes is not None else None)
+
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
         rows = []
         for pdf in pdf_iter:
             rows.extend(zip(pdf["__t"].astype("int64"), pdf["__s"]))
@@ -309,6 +326,8 @@ def user_transition_state(events: DataFrame) -> DataFrame:
             counts[(a, b)] = counts.get((a, b), 0) + 1
         if rows:
             state.update((rows[-1][0], rows[-1][1]))
+            if ttl_ms is not None:
+                state.setTimeoutDuration(ttl_ms)
         if counts:
             ks = sorted(counts)
             yield pd.DataFrame({
@@ -327,12 +346,15 @@ def user_transition_state(events: DataFrame) -> DataFrame:
                           "to_event string, n long"),
         stateStructType="t long, s string",
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
+                     if ttl_ms is not None
+                     else GroupStateTimeout.NoTimeout),
     )
 
 
 def user_retention_state(events: DataFrame,
-                         granularity: str = "week") -> DataFrame:
+                         granularity: str = "week",
+                         max_periods: int | None = None) -> DataFrame:
     """Streaming cohort-retention activations: per-user (cohort,
     seen-periods) state via ``applyInPandasWithState`` — each batch
     emits one (cohort, period_index) row per NEWLY activated period
@@ -346,7 +368,11 @@ def user_retention_state(events: DataFrame,
     State per user: cohort as epoch days + the activated period
     indexes as a comma string — activations per user are bounded by
     the retention horizon in periods (weeks of stream history), not
-    stream length.  ``cohort`` is emitted as epoch days; convert with
+    stream length; ``max_periods`` hard-caps it (periods beyond the
+    analysis horizon are neither stored nor emitted — the batch
+    operator's ``max_periods`` contract).  Cohort state itself has
+    deliberately NO TTL: a returning user must keep their original
+    cohort or later cohorts inflate.  ``cohort`` is emitted as epoch days; convert with
     ``F.date_from_unix_date`` for the report."""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import (
@@ -370,6 +396,8 @@ def user_retention_state(events: DataFrame,
         else:
             cohort, seen = min(days), set()
         fresh = sorted({(d - cohort) // step for d in days} - seen)
+        if max_periods is not None:
+            fresh = [p for p in fresh if p <= max_periods]
         seen.update(fresh)
         state.update((cohort,
                       ",".join(str(i) for i in sorted(seen))))
