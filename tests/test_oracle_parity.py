@@ -106,7 +106,9 @@ WINDOW_QUERIES = ["q13_hourly_events", "q22_sessionize",
                   "q67_top_paths",
                   # session buckets shift with event density by
                   # construction
-                  "q68_session_stats"]
+                  "q68_session_stats",
+                  # activity segments: day-count thresholds at 10x
+                  "q71_activity_segments"]
 SF_DIR_BENCH = "/root/testdata/sf0.1"
 
 

@@ -2612,6 +2612,48 @@ def q70_cluster_keywords(spark, sf_dir):
                      "token", "cnt", "lift")
 
 
+@_retire("q71_activity_segments", """
+WITH per_user AS (
+  SELECT user_id,
+         count(*) AS n_events,
+         count(DISTINCT CAST(ts AS DATE)) AS active_days,
+         count(DISTINCT event_type) AS n_types
+  FROM events GROUP BY user_id
+)
+SELECT segment, count(*) AS n_users,
+       floor(avg(n_events) * 1000000 + 0.5) / 1000000 AS avg_events,
+       floor(avg(n_types) * 1000000 + 0.5) / 1000000 AS avg_types
+FROM (SELECT CASE WHEN active_days >= 20 THEN 'power'
+                  WHEN active_days >= 5 THEN 'core'
+                  ELSE 'casual' END AS segment,
+             n_events, n_types
+      FROM per_user)
+GROUP BY segment
+""")
+def q71_activity_segments(spark, sf_dir):
+    """Engagement segmentation (power/core/casual by distinct active
+    days) with per-segment event and event-type averages — the
+    product-analytics activity table; pytest-registry slot.  One
+    per-user aggregate + a 3-row rollup; averages use the floor
+    idiom."""
+    ev = _events(spark, sf_dir)
+    per_user = (ev.groupBy("user_id")
+                .agg(F.count(F.lit(1)).alias("n_events"),
+                     F.countDistinct(F.col("ts").cast("date"))
+                     .alias("active_days"),
+                     F.countDistinct("event_type").alias("n_types")))
+    seg = (F.when(F.col("active_days") >= 20, "power")
+           .when(F.col("active_days") >= 5, "core")
+           .otherwise("casual"))
+    return (per_user.select(seg.alias("segment"), "n_events", "n_types")
+            .groupBy("segment")
+            .agg(F.count(F.lit(1)).alias("n_users"),
+                 (F.floor(F.avg("n_events") * 1_000_000 + 0.5)
+                  / 1_000_000).alias("avg_events"),
+                 (F.floor(F.avg("n_types") * 1_000_000 + 0.5)
+                  / 1_000_000).alias("avg_types")))
+
+
 @_register("q64_release_pipeline")
 def q64_release_pipeline(spark, sf_dir):
     """End-to-end web-release composition, graded rows-only (the
