@@ -183,6 +183,33 @@ def test_curate_redact_pii_stage(spark):
     assert reasons[1] == "exact_dup"
 
 
+def test_curate_leakage_safe_split(spark):
+    """dup_pairs: confirmed near-dup families (too different for the
+    exact-fingerprint dedup) land in ONE split; docs outside any pair
+    keep exactly the default assignment."""
+    from trial_data_ingestion_spark.pipelines.curation import (
+        CurationConfig, curate,
+    )
+    base = ("a perfectly ordinary well formed document about spark "
+            "broadcast joins and shuffle partitions number {}")
+    docs = spark.createDataFrame(
+        [(i, base.format(i)) for i in range(40)],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(3, 17), (17, 29), (8, 31)],
+                                  ["doc_a", "doc_b"])
+    cfg = CurationConfig(lid="native")
+    got = {r["doc_id"]: r["split"] for r in
+           curate(docs, config=cfg, dup_pairs=pairs).collect()}
+    assert got[3] == got[17] == got[29]
+    assert got[8] == got[31]
+    plain = {r["doc_id"]: r["split"] for r in
+             curate(docs, config=cfg).collect()}
+    assert set(got) == set(plain)          # split never drops rows
+    paired = {3, 17, 29, 8, 31}
+    for i in set(plain) - paired:
+        assert got[i] == plain[i]
+
+
 def test_curate_incremental_matches_full(spark, tmp_path):
     """curate(A ∪ B) must equal curate(A) ∪ curate_incremental(B)
     row-for-row when batch ids sort after corpus ids: the delta path

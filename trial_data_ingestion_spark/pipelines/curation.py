@@ -179,6 +179,7 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
            url_blocklist: DataFrame | list | tuple | None = None,
            url_allowlist: DataFrame | list | tuple | None = None,
            quality_model=None, ppl_lm=None,
+           dup_pairs: DataFrame | None = None,
            metrics: dict | None = None) -> DataFrame:
     """Curated corpus: input rows that survive the optional URL
     filter (``config.url_col`` + ``url_blocklist``/``url_allowlist``),
@@ -328,8 +329,21 @@ def curate(docs: DataFrame, benchmark: DataFrame | None = None,
                   .select(cfg.id_col, F.round("dsir_score", 6)
                           .alias("dsir_score")),
             cfg.id_col)
-    out = split_by_hash(deduped, cfg.id_col, cfg.split_weights,
-                        seed=cfg.split_seed)
+    if dup_pairs is not None:
+        # near-dup families (from the MinHash/SimHash/embedding
+        # verifiers — exact dedup upstream only catches identical
+        # fingerprints) move into ONE split: a paraphrase must not
+        # straddle train/test.  Batch-only composition: component
+        # labels change as the pair graph grows, so incremental runs
+        # keep the plain per-id split (stable across deltas).
+        from trial_data_ingestion_spark.operators.sampling import (
+            leakage_safe_split,
+        )
+        out = leakage_safe_split(deduped, dup_pairs, cfg.id_col,
+                                 cfg.split_weights, seed=cfg.split_seed)
+    else:
+        out = split_by_hash(deduped, cfg.id_col, cfg.split_weights,
+                            seed=cfg.split_seed)
     return _observe(out, "output")
 
 
