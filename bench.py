@@ -654,6 +654,22 @@ TOTAL_REGRESSION_FACTOR = 1.3
 INCOMPARABLE_BEFORE = {"b02_decontam_report": 5}
 
 _ROUND_RE = re.compile(r"BENCH(?:_LOCAL)?_r0*(\d+)\.json$")
+
+
+def _is_git_tracked(path: str) -> bool:
+    """True iff *path* is tracked by git (committed local bench records
+    must never be overwritten — see the BENCH_LOCAL writer below)."""
+    import subprocess
+    try:
+        rc = subprocess.run(
+            ["git", "ls-files", "--error-unmatch", os.path.basename(path)],
+            cwd=os.path.dirname(os.path.abspath(path)),
+            capture_output=True, timeout=10).returncode
+        return rc == 0
+    except Exception:
+        # git missing/broken: be conservative, treat as tracked so an
+        # existing file is never clobbered.
+        return True
 #: steady-query key/value pairs inside a truncated bench tail — keys
 #: are always qNN_/bNN_ prefixed, so a front-truncated key never
 #: matches and cold values are fenced off by the steady_passes marker
@@ -843,7 +859,13 @@ def main() -> None:
     # runs write BENCH_LOCAL_r{NN}.json (NN = next round after the
     # newest driver artifact) so the per-query record always survives;
     # --only dev runs skip the write so partial subsets can't shadow a
-    # full record.
+    # full record.  NEVER overwrite a git-tracked record: in round 6
+    # the driver ran bench.py before its own BENCH_r06.json existed,
+    # computed NN=6, and clobbered the committed best-clean
+    # BENCH_LOCAL_r06.json (75.37s) with its slower run (79.28s).
+    # A tracked collision now bumps NN to the next free slot instead
+    # (the rolling-baseline loader takes per-entry min over all
+    # BENCH_LOCAL files, so extra files are harmless).
     if headline == HEADLINE and sf_dir.rstrip("/").endswith("sf0.1"):
         here = os.path.dirname(os.path.abspath(__file__))
         driver_rounds = [int(m.group(1)) for p in
@@ -851,6 +873,9 @@ def main() -> None:
                          if (m := _ROUND_RE.search(os.path.basename(p)))]
         nn = max(driver_rounds, default=0) + 1
         local_path = os.path.join(here, f"BENCH_LOCAL_r{nn:02d}.json")
+        while os.path.exists(local_path) and _is_git_tracked(local_path):
+            nn += 1
+            local_path = os.path.join(here, f"BENCH_LOCAL_r{nn:02d}.json")
         with open(local_path, "w") as f:
             json.dump(out, f, indent=2)
             f.write("\n")

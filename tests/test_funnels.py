@@ -396,3 +396,71 @@ def test_conversion_report_empty_funnel(spark):
     rep = funnel_conversion_report(ev, ["a", "b"]).collect()[0]
     assert rep["n_converted"] == 0
     assert rep["p50_seconds"] is None and rep["p90_seconds"] is None
+
+
+def test_funnel_per_user_cap(spark):
+    """The funnel fold's skew guard (verdict r6 item 6): a bot
+    spamming one step contributes only its first
+    ``max_events_per_user`` step-events; normal users' depths are
+    bit-identical to the uncapped run; unrelated event types never
+    count against the cap; the truncation report counts the cut."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_counts, funnel_depths, funnel_truncation_report,
+    )
+    steps = ["signup", "view", "purchase"]
+    # bot: one signup, then spams "view" 500x, purchases at the very
+    # end -- beyond any reasonable cap
+    rows = [(1, 0.0, "signup")]
+    rows += [(1, float(i), "view") for i in range(1, 501)]
+    rows += [(1, 501.0, "purchase")]
+    # normal user converts; noise event type interleaved (must not
+    # count against the cap -- the fold pre-filters to step types)
+    rows += [(2, 1.0, "signup"), (2, 1.5, "scroll"), (2, 2.0, "view"),
+             (2, 2.5, "scroll"), (2, 3.0, "purchase")]
+    ev = (spark.createDataFrame(rows,
+                                "user_id long, sec double, "
+                                "event_type string")
+          .withColumn("ts", F.timestamp_seconds("sec")))
+    base = {r["user_id"]: r["depth"]
+            for r in funnel_depths(ev, steps).collect()}
+    assert base == {1: 3, 2: 3}
+    capped = {r["user_id"]: r["depth"]
+              for r in funnel_depths(
+                  ev, steps, max_events_per_user=10).collect()}
+    # bot's purchase falls outside its first 10 step-events -> depth 2
+    assert capped == {1: 2, 2: 3}
+    by_step = {r["step"]: r["n_users"]
+               for r in funnel_counts(
+                   ev, steps, max_events_per_user=10).collect()}
+    assert by_step == {"signup": 2, "view": 2, "purchase": 1}
+    rep = funnel_truncation_report(ev, steps, 10).collect()[0]
+    assert rep["n_users"] == 2
+    assert rep["n_truncated_users"] == 1
+    assert rep["max_step_events"] == 502
+    assert rep["events_dropped"] == 492
+    with pytest.raises(ValueError):
+        funnel_depths(ev, steps, max_events_per_user=2)
+
+
+def test_conversion_times_per_user_cap(spark):
+    """Same cap on the time-to-convert fold: the bot's late purchase
+    is not seen under the cap, the normal user's time is unchanged."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_times,
+    )
+    steps = ["signup", "purchase"]
+    rows = [(1, 0.0, "signup")]
+    rows += [(1, float(i), "signup") for i in range(1, 50)]
+    rows += [(1, 99.0, "purchase")]
+    rows += [(2, 1.0, "signup"), (2, 11.0, "purchase")]
+    ev = (spark.createDataFrame(rows,
+                                "user_id long, sec double, "
+                                "event_type string")
+          .withColumn("ts", F.timestamp_seconds("sec")))
+    base = {r["user_id"]: r["convert_seconds"]
+            for r in funnel_conversion_times(ev, steps).collect()}
+    assert base == {1: 99.0, 2: 10.0}
+    capped = {r["user_id"]: r["convert_seconds"]
+              for r in funnel_conversion_times(
+                  ev, steps, max_events_per_user=10).collect()}
+    assert capped == {2: 10.0}

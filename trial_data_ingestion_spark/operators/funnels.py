@@ -35,17 +35,45 @@ from pyspark.sql.window import Window
 from trial_data_ingestion_spark.session import ensure_parallelism
 
 
+def _cap_seq(seq, max_events_per_user: int | None, k: int):
+    """Apply the per-user skew cap to a sorted event array: keep the
+    FIRST ``max_events_per_user`` step-events by time.  The guard for
+    the one unbounded structure in the funnel fold — a bot spamming a
+    step event otherwise produces one enormous array on a straggler
+    row at 100 TB scale (same rationale as
+    ``next_event_transitions``'s cap, funnels.py:364).  Opt-in, off
+    for oracle-checked runs; audit with
+    :func:`funnel_truncation_report` before trusting a capped
+    funnel."""
+    if max_events_per_user is None:
+        return seq
+    if max_events_per_user < k:
+        raise ValueError(
+            f"max_events_per_user must be >= len(steps)={k} "
+            "(a full conversion needs one event per step)")
+    return F.slice(seq, 1, max_events_per_user)
+
+
 def funnel_depths(events: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
-                  within_seconds: float | None = None) -> DataFrame:
+                  within_seconds: float | None = None,
+                  max_events_per_user: int | None = None) -> DataFrame:
     """(user, depth): how many leading funnel ``steps`` each user
     completed in order — users who never fired the first step are
     absent (their depth is 0; :func:`funnel_counts` needs no zero
     rows).  ``within_seconds`` bounds the whole chain to a window
     starting at the chain's first event (see module docstring for
     the greedy contract).  One keyed shuffle; the fold is a native
-    lambda over the sorted per-user array."""
+    lambda over the sorted per-user array.
+
+    ``max_events_per_user`` caps the per-user array at the user's
+    first N step-events (by time) — the opt-in bot guard; normal
+    users (fewer step-events than the cap) are bit-identical.  The
+    greedy fold only ever extends the FIRST chain, so dropping a
+    spam tail cannot change a depth the uncapped fold reached within
+    the kept prefix; it can only miss promotions that genuinely
+    happened later than N events in."""
     k = len(steps)
     if k < 2:
         raise ValueError("funnel needs >= 2 steps")
@@ -84,9 +112,10 @@ def funnel_depths(events: DataFrame, steps: list[str],
             return F.when(i == 0, first).otherwise(rest)
         return F.transform(acc, upd)
 
+    seq = _cap_seq(F.sort_array(F.collect_list("e")),
+                   max_events_per_user, k)
     return (ev.groupBy("user")
-            .agg(F.aggregate(F.sort_array(F.collect_list("e")),
-                             init, merge).alias("__r"))
+            .agg(F.aggregate(seq, init, merge).alias("__r"))
             .select(F.col("user").alias(user_col),
                     F.size(F.filter(F.col("__r"),
                                     lambda x: x.isNotNull()))
@@ -97,14 +126,16 @@ def funnel_depths(events: DataFrame, steps: list[str],
 def funnel_counts(events: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
-                  within_seconds: float | None = None) -> DataFrame:
+                  within_seconds: float | None = None,
+                  max_events_per_user: int | None = None) -> DataFrame:
     """The funnel report: one row per step, in order —
     (step_index, step, n_users, frac_of_first) where ``n_users``
     counts users whose ordered chain reached AT LEAST that step and
     ``frac_of_first`` is the classic conversion-rate column (step 0
     = 1.0 whenever anyone entered; all-zero funnels report 0.0)."""
     per_user = funnel_depths(events, steps, user_col, ts_col,
-                             type_col, within_seconds)
+                             type_col, within_seconds,
+                             max_events_per_user)
     by_depth = (per_user.groupBy("depth")
                 .agg(F.count(F.lit(1)).alias("n")))
     k = len(steps)
@@ -178,6 +209,7 @@ def funnel_conversion_times(events: DataFrame, steps: list[str],
                             ts_col: str = "ts",
                             type_col: str = "event_type",
                             within_seconds: float | None = None,
+                            max_events_per_user: int | None = None,
                             ) -> DataFrame:
     """(user, convert_seconds) for every user whose greedy chain
     completed ALL ``steps``: elapsed time from the chain's first
@@ -233,9 +265,10 @@ def funnel_conversion_times(events: DataFrame, steps: list[str],
                     .otherwise(promoted))
         return F.transform(acc, upd)
 
+    seq = _cap_seq(F.sort_array(F.collect_list("e")),
+                   max_events_per_user, k)
     folded = (ev.groupBy("user")
-              .agg(F.aggregate(F.sort_array(F.collect_list("e")),
-                               init, merge).alias("__r")))
+              .agg(F.aggregate(seq, init, merge).alias("__r")))
     start = F.element_at(F.col("__r"), k)       # chain start at depth k
     done = F.element_at(F.col("__r"), k + 1)
     return (folded.where(done.isNotNull())
@@ -381,6 +414,31 @@ def next_event_transitions(events: DataFrame,
     return (mat.withColumn("prob",
                            F.round(F.col("n_transitions") / total, 6))
             .orderBy("from_event", "to_event"))
+
+
+def funnel_truncation_report(events: DataFrame, steps: list[str],
+                             max_events_per_user: int,
+                             user_col: str = "user_id",
+                             type_col: str = "event_type"
+                             ) -> DataFrame:
+    """One-row audit for a capped funnel run: (n_users,
+    n_truncated_users, max_step_events, events_dropped) counted over
+    the STEP-FILTERED stream (the same rows the funnel fold sees —
+    a user's unrelated events never count against the cap).  Must
+    accompany any published capped funnel so the bias is loud, not
+    silent.  One keyed aggregate over (user, count) rows; no arrays
+    are materialized."""
+    per = (ensure_parallelism(events)
+           .where(F.col(type_col).isin(*steps))
+           .groupBy(F.col(user_col).alias("user"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    over = F.col("n") > max_events_per_user
+    return per.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(over.cast("long")).alias("n_truncated_users"),
+        F.max("n").alias("max_step_events"),
+        F.sum(F.when(over, F.col("n") - max_events_per_user)
+              .otherwise(F.lit(0))).alias("events_dropped"))
 
 
 def transition_truncation_report(events: DataFrame,
