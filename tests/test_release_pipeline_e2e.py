@@ -116,3 +116,23 @@ def test_release_pipeline(spark, tmp_path):
     assert verify_manifest(
         spark.read.parquet(out), ["shard"],
         read_manifest(spark, mpath, ["shard"])).count() == 0
+
+
+def test_q64_release_summary_exact_golden(spark):
+    """Exact 3-row pin for the one driver-graded composition with no
+    SQL oracle (r6 verdict item 2): q64's per-split release summary
+    is deterministic (content-stable split, deterministic extraction
+    and curation), so a silent value regression anywhere in the
+    composition now trips THIS golden instead of only surfacing via
+    the separately-graded constituent stages.  Regenerate with
+    plans.QUERIES['q64_release_pipeline'] at sf0.01 after any
+    INTENDED semantic change, and say why in the commit."""
+    from trial_data_ingestion_spark.plans import QUERIES
+    rows = sorted(tuple(r) for r in
+                  QUERIES["q64_release_pipeline"](
+                      spark, SF_DIR_ORACLE).collect())
+    assert rows == [
+        ("test", 18, 5836, 18, 3),
+        ("train", 453, 134069, 453, 3),
+        ("val", 23, 7288, 23, 3),
+    ]
