@@ -258,7 +258,11 @@ def test_user_funnel_state_ttl_smoke(spark, event_dir, tmp_path):
     """state_ttl_minutes switches on ProcessingTimeTimeout; within a
     single availableNow run nothing times out, so results must equal
     the no-TTL stream exactly (the TTL is a state-size bound, not a
-    semantics change for live users)."""
+    semantics change for live users).  Drained via
+    processAllAvailable+stop — a ProcessingTimeTimeout query never
+    self-terminates under availableNow (see _drain), so the old
+    awaitTermination(120) here burned 2 minutes AND leaked an active
+    query spinning empty batches for the rest of the suite."""
     from trial_data_ingestion_spark.streaming.events import (
         read_event_stream, user_funnel_state,
     )
@@ -278,7 +282,7 @@ def test_user_funnel_state_ttl_smoke(spark, event_dir, tmp_path):
              .outputMode("update")
              .option("checkpointLocation", str(tmp_path / ("ck" + name)))
              .trigger(availableNow=True).start())
-        q.awaitTermination(120)
+        _drain(q)
         return {r["user_id"]: r["depth"] for r in
                 spark.read.parquet(out).collect()}
 
@@ -805,3 +809,182 @@ def test_streaming_media_dedup_across_batches(spark, tmp_path):
     import glob
     assert not glob.glob(out2 + "/part-*.parquet") or \
         spark.read.parquet(out2).count() == 0
+
+
+def _mk_event_file(spark, src, rows):
+    """Append synthetic (user_id, day-offset seconds, event_type)
+    rows to a stream-source dir with the full EVENT_SCHEMA shape."""
+    df = (spark.createDataFrame(
+            [(i, float(sec), u, et) for i, (u, sec, et)
+             in enumerate(rows)],
+            "event_id long, sec double, user_id long, "
+            "event_type string")
+          .withColumn("ts", F.timestamp_seconds(
+              F.col("sec") + 1_700_000_000))
+          .withColumn("value", F.lit(1.0))
+          .withColumn("props", F.lit("{}"))
+          .select("event_id", "ts", "user_id", "event_type",
+                  "value", "props"))
+    df.coalesce(1).write.mode("append").parquet(src)
+
+
+DAY = 86_400.0
+
+
+def _drain(q, n_data_batches=1, timeout=180):
+    """Wait until the query has processed ``n_data_batches``
+    micro-batches that carried input rows, then stop it.  A
+    ProcessingTimeTimeout query NEVER self-terminates under
+    availableNow (Spark keeps scheduling empty batches to fire
+    future timeouts — shouldRunAnotherBatch is unconditionally true
+    for that timeout conf) and even blocks processAllAvailable, so
+    awaitTermination would burn its full timeout and LEAK an active
+    query churning empty micro-batches for the rest of the suite.
+    Counting data batches via recentProgress works for terminating
+    and non-terminating queries alike."""
+    import time
+    deadline = time.time() + timeout
+    while time.time() < deadline and q.isActive:
+        done = len([p for p in q.recentProgress
+                    if p.numInputRows > 0])
+        if done >= n_data_batches:
+            break
+        time.sleep(0.5)
+    else:
+        if q.isActive:                       # timed out waiting
+            q.stop()
+            raise AssertionError(
+                f"stream drained only "
+                f"{len([p for p in q.recentProgress if p.numInputRows > 0])}"
+                f"/{n_data_batches} data batches in {timeout}s")
+    if q.isActive:
+        q.stop()
+    q.awaitTermination(60)
+    if q.exception():
+        raise AssertionError(str(q.exception())[:2000])
+
+
+def _replay_files(spark, src, stages):
+    """Write one parquet file per replay stage (modTime-ordered so
+    maxFilesPerTrigger=1 yields one micro-batch per stage, in
+    order)."""
+    import time
+    for rows in stages:
+        _mk_event_file(spark, src, rows)
+        time.sleep(1.05)          # distinct file modTimes
+
+
+def test_funnel_event_time_ttl_diverges_on_replay(spark, tmp_path):
+    """r6 verdict item 5: replay a month of history in seconds.
+    Processing-time TTL (wall clock) expires nothing — the replay is
+    too fast — so the idle user's chain survives a 31-day data gap a
+    live run would have expired.  Event-time TTL (watermark clock)
+    expires exactly what the live run would: the watermark passes
+    user 1's last event + TTL during the replay, the chain state
+    drops, and their later click starts from scratch (depth 0).
+
+    One availableNow run per mode, maxFilesPerTrigger=1: batch N's
+    timeout processing uses the watermark from batch N-1, so the
+    expiry fires mid-run exactly as it would across restarts."""
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_funnel_state,
+    )
+    steps = ["signup", "view", "click"]
+    ttl_min = 24 * 60.0                       # 1 day, both clocks
+    stages = [
+        # day 0: user 1 opens a chain (depth 2)
+        [(1, 0.0, "signup"), (1, 3600.0, "view")],
+        # day 30: unrelated user advances the watermark past
+        # user 1's last event + TTL
+        [(2, 30 * DAY, "signup")],
+        # day 31: a batch with no user-1 data -- the event-time
+        # timeout fires here and drops their chain
+        [(3, 31 * DAY, "signup")],
+        # day 31 + 2h: user 1 returns with the would-be step 3
+        [(1, 31 * DAY + 7200.0, "click")],
+    ]
+
+    def replay(mode):
+        src = str(tmp_path / f"src_{mode}")
+        out = str(tmp_path / f"out_{mode}")
+        _replay_files(spark, src, stages)
+
+        def sink(batch_df, bid):
+            (batch_df.withColumn("bid", F.lit(bid))
+             .write.mode("append").parquet(out))
+
+        q = (user_funnel_state(
+                read_event_stream(spark, src,
+                                  max_files_per_trigger=1), steps,
+                state_ttl_minutes=ttl_min, state_ttl_mode=mode,
+                watermark_delay="1 hour")
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     str(tmp_path / f"ckpt_{mode}"))
+             .trigger(availableNow=True).start())
+        _drain(q, n_data_batches=len(stages))
+        rows = sorted(spark.read.parquet(out).collect(),
+                      key=lambda r: r["bid"])
+        return {r["user_id"]: r["depth"] for r in rows}  # later wins
+
+    ev = replay("event")
+    pr = replay("processing")
+    # processing clock: seconds of wall time, nothing expired, the
+    # 31-day-old chain still promotes -> depth 3
+    assert pr[1] == 3
+    # event clock: chain expired at watermark day-30, click alone
+    # cannot promote -> depth 0 (fresh state)
+    assert ev[1] == 0
+    assert ev[2] == 1 and pr[2] == 1          # bystanders identical
+    assert ev[3] == 1 and pr[3] == 1
+
+
+def test_transitions_event_time_ttl_diverges_on_replay(spark,
+                                                       tmp_path):
+    """Same replay divergence for the transition operator: the pair
+    straddling a 31-day idle gap is counted under processing-time TTL
+    (nothing expires in a fast replay) but NOT under event-time TTL
+    (the remembered last event expired by data time — the live-run
+    session boundary)."""
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_transition_state,
+    )
+    stages = [[(1, 0.0, "a")],
+              [(2, 30 * DAY, "x")],
+              [(3, 31 * DAY, "y")],
+              [(1, 31 * DAY + 7200.0, "b")]]
+
+    def replay(mode):
+        src = str(tmp_path / f"tsrc_{mode}")
+        out = str(tmp_path / f"tout_{mode}")
+        _replay_files(spark, src, stages)
+
+        def sink(batch_df, _bid):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (user_transition_state(
+                read_event_stream(spark, src,
+                                  max_files_per_trigger=1),
+                state_ttl_minutes=24 * 60.0, state_ttl_mode=mode,
+                watermark_delay="1 hour")
+             .writeStream.foreachBatch(sink)
+             .outputMode("update")
+             .option("checkpointLocation",
+                     str(tmp_path / f"tckpt_{mode}"))
+             .trigger(availableNow=True).start())
+        _drain(q, n_data_batches=len(stages))
+        return {(r["from_event"], r["to_event"]): r["n"] for r in
+                spark.read.parquet(out).groupBy(
+                    "from_event", "to_event")
+                .agg(F.sum("n").alias("n")).collect()}
+
+    assert replay("processing") == {("a", "b"): 1}
+    assert replay("event") == {}
+
+    with pytest.raises(ValueError):
+        from trial_data_ingestion_spark.streaming.events import (
+            user_funnel_state,
+        )
+        user_funnel_state(spark.range(1), ["a", "b"],
+                          state_ttl_mode="event")

@@ -162,10 +162,24 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def _validate_ttl(state_ttl_minutes, state_ttl_mode):
+    """Shared TTL-knob validation for the stateful triple."""
+    if state_ttl_mode not in ("processing", "event"):
+        raise ValueError(f"state_ttl_mode must be processing|event, "
+                         f"got {state_ttl_mode!r}")
+    if state_ttl_mode == "event" and state_ttl_minutes is None:
+        raise ValueError("state_ttl_mode='event' needs "
+                         "state_ttl_minutes set")
+    return (int(state_ttl_minutes * 60_000)
+            if state_ttl_minutes is not None else None)
+
+
 def user_funnel_state(events: DataFrame, steps: list[str],
                       within_seconds: float | None = None,
                       emit: str = "depth",
-                      state_ttl_minutes: float | None = None) -> DataFrame:
+                      state_ttl_minutes: float | None = None,
+                      state_ttl_mode: str = "processing",
+                      watermark_delay: str = "10 minutes") -> DataFrame:
     """Streaming conversion funnel: per-user chain state maintained
     across micro-batches via ``applyInPandasWithState`` — each batch
     emits the user's updated funnel ``depth`` (update-mode).  The
@@ -190,11 +204,24 @@ def user_funnel_state(events: DataFrame, steps: list[str],
     ``funnels.funnel_conversion_times``, same slot-k capture rule).
 
     ``state_ttl_minutes`` bounds total state at 100 TB-stream scale:
-    a user idle past the TTL (processing time) has their chain state
-    dropped — a later event restarts their funnel from scratch, the
-    standard streaming-state trade (documented approximation; the
-    batch-parity tests run with TTL off).  Without it, state is
-    O(all users ever seen)."""
+    a user idle past the TTL has their chain state dropped — a later
+    event restarts their funnel from scratch, the standard
+    streaming-state trade (documented approximation; the batch-parity
+    tests run with TTL off).  Without it, state is O(all users ever
+    seen).  ``state_ttl_mode`` picks the clock:
+
+      * ``"processing"`` (default) — wall time
+        (``ProcessingTimeTimeout``).  Right for live streams; WRONG
+        under replay/backfill, where a month of data replays in
+        minutes and nothing ever expires (or, paused mid-replay,
+        everything expires).
+      * ``"event"`` — data time (``EventTimeTimeout``): the input is
+        watermarked on ``ts`` with ``watermark_delay``, and a user's
+        state expires when the WATERMARK passes their last event +
+        TTL.  Replay-safe: expiry follows the data's own clock, so a
+        replayed month expires exactly the users the live run would
+        have.  Note the watermark also drops events older than it —
+        ``watermark_delay`` is the disorder budget."""
     import pandas as pd  # noqa: F401 (worker-side)
     from pyspark.sql.streaming.state import (
         GroupState, GroupStateTimeout,
@@ -209,8 +236,8 @@ def user_funnel_state(events: DataFrame, steps: list[str],
               if within_seconds is not None else None)
     if emit not in ("depth", "conversion"):
         raise ValueError(f"emit must be depth|conversion, got {emit!r}")
-    ttl_ms = (int(state_ttl_minutes * 60_000)
-              if state_ttl_minutes is not None else None)
+    ttl_ms = _validate_ttl(state_ttl_minutes, state_ttl_mode)
+    event_ttl = ttl_ms is not None and state_ttl_mode == "event"
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -238,7 +265,15 @@ def user_funnel_state(events: DataFrame, steps: list[str],
                     # slot k: the completing event's own timestamp
                     reached[k] = t
         state.update(tuple(-1 if v is None else v for v in reached))
-        if ttl_ms is not None:
+        if event_ttl:
+            # expire when the watermark passes last-event + TTL; the
+            # timestamp must exceed the current watermark or Spark
+            # rejects it, hence the max()
+            last_ms = max(t for t, _ in rows) // 1000 if rows else 0
+            state.setTimeoutTimestamp(
+                max(last_ms + ttl_ms,
+                    state.getCurrentWatermarkMs() + 1))
+        elif ttl_ms is not None:
             state.setTimeoutDuration(ttl_ms)
         if emit == "depth":
             depth = sum(1 for v in reached[:k] if v is not None)
@@ -255,14 +290,21 @@ def user_funnel_state(events: DataFrame, steps: list[str],
                          F.lit(k - 1 - i)).otherwise(step_id)
     ev = (events.where(F.col("event_type").isin(*steps))
           .select("user_id",
+                  F.col("ts").cast("timestamp").alias("ts"),
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("__t"),
                   step_id.alias("__s")))
+    if event_ttl:
+        ev = ev.withWatermark("ts", watermark_delay)
     state_schema = ", ".join(f"r{i} long" for i in range(k + 1))
     out_schema = ("user_id long, depth int" if emit == "depth"
                   else "user_id long, convert_seconds double")
-    timeout = (GroupStateTimeout.ProcessingTimeTimeout
-               if ttl_ms is not None else GroupStateTimeout.NoTimeout)
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_ttl:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=out_schema,
@@ -274,6 +316,8 @@ def user_funnel_state(events: DataFrame, steps: list[str],
 
 def user_transition_state(events: DataFrame,
                           state_ttl_minutes: float | None = None,
+                          state_ttl_mode: str = "processing",
+                          watermark_delay: str = "10 minutes",
                           ) -> DataFrame:
     """Streaming next-event transition counts: per-user LAST-EVENT
     state via ``applyInPandasWithState`` — each micro-batch emits the
@@ -295,6 +339,12 @@ def user_transition_state(events: DataFrame,
     idle user's remembered last event is dropped, so the single pair
     straddling their idle gap is not counted — usually the DESIRED
     semantics (a session boundary), and the documented trade.
+    ``state_ttl_mode`` picks the clock, exactly as in
+    :func:`user_funnel_state`: ``"processing"`` = wall time (live
+    streams), ``"event"`` = watermark time over ``ts`` with
+    ``watermark_delay`` disorder budget (replay/backfill-safe — an
+    idle gap is measured in DATA time, so a replayed history cuts
+    sessions at the same places the live run did).
     (``user_retention_state`` deliberately has NO such knob: cohort
     identity must persist for the whole analysis horizon, or a
     returning user re-cohorts and inflates later cohorts — bound that
@@ -304,8 +354,8 @@ def user_transition_state(events: DataFrame,
         GroupState, GroupStateTimeout,
     )
 
-    ttl_ms = (int(state_ttl_minutes * 60_000)
-              if state_ttl_minutes is not None else None)
+    ttl_ms = _validate_ttl(state_ttl_minutes, state_ttl_mode)
+    event_ttl = ttl_ms is not None and state_ttl_mode == "event"
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
@@ -326,7 +376,11 @@ def user_transition_state(events: DataFrame,
             counts[(a, b)] = counts.get((a, b), 0) + 1
         if rows:
             state.update((rows[-1][0], rows[-1][1]))
-            if ttl_ms is not None:
+            if event_ttl:
+                state.setTimeoutTimestamp(
+                    max(rows[-1][0] // 1000 + ttl_ms,
+                        state.getCurrentWatermarkMs() + 1))
+            elif ttl_ms is not None:
                 state.setTimeoutDuration(ttl_ms)
         if counts:
             ks = sorted(counts)
@@ -338,17 +392,24 @@ def user_transition_state(events: DataFrame,
 
     ev = events.select(
         "user_id",
+        F.col("ts").cast("timestamp").alias("ts"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"),
         F.col("event_type").alias("__s"))
+    if event_ttl:
+        ev = ev.withWatermark("ts", watermark_delay)
+    if ttl_ms is None:
+        timeout = GroupStateTimeout.NoTimeout
+    elif event_ttl:
+        timeout = GroupStateTimeout.EventTimeTimeout
+    else:
+        timeout = GroupStateTimeout.ProcessingTimeTimeout
     return ev.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=("user_id long, from_event string, "
                           "to_event string, n long"),
         stateStructType="t long, s string",
         outputMode="update",
-        timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout
-                     if ttl_ms is not None
-                     else GroupStateTimeout.NoTimeout),
+        timeoutConf=timeout,
     )
 
 
