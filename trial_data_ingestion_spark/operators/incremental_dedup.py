@@ -164,8 +164,14 @@ def _corpus_wins_survivors(new_docs: DataFrame, confirmed: DataFrame,
                     .where(F.col("doc") != F.col("rep"))
                     .select("doc"))
              .distinct()
-             .withColumnRenamed("doc", id_col))
-    return new_docs.join(drops, id_col, "left_anti")
+             .withColumnRenamed("doc", id_col)
+             # drops is duplicate-ids-only (bounded by the candidate
+             # set); pinning it here lets the caller unpersist/retire
+             # every upstream frame (banded batch, cross candidates)
+             # without the returned survivor plan re-running the
+             # probe joins on its next action
+             .localCheckpoint())
+    return new_docs.join(F.broadcast(drops), id_col, "left_anti")
 
 
 def dedup_minhash_incremental(spark, new_docs: DataFrame,
@@ -197,7 +203,13 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     seen = (spark.read.parquet(index_path + "/docs")
             .where(F.col("dbkt").isin(batch_bkts))
             .select(F.col("doc").alias(id_col)))
-    new_docs = new_docs.join(seen, id_col, "left_anti")
+    # persist the anti-joined batch: it is read by the banding
+    # kernel, the Jaccard verify union, and the survivor anti-join —
+    # without this each consumer re-runs the seen-id index scan +
+    # anti-join (3 redundant probe-side jobs; the batch is small by
+    # construction, so the cache is bounded by the delta, not the
+    # corpus)
+    new_docs = new_docs.join(seen, id_col, "left_anti").persist()
 
     nb = _banded(new_docs, id_col, text_col, k, num_hashes,
                  bands).persist()

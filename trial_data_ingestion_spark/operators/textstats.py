@@ -411,9 +411,16 @@ def top_ngram_ratio(text: Column, n: int = 2) -> Column:
     most frequent one (Gopher's "fraction in most common n-gram").
     Docs with fewer than ``n`` tokens score 0.
 
-    Native-expression shape: one pass builds the gram array, then a
-    distinct-gram x gram-array count — O(g * distinct g) per doc,
-    entirely inside codegen; no shuffle, no UDF."""
+    Native-expression shape: sort the gram array once, then the max
+    multiplicity is the longest run of equal adjacent elements — ONE
+    ``aggregate`` pass, O(g log g) per doc.  Higher-order functions
+    are never whole-stage-codegen'd (they evaluate interpreted), so
+    the per-element work must be LINEAR: the previous
+    distinct-grams x filter(grams) formulation re-evaluated the gram
+    array per distinct gram — interpreted O(g^3) — and took ~53 ms
+    per 300-char doc (266 s for 5k docs) whenever a consumer
+    actually materialized the column; every query had been
+    column-pruning it away, which is why it survived six rounds."""
     toks = tokens(F.lower(text))
     n_grams = F.size(toks) - (n - 1)
     # sequence(1, 0) would yield a DESCENDING [1, 0]: clamp the stop
@@ -421,10 +428,19 @@ def top_ngram_ratio(text: Column, n: int = 2) -> Column:
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n_grams, F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
-    counts = F.transform(
-        F.array_distinct(grams),
-        lambda g: F.size(F.filter(grams, lambda x: x == g)))
+    best = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                 F.lit(0).alias("best")),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(g == acc["prev"], acc["run"] + 1)
+             .otherwise(F.lit(1)).alias("run"),
+            F.greatest(acc["best"],
+                       F.when(g == acc["prev"], acc["run"] + 1)
+                        .otherwise(F.lit(1))).alias("best")),
+        lambda acc: acc["best"])
     return F.when(
         n_grams > 0,
-        F.array_max(counts).cast("double") / n_grams
+        best.cast("double") / n_grams
     ).otherwise(F.lit(0.0))

@@ -542,6 +542,44 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
         "__pre_ppl",
         ~(f_url | f_lang | f_qual | f_rep | f_len | f_model))
 
+    # The corpus-dependent stages below don't just EXTEND the spine —
+    # each one also RE-READS it (``rep.where(__pre_...)``) to build
+    # the population its verdict is defined over, and Spark evaluates
+    # a DataFrame referenced on both sides of a join twice.  Without
+    # a persist, every such stage re-runs the hygiene sweep (the
+    # Arrow LID kernel — the audit's most expensive op) end to end.
+    # Persist once at the LAST spine version the re-reader consumes:
+    # pre-window for the perplexity stage, post-window for the
+    # decontam-rewrite and DSIR stages.  At 100 TB this is the
+    # standard scored-projection materialization (MEMORY_AND_DISK,
+    # spills instead of OOM) — strictly cheaper than a second
+    # full-corpus scoring pass.  Callers that materialize the audit
+    # once (the normal case) can let the cache age out; the frames
+    # are not unpersisted here because the returned plan still reads
+    # them lazily.
+    second_read_pre_window = ppl_lm is not None
+    second_read_post_window = (
+        (benchmark is not None
+         and (cfg.substring_dedup_ngram is not None
+              or cfg.line_dedup_min_chars is not None))
+        or (dsir_target is not None and cfg.dsir_keep_frac is not None))
+
+    def _pruned_persist(df):
+        # materialize ONLY the columns the reason chain and the
+        # branch populations still read — a full-width persist would
+        # also evaluate the hygiene signals every consumer normally
+        # column-prunes away (cache materialization defeats pruning)
+        need = (idc, txt, "url_keep", "url_reason", "lang", "quality",
+                "repeated_line_ratio", "n_tokens", "__qm_keep",
+                "__ppl_ok", "gopher_passes", "fingerprint",
+                "__pre_ppl", "__pre_dedup", "__fp_rn",
+                "__pre_decontam")
+        return df.select(*[c for c in need if c in df.columns]) \
+                 .persist()
+
+    if second_read_pre_window:
+        rep = _pruned_persist(rep)
+
     if ppl_lm is not None:
         from trial_data_ingestion_spark.operators.ngram_lm import (
             perplexity_buckets, score_perplexity,
@@ -586,6 +624,10 @@ def rejection_audit(docs: DataFrame, benchmark: DataFrame | None = None,
     f_dup = F.col("__pre_dedup") & (F.col("__fp_rn") > 1)
     rep = rep.withColumn("__pre_decontam",
                          F.col("__pre_dedup") & ~f_dup)
+    if second_read_post_window:
+        # covers the window shuffle too: the decontam-rewrite /
+        # DSIR populations are defined post-dedup
+        rep = _pruned_persist(rep)
 
     if benchmark is not None:
         from trial_data_ingestion_spark.operators.decontam import (
