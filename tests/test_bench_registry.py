@@ -64,3 +64,40 @@ def test_tail_recovery_fences_cold_values():
     # no marker -> refuse to guess rather than mix steady and cold
     assert bench._recover_from_tail('"q01_pricing_summary": 1.0}') == {}
     assert bench._recover_from_tail("") == {}
+
+
+def test_scale_entries_resolve():
+    """Every SCALE_ENTRIES name must be runnable (graded or bench
+    extra) — the scale tier reuses the same callables."""
+    import bench
+    from trial_data_ingestion_spark.plans import QUERIES
+
+    available = {**QUERIES, **bench._bench_extra()}
+    missing = [n for n in bench.SCALE_ENTRIES if n not in available]
+    assert not missing
+
+
+def test_scale_record_gates():
+    """The committed BENCH_SCALE.json (produced by `bench.py --scale`)
+    must cover every SCALE_ENTRIES name and show near-linear scaling:
+    wall(10x) <= SCALE_GATE x wall(1x) per entry.  A quadratic or
+    skew cliff at 10x reads as 50-100x here — this is the measured
+    backing for the README's 100 TB design-review claims."""
+    import json
+    import os
+
+    import bench
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH_SCALE.json")
+    assert os.path.exists(path), (
+        "BENCH_SCALE.json missing — run `python bench.py --scale` "
+        "and commit the record")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["factor"] >= 10
+    assert set(bench.SCALE_ENTRIES) <= set(rec["entries"]), (
+        "scale record is missing entries — regenerate")
+    over = {n: e["ratio"] for n, e in rec["entries"].items()
+            if e["ratio"] > rec["gate_ratio"]}
+    assert not over, f"entries over the scale gate: {over}"
+    assert rec["pass"] is True
