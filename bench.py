@@ -901,10 +901,19 @@ SCALE_ENTRIES = [
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
 ]
-#: per-entry wall-time ratio gate at factor 10: near-linear work with
-#: fixed local parallelism lands near 10; a quadratic blowup or skew
-#: cliff shows up as 50-100x.  12 allows fixed per-job overhead.
-SCALE_GATE = 12.0
+#: second decade: the cheap dedup entries re-measured at 100x (500k
+#: docs / 200k vectors) — two decades of measured trend beat one
+SCALE_ENTRIES_X100 = [
+    "b16_fuzzy_decontam",
+    "q19_minhash_dedup",
+    "q48_embedding_dups_blocked",
+]
+#: per-entry wall-time ratio gates: near-linear work with fixed local
+#: parallelism lands near the factor; a quadratic blowup or skew
+#: cliff shows up as ~factor^2.  The gate allows 1.2x of linear for
+#: fixed per-job overhead.
+SCALE_TIERS = {10: (SCALE_ENTRIES, 12.0),
+               100: (SCALE_ENTRIES_X100, 120.0)}
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
 
 
@@ -1021,15 +1030,21 @@ def make_scaled_dir(spark, base_dir: str, dest: str,
 
 
 def run_scale() -> None:
-    """``--scale``: measure SCALE_ENTRIES at the base sf and at
-    ``SCALE_FACTOR`` x, write the committed BENCH_SCALE.json record,
-    and print it as one JSON line.  Timing protocol per (entry, dir):
-    one untimed warm-up pass (absorbs one-time index/codebook builds
-    — a deployment builds once), then two timed passes, keep the
-    min."""
+    """``--scale``: measure one tier (``SPARK_GRAFT_SCALE_FACTOR``,
+    default 10) of SCALE_TIERS against the base sf and MERGE the
+    result into the committed BENCH_SCALE.json record (tiers are run
+    separately — the 100x tier takes minutes per pass and is not
+    re-run when refreshing the 10x numbers).  Timing protocol per
+    (entry, dir): one untimed warm-up pass (absorbs one-time
+    index/codebook builds — a deployment builds once), then two
+    timed passes, keep the min."""
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                               "/root/testdata/sf0.1")
     factor = SCALE_FACTOR
+    if factor not in SCALE_TIERS:
+        raise SystemExit(f"--scale: no tier for factor {factor}; "
+                         f"known: {sorted(SCALE_TIERS)}")
+    entry_names, gate = SCALE_TIERS[factor]
     dest = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR",
         f"/tmp/spark_graft_scale/x{factor}")
@@ -1072,7 +1087,7 @@ def run_scale() -> None:
         return round(min(ts), 3)
 
     entries = {}
-    for name in SCALE_ENTRIES:
+    for name in entry_names:
         fn = queries[name]
         scaled_fn = q48_scaled if name == "q48_embedding_dups_blocked" \
             else fn
@@ -1087,32 +1102,48 @@ def run_scale() -> None:
             "exponent": round(math.log(max(ratio, 1e-9))
                               / math.log(factor), 2),
         }
-        print(f"scale {name}: {t_base}s -> {t_scaled}s "
+        print(f"scale x{factor} {name}: {t_base}s -> {t_scaled}s "
               f"({ratio}x)", file=sys.stderr)
 
-    out = {
-        "metric": f"scale-tier wall time, base vs {factor}x rows, "
-                  "min of 2 steady passes after 1 warm-up, local[" +
-                  os.environ.get("SPARK_GRAFT_CPUS", "32") + "]",
-        "factor": factor,
-        "base_sf_dir": base_dir,
-        "scaled_rows": meta["rows"],
-        "gate_ratio": SCALE_GATE,
-        "entries": entries,
-        "scale_knobs": {
-            "q48_embedding_dups_blocked":
-                f"num_planes 8 -> {8 + extra_planes} at {factor}x "
-                "(SRP occupancy ~ n/2^planes; planes must grow with "
-                "log2(n) or in-bucket pairs grow quadratically)",
-        },
-        "pass": all(e["ratio"] <= SCALE_GATE
-                    for e in entries.values()),
-    }
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_SCALE.json"), "w") as f:
-        json.dump(out, f, indent=2)
+    path = os.path.join(here, "BENCH_SCALE.json")
+    rec = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            rec = json.load(f)
+    if "tiers" not in rec:
+        # migrate the flat single-tier layout written before the
+        # 100x tier existed
+        rec = {"base_sf_dir": rec.get("base_sf_dir", base_dir),
+               "scale_knobs": rec.get("scale_knobs", {}),
+               "tiers": ({str(rec["factor"]): {
+                              "factor": rec["factor"],
+                              "gate_ratio": rec["gate_ratio"],
+                              "scaled_rows": rec["scaled_rows"],
+                              "entries": rec["entries"]}}
+                         if "entries" in rec else {})}
+    rec["metric"] = ("scale-tier wall time vs base rows, min of 2 "
+                     "steady passes after 1 warm-up, local[" +
+                     os.environ.get("SPARK_GRAFT_CPUS", "32") + "]")
+    rec["base_sf_dir"] = base_dir
+    rec.setdefault("scale_knobs", {})
+    rec["scale_knobs"]["q48_embedding_dups_blocked"] = (
+        "num_planes = 8 + ceil(log2(factor)) (SRP occupancy ~ "
+        "n/2^planes; planes must grow with log2(n) or in-bucket "
+        "pairs grow quadratically)")
+    rec["tiers"][str(factor)] = {
+        "factor": factor,
+        "gate_ratio": gate,
+        "scaled_rows": meta["rows"],
+        "entries": entries,
+    }
+    rec["pass"] = all(
+        e["ratio"] <= t["gate_ratio"]
+        for t in rec["tiers"].values() for e in t["entries"].values())
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=2)
         f.write("\n")
-    print(json.dumps(out))
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -78,11 +78,12 @@ def test_scale_entries_resolve():
 
 
 def test_scale_record_gates():
-    """The committed BENCH_SCALE.json (produced by `bench.py --scale`)
-    must cover every SCALE_ENTRIES name and show near-linear scaling:
-    wall(10x) <= SCALE_GATE x wall(1x) per entry.  A quadratic or
-    skew cliff at 10x reads as 50-100x here — this is the measured
-    backing for the README's 100 TB design-review claims."""
+    """The committed BENCH_SCALE.json (produced by `bench.py --scale`
+    per tier) must cover every configured tier's entry list and show
+    near-linear scaling: wall(Fx) <= gate x wall(1x) per entry, with
+    gate = 1.2x linear.  A quadratic or skew cliff reads as ~F^2
+    here — this is the measured backing for the README's 100 TB
+    design-review claims."""
     import json
     import os
 
@@ -94,10 +95,16 @@ def test_scale_record_gates():
         "and commit the record")
     with open(path) as f:
         rec = json.load(f)
-    assert rec["factor"] >= 10
-    assert set(bench.SCALE_ENTRIES) <= set(rec["entries"]), (
-        "scale record is missing entries — regenerate")
-    over = {n: e["ratio"] for n, e in rec["entries"].items()
-            if e["ratio"] > rec["gate_ratio"]}
-    assert not over, f"entries over the scale gate: {over}"
+    for factor, (names, gate) in bench.SCALE_TIERS.items():
+        tier = rec["tiers"].get(str(factor))
+        assert tier, (f"tier {factor}x missing — run "
+                      f"SPARK_GRAFT_SCALE_FACTOR={factor} "
+                      "python bench.py --scale")
+        assert tier["factor"] == factor
+        assert tier["gate_ratio"] == gate
+        assert set(names) <= set(tier["entries"]), (
+            f"tier {factor}x record is missing entries — regenerate")
+        over = {n: e["ratio"] for n, e in tier["entries"].items()
+                if e["ratio"] > gate}
+        assert not over, f"tier {factor}x over the scale gate: {over}"
     assert rec["pass"] is True
