@@ -283,6 +283,7 @@ def funnel_conversion_report(events: DataFrame, steps: list[str],
                              type_col: str = "event_type",
                              within_seconds: float | None = None,
                              percentiles: tuple = (0.5, 0.9),
+                             max_events_per_user: int | None = None,
                              ) -> DataFrame:
     """One-row summary of the time-to-convert distribution:
     ``n_converted`` plus EXACT percentiles of ``convert_seconds``
@@ -290,7 +291,8 @@ def funnel_conversion_report(events: DataFrame, steps: list[str],
     below corpus scale, so exact beats approx here and keeps the
     report deterministic)."""
     times = funnel_conversion_times(events, steps, user_col, ts_col,
-                                    type_col, within_seconds)
+                                    type_col, within_seconds,
+                                    max_events_per_user)
     pct = F.percentile("convert_seconds",
                        F.array(*[F.lit(p) for p in percentiles]))
     aggs = [F.count(F.lit(1)).alias("n_converted"),
