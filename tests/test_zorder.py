@@ -59,9 +59,18 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
         zorder_key,
     )
 
-    li = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    from tests.conftest import SF_DIR_ORACLE
+
+    # sf0.01 x 64 files: repartitionByRange's sampling seed derives
+    # from the RDD id, so file boundaries differ run to run (fresh
+    # session vs mid-suite) — at 16 files one boundary wobble moved
+    # the box fraction by 0.06 and flaked the old 0.45 gate.  64
+    # finer files drop both the measured overlaps (~3x) and their
+    # variance (observed spread <= 0.05 over reseeded runs); gates
+    # keep >= 2x margin on the worst observed value.
+    li = (spark.read.parquet(f"{SF_DIR_ORACLE}/lineitem.parquet")
           .select("l_orderkey", "l_partkey", "l_extendedprice"))
-    n_files = 16
+    n_files = 64
     zpath, lpath = str(tmp_path / "z"), str(tmp_path / "lin")
     write_zordered(li, ["l_partkey", "l_extendedprice"], zpath,
                    num_files=n_files)
@@ -86,15 +95,15 @@ def test_zorder_skips_on_both_dimensions(spark, tmp_path):
     # shares its high bits across columns) to make EVERY indexed
     # column prune — the secondary goes from ~1.0 to well under it,
     # and the primary still beats a full scan
-    assert z_ep <= 0.65, f"z ep overlap {z_ep}"
-    assert z_pk <= 0.85, f"z pk overlap {z_pk}"
+    assert z_ep <= 0.6, f"z ep overlap {z_ep}"
+    assert z_pk <= 0.7, f"z pk overlap {z_pk}"
     # the box (AND of both predicates) prunes on the intersection of
     # the footer ranges — far below either single dimension
     box = sum(1 for r in zr
               if r["l_partkey"][1] >= pk[0] and r["l_partkey"][0] <= pk[1]
               and r["l_extendedprice"][1] >= ep[0]
               and r["l_extendedprice"][0] <= ep[1]) / len(zr)
-    assert box <= 0.45, f"z box overlap {box}"
+    assert box <= 0.3, f"z box overlap {box}"
     # and the scan itself agrees with the footer arithmetic: the same
     # predicate returns identical rows on both layouts
     pred = (F.col("l_partkey").between(*pk)

