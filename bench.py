@@ -93,6 +93,8 @@ HEADLINE = [
     "b24_cluster_mixture",          # topic cells -> profile/keywords/sample
     "b25_paths_and_conversion",     # pathfinder + time-to-convert report
     "b26_main_content",             # jusText-lite boilerplate removal
+    # round-7 additions
+    "b27_hll_shards",               # mergeable sketch table, delta+rollup
 ]
 
 
@@ -610,6 +612,35 @@ def _bench_extra():
             (F.floor(F.avg("removed_char_frac") * 1_000_000 + 0.5)
              / 1_000_000).alias("avg_removed_frac"))
 
+    _hll_cache: dict = {}
+
+    def b27_hll_shards(spark, sf_dir):
+        """Mergeable HLL sketch table, delta economics (b09's shape):
+        the historical shards are sketched once per sf (cold pass),
+        each steady pass pays ONE delta shard sketch + the all-time
+        per-type rollup off the few-KB sketch table — the no-rescan
+        distinct-count maintenance path."""
+        import tempfile
+
+        from trial_data_ingestion_spark.operators.sketches import (
+            merged_distinct, write_hll_shard,
+        )
+        from trial_data_ingestion_spark.plans.library import _events
+        ev = _events(spark, sf_dir).select(
+            "user_id", "event_type", (F.dayofyear("ts") % 4).alias("s"))
+        path = _hll_cache.get(sf_dir)
+        if path is None:
+            path = tempfile.mkdtemp(prefix="bench_hll_") + "/idx"
+            for s in range(3):
+                write_hll_shard(ev.where(F.col("s") == s), path,
+                                ["event_type"], "user_id", f"s{s}")
+            _hll_cache[sf_dir] = path
+        # the delta: shard 3 re-sketched each pass (idempotent
+        # partition overwrite), then the all-time rollup
+        write_hll_shard(ev.where(F.col("s") == 3), path,
+                        ["event_type"], "user_id", "s3")
+        return merged_distinct(spark, path, ["event_type"])
+
     # retired from the graded corpus in round 5 but kept in the bench
     # series so their timing history continues; resolved through the
     # RETIRED_QUERIES registry so a future retirement can't silently
@@ -637,7 +668,8 @@ def _bench_extra():
                 b19_content_policy, b20_subseq_search,
                 b21_event_analytics, b22_rejection_audit,
                 b23_multi_decontam, b24_cluster_mixture,
-                b25_paths_and_conversion, b26_main_content)}}
+                b25_paths_and_conversion, b26_main_content,
+                b27_hll_shards)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
