@@ -464,3 +464,85 @@ def test_conversion_times_per_user_cap(spark):
               for r in funnel_conversion_times(
                   ev, steps, max_events_per_user=10).collect()}
     assert capped == {2: 10.0}
+
+
+def test_funnel_cap_plan_shape(spark):
+    """Round-8 fix: the bot cap bounds the AGGREGATION BUFFER, not
+    just the fold.  Capped plans pre-filter each user's stream with
+    ``row_number() <= N`` BEFORE the groupBy, so collect_list never
+    materializes a bot's full event array; and because the window's
+    hash partitioning on ``user`` is exactly what the groupBy
+    requires, the cap costs one per-partition sort and ZERO extra
+    shuffles (exchange census identical to the uncapped plan)."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_conversion_times, funnel_depths, next_event_transitions,
+    )
+    ev = _events(spark)
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    makers = [
+        lambda c: funnel_depths(ev, STEPS, max_events_per_user=c),
+        lambda c: funnel_conversion_times(ev, STEPS,
+                                          max_events_per_user=c),
+        lambda c: next_event_transitions(ev, max_events_per_user=c),
+    ]
+    for mk in makers:
+        base, capped = plan(mk(None)), plan(mk(10))
+        assert "row_number" not in base
+        # the pre-agg filter is physically present ...
+        assert "row_number" in capped and "__rn" in capped
+        # ... and is free of new shuffles: the window reuses the
+        # groupBy's own hash exchange
+        assert (base.count("Exchange hashpartitioning")
+                == capped.count("Exchange hashpartitioning"))
+        # no slice-after-collect remains anywhere in the capped plan
+        assert "slice(sort_array" not in capped.replace(" ", "")
+
+
+def test_funnel_cap_pre_agg_matches_post_collect_slice(spark):
+    """The pre-agg row_number cut keeps exactly the prefix the old
+    post-collect slice kept: on the real events table the capped
+    depths are identical under both formulations (the old one
+    re-expressed inline here), and tight caps genuinely bite."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_depths,
+    )
+    ev = _events(spark)
+    for cap in (len(STEPS), 6, 50):
+        got = {(r["user_id"], r["depth"]) for r in
+               funnel_depths(ev, STEPS,
+                             max_events_per_user=cap).collect()}
+        # old formulation: slice AFTER the full collect — the
+        # behavior-defining twin the round-8 rewrite must match
+        sid = {s: i for i, s in enumerate(STEPS)}
+        raw = (ev.where(F.col("event_type").isin(*STEPS))
+               .select("user_id",
+                       F.unix_micros(F.col("ts").cast("timestamp"))
+                       .alias("t"), "event_type").collect())
+        by_user: dict = {}
+        for r in raw:
+            by_user.setdefault(r["user_id"], []).append(
+                (r["t"], sid[r["event_type"]]))
+        ref = {(u, _py_depth(sorted(rows)[:cap], STEPS))
+               for u, rows in by_user.items()}
+        ref = {(u, d) for u, d in ref if d > 0}
+        assert got == ref
+
+
+def test_truncation_reports_zero_on_empty(spark):
+    """ADVICE r8: sum/max over zero rows is NULL — the audit row must
+    be all-zero instead, so ``events_dropped == 0`` is a safe gate."""
+    from trial_data_ingestion_spark.operators.funnels import (
+        funnel_truncation_report, transition_truncation_report,
+    )
+    ev = (spark.createDataFrame([], "user_id long, sec double, "
+                                "event_type string")
+          .withColumn("ts", F.timestamp_seconds("sec")))
+    rep = funnel_truncation_report(ev, ["a", "b"], 10).collect()[0]
+    assert (rep["n_users"], rep["n_truncated_users"],
+            rep["max_step_events"], rep["events_dropped"]) == (0, 0, 0, 0)
+    rep = transition_truncation_report(ev, 10).collect()[0]
+    assert (rep["n_users"], rep["n_truncated_users"],
+            rep["max_events"], rep["events_dropped"]) == (0, 0, 0, 0)

@@ -35,23 +35,36 @@ from pyspark.sql.window import Window
 from trial_data_ingestion_spark.session import ensure_parallelism
 
 
-def _cap_seq(seq, max_events_per_user: int | None, k: int):
-    """Apply the per-user skew cap to a sorted event array: keep the
-    FIRST ``max_events_per_user`` step-events by time.  The guard for
-    the one unbounded structure in the funnel fold — a bot spamming a
-    step event otherwise produces one enormous array on a straggler
-    row at 100 TB scale (same rationale as
-    ``next_event_transitions``'s cap, funnels.py:364).  Opt-in, off
-    for oracle-checked runs; audit with
-    :func:`funnel_truncation_report` before trusting a capped
-    funnel."""
+def _cap_events(ev: DataFrame, max_events_per_user: int | None,
+                k_min: int, what: str) -> DataFrame:
+    """Apply the per-user skew cap BEFORE the aggregation: keep each
+    user's FIRST ``max_events_per_user`` events by (time, struct
+    tiebreak) via ``row_number() <= N`` over the same (user) ordering
+    ``sort_array`` uses, so the kept multiset is exactly the prefix a
+    post-collect ``slice`` would keep — bit-identical results.
+
+    Why pre-agg (round-8 fix): a post-collect slice bounds the fold
+    and the emit width but NOT the aggregation buffer — a bot with a
+    million events still materialized its full array on one straggler
+    row before the slice dropped it (sort-based agg spills, so it
+    degraded rather than OOM'd, but the 100 TB straggler-protection
+    claim was only half-true).  The window filter bounds the buffer
+    itself; its hash partitioning on ``user`` is exactly what the
+    following ``groupBy("user")`` requires, so Catalyst reuses the
+    exchange — capped plans carry one extra per-partition sort, ZERO
+    extra shuffles (plan-asserted in ``test_funnel_cap_plan_shape``).
+
+    Opt-in, off for oracle-checked runs; audit with the matching
+    truncation report before trusting a capped run."""
     if max_events_per_user is None:
-        return seq
-    if max_events_per_user < k:
+        return ev
+    if max_events_per_user < k_min:
         raise ValueError(
-            f"max_events_per_user must be >= len(steps)={k} "
-            "(a full conversion needs one event per step)")
-    return F.slice(seq, 1, max_events_per_user)
+            f"max_events_per_user must be >= {k_min} ({what})")
+    w = Window.partitionBy("user").orderBy(F.col("e").asc())
+    return (ev.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= max_events_per_user)
+              .drop("__rn"))
 
 
 def funnel_depths(events: DataFrame, steps: list[str],
@@ -67,13 +80,15 @@ def funnel_depths(events: DataFrame, steps: list[str],
     the greedy contract).  One keyed shuffle; the fold is a native
     lambda over the sorted per-user array.
 
-    ``max_events_per_user`` caps the per-user array at the user's
-    first N step-events (by time) — the opt-in bot guard; normal
-    users (fewer step-events than the cap) are bit-identical.  The
-    greedy fold only ever extends the FIRST chain, so dropping a
-    spam tail cannot change a depth the uncapped fold reached within
-    the kept prefix; it can only miss promotions that genuinely
-    happened later than N events in."""
+    ``max_events_per_user`` caps each user at their first N
+    step-events (by time) — the opt-in bot guard; normal users
+    (fewer step-events than the cap) are bit-identical.  The greedy
+    fold only ever extends the FIRST chain, so dropping a spam tail
+    cannot change a depth the uncapped fold reached within the kept
+    prefix; it can only miss promotions that genuinely happened
+    later than N events in.  The cap is applied BEFORE the groupBy
+    (see :func:`_cap_events`), so the aggregation buffer itself is
+    bounded — not just the fold."""
     k = len(steps)
     if k < 2:
         raise ValueError("funnel needs >= 2 steps")
@@ -112,8 +127,9 @@ def funnel_depths(events: DataFrame, steps: list[str],
             return F.when(i == 0, first).otherwise(rest)
         return F.transform(acc, upd)
 
-    seq = _cap_seq(F.sort_array(F.collect_list("e")),
-                   max_events_per_user, k)
+    ev = _cap_events(ev, max_events_per_user, k,
+                     "a full conversion needs one event per step")
+    seq = F.sort_array(F.collect_list("e"))
     return (ev.groupBy("user")
             .agg(F.aggregate(seq, init, merge).alias("__r"))
             .select(F.col("user").alias(user_col),
@@ -265,8 +281,9 @@ def funnel_conversion_times(events: DataFrame, steps: list[str],
                     .otherwise(promoted))
         return F.transform(acc, upd)
 
-    seq = _cap_seq(F.sort_array(F.collect_list("e")),
-                   max_events_per_user, k)
+    ev = _cap_events(ev, max_events_per_user, k,
+                     "a full conversion needs one event per step")
+    seq = F.sort_array(F.collect_list("e"))
     folded = (ev.groupBy("user")
               .agg(F.aggregate(seq, init, merge).alias("__r")))
     start = F.element_at(F.col("__r"), k)       # chain start at depth k
@@ -381,7 +398,8 @@ def next_event_transitions(events: DataFrame,
     ``max_doc_freq``): a bot user with millions of events would
     otherwise become one enormous array on a straggler row at 100 TB
     scale.  When set, only each user's FIRST N events (by time)
-    contribute transitions.  This biases the estimate — the dropped
+    contribute transitions, and the cut happens BEFORE the groupBy
+    (:func:`_cap_events`), so the collect buffer is bounded too.  This biases the estimate — the dropped
     tail's transitions are usually the bot's own loop, so capping
     typically REDUCES bot skew in the matrix, but genuine late
     behavior of heavy users is under-counted too; it is opt-in and
@@ -395,12 +413,9 @@ def next_event_transitions(events: DataFrame,
                       F.unix_micros(F.col(ts_col).cast("timestamp"))
                       .alias("t"),
                       F.col(type_col).alias("s")).alias("e")))
+    ev = _cap_events(ev, max_events_per_user, 2,
+                     "one transition needs two events")
     seq = F.sort_array(F.collect_list("e"))
-    if max_events_per_user is not None:
-        if max_events_per_user < 2:
-            raise ValueError("max_events_per_user must be >= 2 "
-                             "(one transition needs two events)")
-        seq = F.slice(seq, 1, max_events_per_user)
     pairs = F.zip_with(
         F.slice(seq, 1, F.greatest(F.size(seq) - 1, F.lit(0))),
         F.slice(seq, 2, F.greatest(F.size(seq) - 1, F.lit(0))),
@@ -429,18 +444,23 @@ def funnel_truncation_report(events: DataFrame, steps: list[str],
     a user's unrelated events never count against the cap).  Must
     accompany any published capped funnel so the bias is loud, not
     silent.  One keyed aggregate over (user, count) rows; no arrays
-    are materialized."""
+    are materialized.  All four counters are 0 (never NULL) on an
+    empty or fully-filtered stream, so ``events_dropped == 0`` is a
+    safe publish gate."""
     per = (ensure_parallelism(events)
            .where(F.col(type_col).isin(*steps))
            .groupBy(F.col(user_col).alias("user"))
            .agg(F.count(F.lit(1)).alias("n")))
     over = F.col("n") > max_events_per_user
+    zero = F.lit(0).cast("long")
     return per.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(over.cast("long")).alias("n_truncated_users"),
-        F.max("n").alias("max_step_events"),
-        F.sum(F.when(over, F.col("n") - max_events_per_user)
-              .otherwise(F.lit(0))).alias("events_dropped"))
+        F.coalesce(F.sum(over.cast("long")), zero)
+         .alias("n_truncated_users"),
+        F.coalesce(F.max("n"), zero).alias("max_step_events"),
+        F.coalesce(F.sum(F.when(over, F.col("n") - max_events_per_user)
+                         .otherwise(F.lit(0))), zero)
+         .alias("events_dropped"))
 
 
 def transition_truncation_report(events: DataFrame,
@@ -451,14 +471,18 @@ def transition_truncation_report(events: DataFrame,
     (n_users, n_truncated_users, max_events, events_dropped) — the
     "loud count" that must accompany any published capped matrix so
     the estimator bias is visible, not silent.  One keyed aggregate
-    over (user, count) rows; no arrays are materialized."""
+    over (user, count) rows; no arrays are materialized.  Counters
+    are 0, never NULL, on empty input."""
     per = (ensure_parallelism(events)
            .groupBy(F.col(user_col).alias("user"))
            .agg(F.count(F.lit(1)).alias("n")))
     over = F.col("n") > max_events_per_user
+    zero = F.lit(0).cast("long")
     return per.agg(
         F.count(F.lit(1)).alias("n_users"),
-        F.sum(over.cast("long")).alias("n_truncated_users"),
-        F.max("n").alias("max_events"),
-        F.sum(F.when(over, F.col("n") - max_events_per_user)
-              .otherwise(F.lit(0))).alias("events_dropped"))
+        F.coalesce(F.sum(over.cast("long")), zero)
+         .alias("n_truncated_users"),
+        F.coalesce(F.max("n"), zero).alias("max_events"),
+        F.coalesce(F.sum(F.when(over, F.col("n") - max_events_per_user)
+                         .otherwise(F.lit(0))), zero)
+         .alias("events_dropped"))
