@@ -429,3 +429,10 @@ def test_embedding_near_dups_auto_planes(spark):
     assert auto == explicit
     with pytest.raises(ValueError):
         embedding_near_dups(emb, dim=64, num_planes=3.5)
+    # ADVICE r8: isinstance(True, int) is True — num_planes=True would
+    # silently build a 1-plane/2-bucket join with quadratic in-bucket
+    # cost; bools and non-positives must fail loudly
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, dim=64, num_planes=True)
+    with pytest.raises(ValueError):
+        embedding_near_dups(emb, dim=64, num_planes=0)

@@ -221,3 +221,105 @@ def test_compact_minhash_index(spark, docs, split, tmp_path):
 
     with pytest.raises(ValueError):
         compact_minhash_index(spark, out, out)
+
+
+def test_embedding_incremental_append_preserves_corpus(spark, emb,
+                                                       tmp_path):
+    """Round-8 bug fix: append=True must APPEND the batch into the
+    bucket layout — the old code called write_srp_index in overwrite
+    mode, which dropped the corpus rows (the rerun-noop test couldn't
+    see it because the seen-filter masked the loss).  After appending
+    batch B, copies of ORIGINAL corpus docs under fresh ids must still
+    be recognized as duplicates."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "srp3")
+    write_srp_index(corpus, path, dim=DIM)
+    n_corpus_rows = spark.read.parquet(path).count()
+    embedding_near_dups_incremental(spark, batch, path, DIM,
+                                    threshold=EMB_THRESH, append=True)
+    # the layout gained the batch and kept every corpus row
+    assert spark.read.parquet(path).count() \
+        == n_corpus_rows + batch.count()
+    # exact copies of corpus vectors (cos = 1.0) under new ids: all
+    # must be dropped against the STILL-PRESENT corpus side
+    copies = (corpus.orderBy("vec_id").limit(5)
+              .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                      "embedding"))
+    out = embedding_near_dups_incremental(spark, copies, path, DIM,
+                                          threshold=EMB_THRESH)
+    assert out.count() == 0
+
+
+def test_incremental_num_planes_from_metadata(spark, emb, tmp_path):
+    """The probe hashes with the plane count the index recorded at
+    build time (num_planes=None default); a conflicting explicit
+    count raises instead of probing empty buckets."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        read_srp_index_meta, srp_auto_planes, write_srp_index,
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    path = str(tmp_path / "srp4")
+    write_srp_index(corpus, path, dim=DIM, num_planes="auto")
+    meta = read_srp_index_meta(spark, path)
+    assert meta == {"num_planes": srp_auto_planes(corpus.count()),
+                    "dim": DIM}
+    copies = (corpus.orderBy("vec_id").limit(5)
+              .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                      "embedding"))
+    # default probe routes with the recorded planes -> copies collide
+    assert embedding_near_dups_incremental(
+        spark, copies, path, DIM, threshold=EMB_THRESH).count() == 0
+    with pytest.raises(ValueError, match="rebuild to resize"):
+        embedding_near_dups_incremental(
+            spark, copies, path, DIM, threshold=EMB_THRESH,
+            num_planes=meta["num_planes"] + 1)
+    with pytest.raises(ValueError, match="rebuild to resize"):
+        write_srp_index(copies, path, dim=DIM,
+                        num_planes=meta["num_planes"] + 1,
+                        mode="append")
+    with pytest.raises(ValueError, match="stores dim"):
+        embedding_near_dups_incremental(spark, copies, path, DIM + 1,
+                                        threshold=EMB_THRESH)
+
+
+def test_incremental_paths_release_caches(spark, docs, emb, split,
+                                          tmp_path):
+    """ADVICE r8: each incremental call previously leaked one
+    persisted delta frame per batch for the session lifetime.  After
+    the pin-then-release rewrite, no DataFrame persists outlive the
+    call (checkpoint blocks are GC-owned and don't register in the
+    cache manager)."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    corpus, batch = split
+    mh_path = str(tmp_path / "relidx")
+    write_minhash_index(corpus, mh_path, num_buckets=16)
+    srp_path = str(tmp_path / "relsrp")
+    write_srp_index(emb.where(F.col("vec_id") < 300), srp_path, dim=DIM)
+
+    spark.catalog.clearCache()
+    out = dedup_minhash_incremental(spark, batch, mh_path,
+                                    threshold=THRESH, append=True)
+    assert out.count() > 0
+    out2 = embedding_near_dups_incremental(
+        spark, emb.where(F.col("vec_id") >= 300), srp_path, DIM,
+        threshold=EMB_THRESH, append=True)
+    assert out2.count() > 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # restore the module fixtures' caches for later tests
+    docs.cache().count()
+    emb.cache().count()

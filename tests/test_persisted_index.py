@@ -202,3 +202,42 @@ def test_srp_index_matches_q27_oracle(spark, tmp_path):
     odf = run_oracle(ORACLE["q27_lsh_topk"], SF_DIR_ORACLE)
     problems = compare(out, odf)
     assert not problems, "; ".join(problems)
+
+
+def test_srp_index_metadata_round_trip(spark, tmp_path):
+    """Round-8: write_srp_index(num_planes='auto') sizes p by the
+    occupancy rule and records it (plus dim) in the _srp_meta sidecar;
+    the probe defaults to the recorded count (num_planes=None), an
+    explicit matching count agrees, a conflicting one raises, and the
+    sidecar is invisible to parquet readers of the index root."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.similarity import (
+        read_srp_index_meta, srp_auto_planes, topk_lsh_over_index,
+        write_srp_index,
+    )
+    emb = _emb(spark)
+    path = str(tmp_path / "srpauto")
+    write_srp_index(emb, path, dim=64, num_planes="auto")
+    p = srp_auto_planes(emb.count())
+    assert read_srp_index_meta(spark, path) == {"num_planes": p,
+                                                "dim": 64}
+    # the sidecar never leaks into the data: index root reads see
+    # exactly the vector columns
+    assert set(spark.read.parquet(path).columns) \
+        == set(emb.columns) | {"__nrm", "bucket"}
+    qs = _queries(spark)
+    by_meta = topk_lsh_over_index(spark, path, qs, dim=64, k=5).collect()
+    assert len(by_meta) > 0
+    explicit = topk_lsh_over_index(spark, path, qs, dim=64, k=5,
+                                   num_planes=p).collect()
+    assert sorted(map(tuple, by_meta)) == sorted(map(tuple, explicit))
+    with pytest.raises(ValueError, match="rebuild to resize"):
+        topk_lsh_over_index(spark, path, qs, dim=64, k=5,
+                            num_planes=p + 1)
+    with pytest.raises(ValueError, match="recorded plane"):
+        topk_lsh_over_index(spark, path, qs, dim=64, k=5,
+                            num_planes="auto")
+    with pytest.raises(ValueError, match="num_planes"):
+        write_srp_index(emb, str(tmp_path / "bad"), dim=64,
+                        num_planes=True)

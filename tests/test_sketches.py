@@ -105,3 +105,102 @@ def test_dense_mode_within_rse_and_no_rescan(spark, tmp_path):
     for ln in scans:
         assert "hll_sketch" in ln, ln
         assert "v#" not in ln, ln
+
+
+def test_empty_shard_retry_clears_stale_partition(spark, tmp_path):
+    """ADVICE r8: dynamic partition overwrite writes NO partitions for
+    a zero-row frame, so an empty-shard retry used to silently keep
+    the prior sketch — it must clear it instead."""
+    from trial_data_ingestion_spark.operators.sketches import (
+        merged_distinct, write_hll_shard,
+    )
+    ev = _events(spark).select("user_id", "event_type")
+    path = str(tmp_path / "hll_empty")
+    write_hll_shard(ev, path, ["event_type"], "user_id", "a")
+    write_hll_shard(ev, path, ["event_type"], "user_id", "b")
+    assert merged_distinct(spark, path, ["event_type"],
+                           shards=["b"]).count() > 0
+    # shard b retries with data fully filtered away
+    write_hll_shard(ev.where(F.lit(False)), path,
+                    ["event_type"], "user_id", "b")
+    assert merged_distinct(spark, path, ["event_type"],
+                           shards=["b"]).count() == 0
+    # shard a untouched
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    got = {r["event_type"]: r["n_distinct"] for r in
+           merged_distinct(spark, path, ["event_type"],
+                           shards=["a"]).collect()}
+    assert got == want
+
+
+def test_high_cardinality_shard_multi_file(spark, tmp_path):
+    """VERDICT r8: a shard sketched over a high-cardinality group set
+    must not funnel through one task — n_files > 1 hash-distributes
+    the sketch rows by group, and the shard-pruned rollup still reads
+    only that shard's files."""
+    import glob
+
+    from trial_data_ingestion_spark.operators.sketches import (
+        merged_distinct, write_hll_shard,
+    )
+    big = spark.range(20_000).select(
+        (F.col("id") % 997).alias("host"), F.col("id").alias("v"))
+    path = str(tmp_path / "hll_wide")
+    write_hll_shard(big, path, ["host"], "v", "s0", n_files=4)
+    files = glob.glob(f"{path}/shard=s0/part-*.parquet")
+    assert len(files) == 4
+    write_hll_shard(big.where(F.col("id") < 10), path, ["host"], "v",
+                    "s1", n_files=4)
+    est = merged_distinct(spark, path, ["host"], shards=["s1"])
+    assert est.count() == 10          # prune still selects one shard
+    # and values are right (sparse mode -> exact)
+    rows = {r["host"]: r["n_distinct"] for r in est.collect()}
+    assert rows == {h: 1 for h in range(10)}
+
+
+def test_hll_stream_sink_matches_batch(spark, tmp_path):
+    """VERDICT r8 item 5: the streaming sketch maintenance path.
+    foreachBatch shard writes (one shard per micro-batch id) build
+    the same sketch table a batch build would — merged_distinct over
+    the streamed table equals exact distinct counts (sparse mode),
+    and a checkpoint-restart replay cannot double-count because a
+    replayed batch id overwrites its own shard."""
+    import glob
+
+    from trial_data_ingestion_spark.operators.sketches import (
+        hll_stream_sink, merged_distinct,
+    )
+    from trial_data_ingestion_spark.streaming import drain
+
+    ev = _events(spark).select("user_id", "event_type")
+    src = str(tmp_path / "stream_src")
+    # 3 files -> 3 micro-batches under maxFilesPerTrigger=1
+    ev.where(F.col("user_id") % 3 == 0).coalesce(1) \
+        .write.mode("append").parquet(src)
+    ev.where(F.col("user_id") % 3 == 1).coalesce(1) \
+        .write.mode("append").parquet(src)
+    ev.where(F.col("user_id") % 3 == 2).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    path = str(tmp_path / "hll_stream")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream
+         .foreachBatch(hll_stream_sink(path, ["event_type"],
+                                       "user_id"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    drain(q, n_data_batches=3)
+
+    shards = {d.rsplit("=", 1)[1]
+              for d in glob.glob(f"{path}/shard=*")}
+    assert len(shards) == 3 and all(s.startswith("batch-")
+                                    for s in shards)
+    got = {r["event_type"]: r["n_distinct"] for r in
+           merged_distinct(spark, path, ["event_type"]).collect()}
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want

@@ -281,11 +281,16 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
                 .union(candidates.select(F.col("doc_b").alias(id_col)))
                 .distinct())
     df = df.join(in_cands, id_col, "left_semi")
-    # Persisted: the distinct shingle set of candidate docs feeds three
+    # Pinned: the distinct shingle set of candidate docs feeds three
     # consumers (sizes, doc_a side, doc_b side) — without pinning it the
     # explode+distinct subtree would run three times.  Size is bounded
-    # by the candidate set, not the corpus.
-    shd = shingle_table(df, id_col, text_col, k).distinct().persist()
+    # by the candidate set, not the corpus.  localCheckpoint rather
+    # than persist (r8): the returned plan is lazy, so a persist here
+    # could never be matched by an unpersist and leaked one cached
+    # frame per call in repeated-delta ingest loops; checkpoint
+    # blocks are GC-owned and die with the plan that references them.
+    shd = shingle_table(df, id_col, text_col, k).distinct() \
+        .localCheckpoint()
     sizes = shd.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (
         candidates

@@ -248,18 +248,24 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     survivors = _corpus_wins_survivors(
         new_docs, confirmed, cand_corpus.select("doc").distinct(),
         id_col)
+    # pin the decision: the survivor plan lazily re-reads both the
+    # cached delta and the index (seen filter, candidate fetch), and
+    # pinning it lets EVERY probe-side cache be released below — a
+    # repeated-delta ingest loop previously leaked one cached batch
+    # frame per call (checkpoint blocks, by contrast, are freed with
+    # the frame).  Bounded by the delta, eager by design: the caller
+    # always acts on the decision exactly once anyway.
+    survivors = survivors.localCheckpoint()
     if append:
-        # the survivor plan lazily re-reads the index (seen filter,
-        # candidate fetch) — pin the decision BEFORE mutating it
-        survivors = survivors.localCheckpoint()
-        # new_docs' own plan also reads index docs (the seen filter);
+        # new_docs' own plan reads index docs (the seen filter);
         # checkpoint so the append doesn't read its own target
-        new_docs = new_docs.localCheckpoint()
-        write_minhash_index(new_docs, index_path, id_col, text_col,
+        to_add = new_docs.localCheckpoint()
+        write_minhash_index(to_add, index_path, id_col, text_col,
                             k=k, num_hashes=num_hashes, bands=bands,
                             num_buckets=num_buckets, mode="append")
     nb.unpersist()
     cross.unpersist()
+    new_docs.unpersist()
     return survivors
 
 
@@ -275,7 +281,7 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
                                     id_col: str = "vec_id",
                                     vec_col: str = "embedding",
                                     threshold: float = 0.9,
-                                    num_planes: int = 8,
+                                    num_planes: int | None = None,
                                     append: bool = False) -> DataFrame:
     """New-batch vectors surviving embedding-cosine near-dedup
     against BOTH a persisted :func:`~.similarity.write_srp_index`
@@ -287,14 +293,26 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     and broadcast.  Components are resolved with the same
     corpus-wins rule as :func:`dedup_minhash_incremental`.  Identical
     vectors hash to identical buckets, so the seen-id resume filter
-    also rides the pruned scan."""
+    also rides the pruned scan.
+
+    ``num_planes=None`` (default) hashes the batch with the plane
+    count the index RECORDED at build time (the only count that can
+    route probes correctly); an explicit int is cross-checked and a
+    mismatch raises.  The plane set is therefore pinned for the
+    index's lifetime — when a growing corpus outruns its occupancy
+    target (:func:`~.similarity.srp_auto_planes`), rebuild the index
+    with ``num_planes="auto"`` rather than appending forever.  With
+    ``append=True`` the batch is APPENDED into the bucket layout
+    (``mode="append"`` — never an overwrite, which would drop the
+    corpus rows sharing the batch's buckets)."""
     from trial_data_ingestion_spark.functions.vector import (
         dot_fixed, l2_norm_fixed,
     )
     from trial_data_ingestion_spark.operators.similarity import (
-        srp_bucket, write_srp_index,
+        _index_planes, srp_bucket, write_srp_index,
     )
 
+    num_planes = _index_planes(spark, index_path, num_planes, dim)
     nb = (new_embeddings
           .select(F.col(id_col).alias("doc"),
                   F.col(vec_col).alias("v"),
@@ -339,11 +357,14 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     confirmed = batch_pairs.unionByName(cross_pairs).distinct()
     survivors = _corpus_wins_survivors(new_embeddings, confirmed,
                                        corpus_nodes, id_col)
+    # pin-then-release, same contract as dedup_minhash_incremental:
+    # no cached frames outlive the call
+    survivors = survivors.localCheckpoint()
     if append:
-        survivors = survivors.localCheckpoint()
         to_add = new_embeddings.localCheckpoint()
         write_srp_index(to_add, index_path, dim, id_col=id_col,
-                        vec_col=vec_col, num_planes=num_planes)
+                        vec_col=vec_col, num_planes=num_planes,
+                        mode="append")
     nb.unpersist()
     return survivors
 

@@ -142,7 +142,7 @@ def srp_bucket(vec, dim: int, num_planes: int = 8,
 def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
              id_col: str = "vec_id", vec_col: str = "embedding",
              query_id_col: str = "query_id", query_vec_col: str = "query_vec",
-             k: int = 10, num_planes: int = 8,
+             k: int = 10, num_planes: int | str = 8,
              multiprobe_hamming: int = 1) -> DataFrame:
     """Approximate cosine top-k: join on SRP bucket (with multi-probe
     expansion of the query buckets within the given Hamming radius),
@@ -151,7 +151,12 @@ def topk_lsh(embeddings: DataFrame, queries: DataFrame, dim: int,
     The embeddings side is bucketed once (a narrow map) and can be
     written bucketed-by-``bucket`` for repeated query workloads; the
     join shuffles candidates, not the full corpus.
+    ``num_planes="auto"`` sizes the plane count from a count() of the
+    corpus so bucket occupancy — and thus per-query candidate volume —
+    stays constant as the corpus grows (:func:`srp_auto_planes`).
     """
+    num_planes = resolve_num_planes(num_planes,
+                                    lambda: embeddings.count())
     emb = (embeddings
            .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
            .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
@@ -353,6 +358,24 @@ def srp_auto_planes(n: int, occupancy: int = SRP_AUTO_OCCUPANCY) -> int:
     return max(4, math.ceil(math.log2(max(n, 1) / occupancy)))
 
 
+def resolve_num_planes(num_planes, count_fn,
+                       occupancy: int = SRP_AUTO_OCCUPANCY) -> int:
+    """Shared resolution + strict validation for every ``num_planes``
+    knob.  ``"auto"`` sizes from ``count_fn()`` (one cheap extra job)
+    via :func:`srp_auto_planes`; ints are validated strictly — bools
+    are rejected (``isinstance(True, int)`` is True, and
+    ``num_planes=True`` would otherwise silently build a
+    1-plane/2-bucket SRP join with quadratic in-bucket pair cost), as
+    are non-positive values."""
+    if num_planes == "auto":
+        return srp_auto_planes(count_fn(), occupancy)
+    if (isinstance(num_planes, bool) or not isinstance(num_planes, int)
+            or num_planes < 1):
+        raise ValueError(f"num_planes must be a positive int or "
+                         f"'auto', got {num_planes!r}")
+    return num_planes
+
+
 def embedding_near_dups(embeddings: DataFrame, dim: int,
                         id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95,
@@ -389,11 +412,8 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     # the join-based form, and least/greatest reproduces its
     # (doc_a < doc_b) orientation (dot is index-aligned, so the value
     # is symmetric in the pair) — values and oracle hashes unchanged.
-    if num_planes == "auto":
-        num_planes = srp_auto_planes(embeddings.count())
-    elif not isinstance(num_planes, int):
-        raise ValueError(f"num_planes must be an int or 'auto', "
-                         f"got {num_planes!r}")
+    num_planes = resolve_num_planes(num_planes,
+                                    lambda: embeddings.count())
     emb = embeddings.select(
         F.col(id_col).alias("doc"),
         F.col(vec_col).alias("v"),
@@ -420,7 +440,7 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding",
                                    threshold: float = 0.9,
-                                   num_planes: int = 8,
+                                   num_planes: int | str = 8,
                                    num_tables: int = 4) -> DataFrame:
     """Multi-table SRP near-dup pairs: the recall path promised in
     :func:`embedding_near_dups`'s docstring, as a real operator.
@@ -435,6 +455,8 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
     Choose (p, L) from the target recall at the threshold; lowering p
     raises per-table recall quadratically in candidate volume, adding
     tables raises it linearly in hashing cost.
+    ``num_planes="auto"`` sizes the per-table plane count from a
+    count() of the corpus (:func:`resolve_num_planes`).
 
     Scale shape: ONE pass computes all L bucket ids per vector
     (codegen'd literal-plane expressions), ``posexplode`` fans each
@@ -442,6 +464,8 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
     composite (table, bucket) — still a plain shuffle join, never
     all-pairs.  Pairs colliding in several tables are deduplicated
     BEFORE the exact rescore so each candidate is scored once."""
+    num_planes = resolve_num_planes(num_planes,
+                                    lambda: embeddings.count())
     buckets = [srp_bucket(vec_col, dim, num_planes,
                           plane_offset=t * num_planes).alias(f"__b{t}")
                for t in range(num_tables)]
@@ -574,17 +598,103 @@ def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
 
 def write_srp_index(embeddings: DataFrame, path: str, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    num_planes: int = 8) -> None:
+                    num_planes: int | str = 8,
+                    mode: str = "overwrite") -> None:
     """Persist the SRP-LSH layout for :func:`topk_lsh_over_index`:
     one narrow map computes each vector's bucket (literal-plane
     codegen, no shuffle) and the norm, written partitioned by
     ``bucket`` (2^num_planes directories).  Queries probe buckets by
-    literal filter; the corpus never recomputes a projection."""
+    literal filter; the corpus never recomputes a projection.
+
+    The plane count (and ``dim``) is recorded in a ``_srp_meta``
+    sidecar inside the index root (underscore-prefixed, so parquet
+    readers of ``path`` never see it); query/probe operators read it
+    back via :func:`read_srp_index_meta` instead of trusting the
+    caller to remember — probing with mismatched planes silently
+    misses every neighbor.  ``num_planes="auto"`` sizes p from a
+    count() of the input (:func:`srp_auto_planes`), so occupancy —
+    and thus in-bucket candidate cost — stays constant as corpora
+    grow.  An index's plane set is FIXED at build time: ``"auto"``
+    sizes NEW indexes; growing an existing index past its occupancy
+    target means a rebuild (re-hashing is a narrow map over one
+    corpus scan — schedule it like an IVF re-fit).
+
+    ``mode="append"`` extends an existing index (delta batches land
+    in the same bucket directories); the plane set then COMES FROM
+    the sidecar — a conflicting explicit ``num_planes`` raises."""
+    spark = embeddings.sparkSession
+    if mode == "append":
+        meta = read_srp_index_meta(spark, path)
+        if meta is None:
+            if not isinstance(num_planes, int) \
+                    or isinstance(num_planes, bool):
+                raise ValueError(
+                    "append to a pre-metadata index needs an explicit "
+                    "int num_planes (the build-time plane count)")
+        else:
+            if (isinstance(num_planes, int)
+                    and not isinstance(num_planes, bool)
+                    and num_planes != meta["num_planes"]):
+                raise ValueError(
+                    f"index at {path} was built with "
+                    f"num_planes={meta['num_planes']}; appending with "
+                    f"{num_planes} would misroute probes "
+                    "(rebuild to resize)")
+            num_planes = meta["num_planes"]
+    else:
+        num_planes = resolve_num_planes(num_planes,
+                                        lambda: embeddings.count())
     out = (embeddings
            .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
            .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
-    (out.write.mode("overwrite").partitionBy("bucket").parquet(path))
-    embeddings.sparkSession.catalog.refreshByPath(path)
+    (out.write.mode(mode).partitionBy("bucket").parquet(path))
+    # sidecar AFTER the data write: a static-mode overwrite of `path`
+    # deletes the whole root, sidecar included
+    (spark.createDataFrame([(int(num_planes), int(dim))],
+                           "num_planes int, dim int")
+     .coalesce(1).write.mode("overwrite").json(path + "/_srp_meta"))
+    spark.catalog.refreshByPath(path)
+
+
+def read_srp_index_meta(spark, path: str) -> dict | None:
+    """The ``_srp_meta`` sidecar of a :func:`write_srp_index` layout
+    as ``{"num_planes": p, "dim": d}``; None for a pre-metadata index
+    (callers fall back to their explicit/default plane count)."""
+    try:
+        row = spark.read.json(path + "/_srp_meta").collect()
+    except Exception:
+        return None
+    if not row:
+        return None
+    return {"num_planes": int(row[0]["num_planes"]),
+            "dim": int(row[0]["dim"])}
+
+
+def _index_planes(spark, index_path: str, num_planes,
+                  dim: int | None = None) -> int:
+    """Resolve the plane count for a probe of a persisted SRP layout:
+    None -> the index's recorded planes (default 8 for pre-metadata
+    indexes); an explicit int must MATCH the recording — a mismatch
+    means every probe lands in the wrong bucket, so it raises instead
+    of silently returning empty results.  ``dim`` is cross-checked
+    the same way when the sidecar carries it."""
+    if num_planes == "auto":
+        raise ValueError("probes take the index's recorded plane "
+                         "count: pass num_planes=None ('auto' only "
+                         "sizes NEW indexes at build time)")
+    meta = read_srp_index_meta(spark, index_path)
+    if num_planes is None:
+        num_planes = meta["num_planes"] if meta else 8
+    elif meta is not None and num_planes != meta["num_planes"]:
+        raise ValueError(
+            f"index at {index_path} was built with "
+            f"num_planes={meta['num_planes']}, probe asked for "
+            f"{num_planes} (rebuild to resize)")
+    if (meta is not None and dim is not None
+            and dim != meta["dim"]):
+        raise ValueError(f"index at {index_path} stores dim="
+                         f"{meta['dim']}, probe asked for {dim}")
+    return resolve_num_planes(num_planes, lambda: 0)
 
 
 def topk_lsh_over_index(spark, index_path: str, queries: DataFrame,
@@ -592,7 +702,7 @@ def topk_lsh_over_index(spark, index_path: str, queries: DataFrame,
                         vec_col: str = "embedding",
                         query_id_col: str = "query_id",
                         query_vec_col: str = "query_vec",
-                        k: int = 10, num_planes: int = 8,
+                        k: int = 10, num_planes: int | None = None,
                         multiprobe_hamming: int = 1) -> DataFrame:
     """Approximate cosine top-k over a persisted
     :func:`write_srp_index` layout; same semantics as
@@ -600,7 +710,14 @@ def topk_lsh_over_index(spark, index_path: str, queries: DataFrame,
     rescore), but the corpus-side bucket assignment is read, not
     recomputed — the plan contains no projection ``zip_with`` over
     the index, only the partition-pruned scan, a broadcast equi-join
-    on ``bucket``, and the codegen'd rescore."""
+    on ``bucket``, and the codegen'd rescore.
+
+    ``num_planes=None`` (default) probes with the plane count the
+    index RECORDED at build time (``_srp_meta`` sidecar) — the only
+    count that can be right; an explicit int is cross-checked against
+    the recording and raises on mismatch instead of silently probing
+    empty buckets."""
+    num_planes = _index_planes(spark, index_path, num_planes, dim)
     probe_sets = [F.lit(0)]
     if multiprobe_hamming >= 1:
         probe_sets += [F.lit(1 << p) for p in range(num_planes)]

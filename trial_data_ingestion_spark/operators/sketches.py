@@ -47,19 +47,78 @@ def hll_shard_sketches(df: DataFrame, group_cols: list[str],
 
 def write_hll_shard(df: DataFrame, path: str, group_cols: list[str],
                     value_col: str, shard: str,
-                    lgk: int = 12) -> None:
+                    lgk: int = 12, n_files: int = 1) -> None:
     """Sketch one shard and append it to the sketch table at
     ``path`` (partitioned by ``shard`` — re-running a shard is an
     overwrite of its own partition, so ingest retries stay
-    idempotent)."""
+    idempotent).
+
+    ``n_files`` sizes the shard's output: the default single file is
+    right for low-cardinality group sets (an event-type sketch row is
+    a few KB), but a shard sketched over a HIGH-cardinality group set
+    (per-URL-host, per-user-agent) would funnel every sketch row
+    through one task — pass ``n_files > 1`` to hash-distribute the
+    rows by group across that many writers (still one file per task:
+    the write repartitions first).
+
+    Empty-shard retries are handled explicitly: dynamic partition
+    overwrite writes NO partitions for a zero-row frame, which would
+    silently leave a stale prior sketch in place when a retry now
+    produces no data — so an empty input DELETES the shard's
+    partition instead (idempotency means "the table reflects this
+    run", including reflecting emptiness)."""
+    spark = df.sparkSession
+    if df.isEmpty():
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={shard}")
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(p, True)
+        spark.catalog.refreshByPath(path)
+        return
     out = (hll_shard_sketches(df, group_cols, value_col, lgk)
            .withColumn("shard", F.lit(shard)))
-    (out.coalesce(1)
-        .write.mode("overwrite")
+    if n_files == 1:
+        out = out.coalesce(1)
+    else:
+        out = out.repartition(n_files, *group_cols)
+    (out.write.mode("overwrite")
         .partitionBy("shard")
         .option("partitionOverwriteMode", "dynamic")
         .parquet(path))
-    df.sparkSession.catalog.refreshByPath(path)
+    spark.catalog.refreshByPath(path)
+
+
+def hll_stream_sink(path: str, group_cols: list[str], value_col: str,
+                    lgk: int = 12, shard_prefix: str = "batch",
+                    n_files: int = 1):
+    """``foreachBatch`` sink maintaining a mergeable HLL sketch table
+    from a stream: each micro-batch is sketched ONCE at O(batch) cost
+    and lands as its own shard (``{shard_prefix}-{batch_id:09d}``).
+    Batch ids are stable across checkpoint restarts, so a REPLAYED
+    micro-batch overwrites its own partition instead of
+    double-counting — idempotent by construction, the same
+    exactly-once trick as the upsert sink; and a replay that now
+    carries no rows CLEARS its stale shard (see
+    :func:`write_hll_shard`).  :func:`merged_distinct` then answers
+    all-time / trailing-window distinct counts from the sketch table
+    alone, with no rescan of the stream's history — the streaming
+    closure of the r7 sketch-table tier.
+
+    Usage::
+
+        q = (events.writeStream
+             .foreachBatch(hll_stream_sink(path, ["event_type"],
+                                           "user_id"))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        write_hll_shard(batch_df, path, group_cols, value_col,
+                        shard=f"{shard_prefix}-{batch_id:09d}",
+                        lgk=lgk, n_files=n_files)
+
+    return sink
 
 
 def merged_distinct(spark: SparkSession, path: str,
