@@ -832,36 +832,11 @@ DAY = 86_400.0
 
 
 def _drain(q, n_data_batches=1, timeout=180):
-    """Wait until the query has processed ``n_data_batches``
-    micro-batches that carried input rows, then stop it.  A
-    ProcessingTimeTimeout query NEVER self-terminates under
-    availableNow (Spark keeps scheduling empty batches to fire
-    future timeouts — shouldRunAnotherBatch is unconditionally true
-    for that timeout conf) and even blocks processAllAvailable, so
-    awaitTermination would burn its full timeout and LEAK an active
-    query churning empty micro-batches for the rest of the suite.
-    Counting data batches via recentProgress works for terminating
-    and non-terminating queries alike."""
-    import time
-    deadline = time.time() + timeout
-    while time.time() < deadline and q.isActive:
-        done = len([p for p in q.recentProgress
-                    if p.numInputRows > 0])
-        if done >= n_data_batches:
-            break
-        time.sleep(0.5)
-    else:
-        if q.isActive:                       # timed out waiting
-            q.stop()
-            raise AssertionError(
-                f"stream drained only "
-                f"{len([p for p in q.recentProgress if p.numInputRows > 0])}"
-                f"/{n_data_batches} data batches in {timeout}s")
-    if q.isActive:
-        q.stop()
-    q.awaitTermination(60)
-    if q.exception():
-        raise AssertionError(str(q.exception())[:2000])
+    """The package's drain helper (promoted from this file in r8 —
+    the ProcessingTimeTimeout/availableNow non-termination gotcha is
+    documented on ``streaming.drain`` now, where users hit it)."""
+    from trial_data_ingestion_spark.streaming import drain
+    drain(q, n_data_batches=n_data_batches, timeout=timeout)
 
 
 def _replay_files(spark, src, stages):
@@ -988,3 +963,38 @@ def test_transitions_event_time_ttl_diverges_on_replay(spark,
         )
         user_funnel_state(spark.range(1), ["a", "b"],
                           state_ttl_mode="event")
+
+
+def test_drain_helper_stops_nonterminating_query(spark, event_dir,
+                                                 tmp_path):
+    """streaming.drain (r8, promoted from this file's _drain): it
+    stops a ProcessingTimeTimeout availableNow query that never
+    self-terminates, and its timeout path ALSO stops the query before
+    raising — an active stream is never leaked either way."""
+    import pytest
+
+    from trial_data_ingestion_spark.streaming import drain
+    from trial_data_ingestion_spark.streaming.events import (
+        read_event_stream, user_funnel_state,
+    )
+    steps = ["signup", "view", "click", "purchase"]
+    src = str(tmp_path / "drain_src")
+    spark.read.parquet(event_dir).write.parquet(src)
+
+    def start(name):
+        return (user_funnel_state(read_event_stream(spark, src), steps,
+                                  state_ttl_minutes=60.0)
+                .writeStream.format("noop")
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / name))
+                .trigger(availableNow=True).start())
+
+    q = start("ck1")
+    drain(q)                     # returns promptly despite no self-stop
+    assert not q.isActive
+    assert q.id not in {s.id for s in spark.streams.active}
+
+    q2 = start("ck2")
+    with pytest.raises(TimeoutError, match="data batches"):
+        drain(q2, n_data_batches=99, timeout=6)
+    assert not q2.isActive       # stopped, not leaked
