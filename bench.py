@@ -933,10 +933,15 @@ SCALE_ENTRIES = [
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
 ]
-#: second decade: the cheap dedup entries re-measured at 100x (500k
-#: docs / 200k vectors) — two decades of measured trend beat one
+#: second decade: re-measured at 100x (500k docs / 200k vectors) —
+#: two decades of measured trend beat one.  r8 added the two entries
+#: whose steady cost dominates the bench (b09's incremental probe,
+#: b22's audit spine): their 100 TB claims deserve the second decade
+#: as much as the dedup family's.
 SCALE_ENTRIES_X100 = [
+    "b09_incremental_dedup",
     "b16_fuzzy_decontam",
+    "b22_rejection_audit",
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
 ]

@@ -266,7 +266,8 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str, text_col: str,
 
 def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
                    text_col: str, k: int = 8,
-                   threshold: float = 0.8) -> DataFrame:
+                   threshold: float = 0.8,
+                   pinned: list | None = None) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs via the exploded
     shingle table: |A ∩ B| from a shingle equi-join restricted to
     candidate pairs, |A ∪ B| = |A| + |B| - |A ∩ B|.  Only candidate
@@ -284,13 +285,20 @@ def jaccard_verify(df: DataFrame, candidates: DataFrame, id_col: str,
     # Pinned: the distinct shingle set of candidate docs feeds three
     # consumers (sizes, doc_a side, doc_b side) — without pinning it the
     # explode+distinct subtree would run three times.  Size is bounded
-    # by the candidate set, not the corpus.  localCheckpoint rather
-    # than persist (r8): the returned plan is lazy, so a persist here
-    # could never be matched by an unpersist and leaked one cached
-    # frame per call in repeated-delta ingest loops; checkpoint
-    # blocks are GC-owned and die with the plan that references them.
-    shd = shingle_table(df, id_col, text_col, k).distinct() \
-        .localCheckpoint()
+    # by the candidate set, not the corpus.  A LAZY persist,
+    # deliberately: r8 tried an eager localCheckpoint here and it
+    # OOM'd the 100x scale tier — the standalone checkpoint job
+    # materializes every shingle partition at once, where the lazy
+    # cache fills as the consumer pipeline streams through.  The
+    # persist has no matching unpersist HERE because the returned plan
+    # still reads it; callers that must not leak a cached frame per
+    # call (the incremental delta-ingest loops) pass ``pinned`` and
+    # unpersist after pinning their own decision, while batch
+    # operators keep the session-lifetime cache (the documented
+    # curation-persist ownership trade).
+    shd = shingle_table(df, id_col, text_col, k).distinct().persist()
+    if pinned is not None:
+        pinned.append(shd)
     sizes = shd.groupBy("doc").agg(F.count(F.lit(1)).alias("nsh"))
     inter = (
         candidates

@@ -243,8 +243,9 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     all_cands = (batch_cands
                  .unionByName(cross.select("doc_a", "doc_b"))
                  .distinct())
+    pins: list = []
     confirmed = jaccard_verify(union_df, all_cands, id_col, text_col,
-                               k, threshold)
+                               k, threshold, pinned=pins)
     survivors = _corpus_wins_survivors(
         new_docs, confirmed, cand_corpus.select("doc").distinct(),
         id_col)
@@ -266,6 +267,8 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     nb.unpersist()
     cross.unpersist()
     new_docs.unpersist()
+    for p in pins:
+        p.unpersist()
     return survivors
 
 
