@@ -249,17 +249,21 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     survivors = _corpus_wins_survivors(
         new_docs, confirmed, cand_corpus.select("doc").distinct(),
         id_col)
-    # pin the decision: the survivor plan lazily re-reads both the
-    # cached delta and the index (seen filter, candidate fetch), and
-    # pinning it lets EVERY probe-side cache be released below — a
+    # Release every probe-side cache before returning: a
     # repeated-delta ingest loop previously leaked one cached batch
-    # frame per call (checkpoint blocks, by contrast, are freed with
-    # the frame).  Bounded by the delta, eager by design: the caller
-    # always acts on the decision exactly once anyway.
-    survivors = survivors.localCheckpoint()
+    # frame per call (ADVICE r8).  The verify/removal DECISION stays
+    # pinned — `drops` inside _corpus_wins_survivors is
+    # localCheckpointed — so the returned lazy plan re-runs only the
+    # cheap pruned seen-scan anti-join on its next action, never the
+    # banding/verify work.  (Checkpointing the survivors themselves
+    # was measured 0.9 s/pass slower at bench scale: it re-writes
+    # every survivor's text for a plan the caller acts on once.)
     if append:
-        # new_docs' own plan reads index docs (the seen filter);
-        # checkpoint so the append doesn't read its own target
+        # the survivor plan lazily re-reads the index (seen filter) —
+        # pin the decision BEFORE mutating it; new_docs' plan reads
+        # index docs too, so checkpoint it so the append doesn't read
+        # its own write target
+        survivors = survivors.localCheckpoint()
         to_add = new_docs.localCheckpoint()
         write_minhash_index(to_add, index_path, id_col, text_col,
                             k=k, num_hashes=num_hashes, bands=bands,
@@ -360,10 +364,11 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     confirmed = batch_pairs.unionByName(cross_pairs).distinct()
     survivors = _corpus_wins_survivors(new_embeddings, confirmed,
                                        corpus_nodes, id_col)
-    # pin-then-release, same contract as dedup_minhash_incremental:
-    # no cached frames outlive the call
-    survivors = survivors.localCheckpoint()
+    # same release contract as dedup_minhash_incremental: no cached
+    # frames outlive the call (the decision is pinned via `drops`
+    # inside _corpus_wins_survivors; the returned plan stays lazy)
     if append:
+        survivors = survivors.localCheckpoint()
         to_add = new_embeddings.localCheckpoint()
         write_srp_index(to_add, index_path, dim, id_col=id_col,
                         vec_col=vec_col, num_planes=num_planes,
