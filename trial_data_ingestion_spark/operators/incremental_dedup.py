@@ -204,11 +204,12 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
             .where(F.col("dbkt").isin(batch_bkts))
             .select(F.col("doc").alias(id_col)))
     # persist the anti-joined batch: it is read by the banding
-    # kernel, the Jaccard verify union, and the survivor anti-join —
-    # without this each consumer re-runs the seen-id index scan +
-    # anti-join (3 redundant probe-side jobs; the batch is small by
-    # construction, so the cache is bounded by the delta, not the
-    # corpus)
+    # kernel, the Jaccard verify union, and the survivor-id
+    # computation — without this each consumer re-runs the seen-id
+    # index scan + anti-join (3 redundant probe-side jobs; the batch
+    # is small by construction, so the cache is bounded by the delta,
+    # not the corpus)
+    orig = new_docs
     new_docs = new_docs.join(seen, id_col, "left_anti").persist()
 
     nb = _banded(new_docs, id_col, text_col, k, num_hashes,
@@ -249,21 +250,20 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     survivors = _corpus_wins_survivors(
         new_docs, confirmed, cand_corpus.select("doc").distinct(),
         id_col)
-    # Release every probe-side cache before returning: a
-    # repeated-delta ingest loop previously leaked one cached batch
-    # frame per call (ADVICE r8).  The verify/removal DECISION stays
-    # pinned — `drops` inside _corpus_wins_survivors is
-    # localCheckpointed — so the returned lazy plan re-runs only the
-    # cheap pruned seen-scan anti-join on its next action, never the
-    # banding/verify work.  (Checkpointing the survivors themselves
-    # was measured 0.9 s/pass slower at bench scale: it re-writes
-    # every survivor's text for a plan the caller acts on once.)
+    # Pin only the survivor ID SET (tiny — ids, not texts: an eager
+    # checkpoint of the survivor rows measured 0.9 s/pass slower at
+    # bench scale) and hand back a broadcast semi-join of the
+    # CALLER's own input against it.  The returned plan reads neither
+    # the index nor any cache released below, so (a) every
+    # probe-side persist can be dropped — a repeated-delta ingest
+    # loop previously leaked one cached batch frame per call (ADVICE
+    # r8) — and (b) the append-mode index mutation can't be observed
+    # by the result.
+    kept = survivors.select(id_col).localCheckpoint()
+    survivors = orig.join(F.broadcast(kept), id_col, "left_semi")
     if append:
-        # the survivor plan lazily re-reads the index (seen filter) —
-        # pin the decision BEFORE mutating it; new_docs' plan reads
-        # index docs too, so checkpoint it so the append doesn't read
-        # its own write target
-        survivors = survivors.localCheckpoint()
+        # new_docs' plan reads index docs (the seen filter) —
+        # checkpoint so the append doesn't read its own write target
         to_add = new_docs.localCheckpoint()
         write_minhash_index(to_add, index_path, id_col, text_col,
                             k=k, num_hashes=num_hashes, bands=bands,
@@ -336,6 +336,7 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
 
     # resume: ids already stored are not "new"
     seen = idx.select(F.col("doc").alias(id_col)).distinct()
+    orig = new_embeddings
     new_embeddings = new_embeddings.join(seen, id_col, "left_anti")
     nb_fresh = nb.join(seen.withColumnRenamed(id_col, "doc"), "doc",
                        "left_anti")
@@ -364,11 +365,12 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     confirmed = batch_pairs.unionByName(cross_pairs).distinct()
     survivors = _corpus_wins_survivors(new_embeddings, confirmed,
                                        corpus_nodes, id_col)
-    # same release contract as dedup_minhash_incremental: no cached
-    # frames outlive the call (the decision is pinned via `drops`
-    # inside _corpus_wins_survivors; the returned plan stays lazy)
+    # same contract as dedup_minhash_incremental: pin the survivor id
+    # set, return a broadcast semi-join over the caller's input —
+    # index-free and cache-free, so nothing cached outlives the call
+    kept = survivors.select(id_col).localCheckpoint()
+    survivors = orig.join(F.broadcast(kept), id_col, "left_semi")
     if append:
-        survivors = survivors.localCheckpoint()
         to_add = new_embeddings.localCheckpoint()
         write_srp_index(to_add, index_path, dim, id_col=id_col,
                         vec_col=vec_col, num_planes=num_planes,
