@@ -943,11 +943,21 @@ SCALE_ENTRIES = [
     "q48_embedding_dups_blocked",
 ]
 #: second decade: re-measured at 100x (500k docs / 200k vectors) —
-#: two decades of measured trend beat one.  r8 added the two entries
-#: whose steady cost dominates the bench (b09's incremental probe,
-#: b22's audit spine): their 100 TB claims deserve the second decade
-#: as much as the dedup family's.
+#: two decades of measured trend beat one.  r8 extended the tier from
+#: the dedup family to b09 (the incremental probe) and b22 (the audit
+#: spine) — the two steady-cost-dominant entries — plus b05's
+#: curation sweep.  b12_fuzzy_join is deliberately NOT here: the
+#: scale generator's non-dup invariant ("across replicas long words
+#: disagree") does not survive b12's 40-char prefix projection —
+#: docs whose first 40 chars hold no >=5-char word keep byte-equal
+#: prefixes across ALL replicas, so at 100x those docs form
+#: 100-member distance-0 cliques and the TRUE join output grows
+#: quadratically in the factor (measured: shuffle spill filled the
+#: disk).  That is input degeneracy, not plan cost — b12's honest
+#: tiers are the 10x row (worst exponent 0.84, still near-linear)
+#: and its base-bench plan gates (q-gram blocking, no BNLJ).
 SCALE_ENTRIES_X100 = [
+    "b05_curate",
     "b09_incremental_dedup",
     "b16_fuzzy_decontam",
     "b22_rejection_audit",
