@@ -214,7 +214,12 @@ def user_funnel_state(events: DataFrame, steps: list[str],
         (``ProcessingTimeTimeout``).  Right for live streams; WRONG
         under replay/backfill, where a month of data replays in
         minutes and nothing ever expires (or, paused mid-replay,
-        everything expires).
+        everything expires).  NOTE: a ProcessingTimeTimeout query
+        never self-terminates under an ``availableNow`` trigger
+        (Spark schedules empty batches to fire future timeouts) —
+        run bounded passes through
+        :func:`trial_data_ingestion_spark.streaming.drain`, never a
+        bare ``awaitTermination``.
       * ``"event"`` — data time (``EventTimeTimeout``): the input is
         watermarked on ``ts`` with ``watermark_delay``, and a user's
         state expires when the WATERMARK passes their last event +
