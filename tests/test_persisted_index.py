@@ -241,3 +241,39 @@ def test_srp_index_metadata_round_trip(spark, tmp_path):
     with pytest.raises(ValueError, match="num_planes"):
         write_srp_index(emb, str(tmp_path / "bad"), dim=64,
                         num_planes=True)
+
+
+def test_srp_meta_corrupt_sidecar_raises_not_default(spark, tmp_path):
+    """ADVICE r9: a sidecar that EXISTS but is unreadable must raise,
+    not silently fall back to the default 8 planes (the exact
+    misrouting the sidecar was built to prevent).  A genuinely missing
+    sidecar still reads as None (pre-metadata index)."""
+    import glob
+    import os
+
+    import pytest
+
+    from trial_data_ingestion_spark.operators.similarity import (
+        read_srp_index_meta, write_srp_index,
+    )
+    emb = _emb(spark)
+    path = str(tmp_path / "srpmeta")
+    write_srp_index(emb, path, dim=64, num_planes=6)
+    assert read_srp_index_meta(spark, path) == {"num_planes": 6,
+                                                "dim": 64}
+    # corrupt the sidecar in place (garbage JSON -> _corrupt_record);
+    # drop the local-FS checksum files or the read dies earlier with
+    # a ChecksumException (which would ALSO propagate, but the corrupt
+    # -content branch is the one under test)
+    for f in glob.glob(f"{path}/_srp_meta/part-*.json"):
+        with open(f, "w") as fh:
+            fh.write("{not json at all")
+    for f in glob.glob(f"{path}/_srp_meta/.*.crc"):
+        os.remove(f)
+    spark.catalog.refreshByPath(path + "/_srp_meta")
+    with pytest.raises(ValueError, match="corrupt _srp_meta"):
+        read_srp_index_meta(spark, path)
+    # a MISSING sidecar is the documented pre-metadata case
+    os.system(f"rm -rf {path}/_srp_meta")
+    spark.catalog.refreshByPath(path + "/_srp_meta")
+    assert read_srp_index_meta(spark, path) is None

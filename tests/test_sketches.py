@@ -204,3 +204,23 @@ def test_hll_stream_sink_matches_batch(spark, tmp_path):
             ev.groupBy("event_type")
               .agg(F.countDistinct("user_id").alias("n")).collect()}
     assert got == want
+
+
+def test_unsafe_shard_name_rejected(spark, tmp_path):
+    """ADVICE r9: the empty-shard delete builds its partition path by
+    hand while Spark URL-escapes partition values on write, so a
+    shard name needing escaping would delete the wrong path — such
+    names are rejected up front."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.sketches import (
+        write_hll_shard,
+    )
+    ev = _events(spark).select("user_id", "event_type")
+    path = str(tmp_path / "hll_bad")
+    for bad in ("a b", "x:y", "d/e", "", "s=1"):
+        with pytest.raises(ValueError, match="safe partition value"):
+            write_hll_shard(ev, path, ["event_type"], "user_id", bad)
+    # date-like and batch-id-like names stay allowed
+    write_hll_shard(ev, path, ["event_type"], "user_id", "2026-08-15")
+    write_hll_shard(ev, path, ["event_type"], "user_id", "batch_0.1")

@@ -998,3 +998,27 @@ def test_drain_helper_stops_nonterminating_query(spark, event_dir,
     with pytest.raises(TimeoutError, match="data batches"):
         drain(q2, n_data_batches=99, timeout=6)
     assert not q2.isActive       # stopped, not leaked
+
+
+def test_drain_wraps_failed_query_as_runtimeerror(spark, event_dir,
+                                                  tmp_path):
+    """ADVICE r9: awaitTermination raises StreamingQueryException
+    itself for a failed query, which used to bypass drain's documented
+    RuntimeError contract — both failure surfaces now land as
+    RuntimeError."""
+    import pytest
+
+    def boom(batch_df, batch_id):
+        raise ValueError("sink exploded on purpose")
+
+    src = str(tmp_path / "fail_src")
+    spark.read.parquet(event_dir).write.parquet(src)
+    stream = (spark.readStream
+              .schema(spark.read.parquet(src).schema).parquet(src))
+    q = (stream.writeStream.foreachBatch(boom)
+         .option("checkpointLocation", str(tmp_path / "ck_fail"))
+         .trigger(availableNow=True).start())
+    from trial_data_ingestion_spark.streaming import drain
+    with pytest.raises(RuntimeError, match="sink exploded"):
+        drain(q, timeout=60)
+    assert not q.isActive

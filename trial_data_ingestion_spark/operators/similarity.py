@@ -658,16 +658,41 @@ def write_srp_index(embeddings: DataFrame, path: str, dim: int,
 
 def read_srp_index_meta(spark, path: str) -> dict | None:
     """The ``_srp_meta`` sidecar of a :func:`write_srp_index` layout
-    as ``{"num_planes": p, "dim": d}``; None for a pre-metadata index
-    (callers fall back to their explicit/default plane count)."""
+    as ``{"num_planes": p, "dim": d}``; None ONLY for a pre-metadata
+    index (no sidecar on disk — callers fall back to their
+    explicit/default plane count).  A sidecar that EXISTS but cannot
+    be read or parsed propagates: treating a corrupt sidecar as
+    pre-metadata would silently reinstate the default-8-planes
+    misrouting the sidecar was built to prevent."""
+    from pyspark.errors import AnalysisException
     try:
         row = spark.read.json(path + "/_srp_meta").collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        cond = e.getCondition() or ""
+        if "PATH_NOT_FOUND" in cond or "Path does not exist" in str(e):
+            return None
+        if "CORRUPT_RECORD" in cond:
+            # every row failed to parse: the json reader inferred only
+            # _corrupt_record and refuses the query
+            raise ValueError(
+                f"corrupt _srp_meta sidecar at {path}/_srp_meta: not "
+                "parseable as JSON — refusing to fall back to default "
+                "planes (that would silently misroute every probe); "
+                "rebuild the index or restore the sidecar") from e
+        raise
     if not row:
         return None
-    return {"num_planes": int(row[0]["num_planes"]),
-            "dim": int(row[0]["dim"])}
+    fields = row[0].asDict()
+    if "num_planes" not in fields or "dim" not in fields \
+            or fields["num_planes"] is None or fields["dim"] is None:
+        raise ValueError(
+            f"corrupt _srp_meta sidecar at {path}/_srp_meta: expected "
+            f"num_planes and dim, got fields {sorted(fields)} — "
+            "refusing to fall back to default planes (that would "
+            "silently misroute every probe); rebuild the index or "
+            "restore the sidecar")
+    return {"num_planes": int(fields["num_planes"]),
+            "dim": int(fields["dim"])}
 
 
 def _index_planes(spark, index_path: str, num_planes,

@@ -27,12 +27,33 @@ analytics surface, next to q36's approx_count_distinct.
 from __future__ import annotations
 
 import math
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 #: relative standard error of an lgK-configured HLL sketch
 HLL_RSE = {lgk: 1.04 / math.sqrt(2 ** lgk) for lgk in range(4, 22)}
+
+#: partition values this package writes raw ``dir=value`` paths for
+#: (shard deletes, delta-keyed appends).  Spark URL-escapes partition
+#: values on write, so a value needing escaping (space, ':', '/', …)
+#: would make a hand-built delete path miss the real directory and
+#: silently leave stale data in place — reject such values up front.
+_SAFE_PARTITION_VALUE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def check_partition_value(value: str, what: str = "shard") -> str:
+    """Validate a caller-supplied partition value against the safe
+    charset (letters, digits, ``._-``); raises ``ValueError``
+    otherwise.  See :data:`_SAFE_PARTITION_VALUE` for why."""
+    if not isinstance(value, str) or not _SAFE_PARTITION_VALUE.match(value):
+        raise ValueError(
+            f"{what} {value!r} is not a safe partition value: use only "
+            "letters, digits, '.', '_', '-' (Spark escapes other "
+            "characters in partition paths, which would break the "
+            "idempotent shard delete/overwrite)")
+    return value
 
 
 def hll_shard_sketches(df: DataFrame, group_cols: list[str],
@@ -66,7 +87,13 @@ def write_hll_shard(df: DataFrame, path: str, group_cols: list[str],
     silently leave a stale prior sketch in place when a retry now
     produces no data — so an empty input DELETES the shard's
     partition instead (idempotency means "the table reflects this
-    run", including reflecting emptiness)."""
+    run", including reflecting emptiness).
+
+    ``shard`` must be a safe partition value
+    (:func:`check_partition_value`): the empty-shard delete builds
+    the partition path by hand, and Spark escapes unsafe characters
+    on write, so an unsafe name would delete the wrong path."""
+    check_partition_value(shard)
     spark = df.sparkSession
     if df.isEmpty():
         jvm = spark._jvm

@@ -31,11 +31,20 @@ def drain(query, n_data_batches: int = 1, timeout: float = 180.0,
     Raises ``TimeoutError`` if the data batches don't arrive within
     ``timeout`` seconds (the query is stopped first — never leaked),
     and ``RuntimeError`` wrapping the query's own exception if it
-    failed."""
+    failed (Spark's own ``StreamingQueryException`` is re-wrapped so
+    callers have ONE failure type to catch)."""
+    # recentProgress is a BOUNDED ring buffer
+    # (spark.sql.streaming.numRecentProgressUpdates, default 100): a
+    # ProcessingTimeTimeout query churning rapid EMPTY batches — the
+    # exact case drain exists for — can evict data-batch entries
+    # between polls.  Accumulate the ids of data-carrying batches
+    # across polls instead of recounting the buffer each time.
+    seen_data_batches: set[int] = set()
 
     def _data_batches() -> int:
-        return len([p for p in query.recentProgress
-                    if p.numInputRows > 0])
+        seen_data_batches.update(p.batchId for p in query.recentProgress
+                                 if p.numInputRows > 0)
+        return len(seen_data_batches)
 
     deadline = time.time() + timeout
     while (time.time() < deadline and query.isActive
@@ -49,6 +58,13 @@ def drain(query, n_data_batches: int = 1, timeout: float = 180.0,
     finally:
         if query.isActive:
             query.stop()
-    query.awaitTermination(60)
+    # a FAILED query makes awaitTermination itself raise
+    # StreamingQueryException — normalize both failure surfaces to
+    # the documented RuntimeError
+    from pyspark.errors.exceptions.base import StreamingQueryException
+    try:
+        query.awaitTermination(60)
+    except StreamingQueryException as e:
+        raise RuntimeError(str(e)[:2000]) from e
     if query.exception():
         raise RuntimeError(str(query.exception())[:2000])
