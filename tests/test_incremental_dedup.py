@@ -323,3 +323,23 @@ def test_incremental_paths_release_caches(spark, docs, emb, split,
     # restore the module fixtures' caches for later tests
     docs.cache().count()
     emb.cache().count()
+
+
+def test_pin_scope_structural_release(spark):
+    """VERDICT r9 item 7: PinScope replaces the pinned list-out-param
+    — releases every pin exactly once (including on the error path)
+    and refuses pins after release."""
+    from trial_data_ingestion_spark.operators.pins import PinScope
+    df = spark.range(10).select((F.col("id") * 2).alias("v"))
+    with pytest.raises(RuntimeError, match="boom"):
+        with PinScope() as pins:
+            pins.pin(df)
+            df.count()
+            assert df.storageLevel.useMemory
+            raise RuntimeError("boom")
+    assert not df.storageLevel.useMemory
+    scope = PinScope()
+    scope.release()
+    scope.release()                       # idempotent
+    with pytest.raises(RuntimeError, match="released"):
+        scope.append(df)

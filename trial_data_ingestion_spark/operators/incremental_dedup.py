@@ -47,10 +47,29 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from trial_data_ingestion_spark.operators.dedup import (
-    connected_components_min_label, jaccard_verify, minhash_signatures,
+    char_shingles, connected_components_min_label, jaccard_verify,
+    minhash_signatures,
 )
+from trial_data_ingestion_spark.operators.pins import PinScope
+
+#: candidate-pair sets at or below this size are Jaccard-verified on
+#: a LOCAL pair frame (one zero-shuffle job) instead of the exploded
+#: shingle pipeline (~10 shuffle stages whose scheduling dominates at
+#: delta scale).  Above it — a delta batch colliding with >100k
+#:  corpus pairs — the distributed verify path runs unchanged.
+LOCAL_VERIFY_MAX_PAIRS = 100_000
+
+#: (normalized index path) -> params dict.  An index's hashing
+#: parameters are FIXED at build time (appends inherit them), so the
+#: params read — one whole job of scheduling latency per probe — is
+#: paid once per session per index.  ``write_minhash_index`` drops the
+#: entry for its path, so an in-session rebuild can't serve stale
+#: params; rebuilds from OTHER sessions against a live cached path are
+#: out of contract (same caveat as Spark's own cached file listings).
+_PARAMS_CACHE: dict[str, dict] = {}
 
 
 def _banded(df: DataFrame, id_col: str, text_col: str, k: int,
@@ -103,10 +122,15 @@ def write_minhash_index(df: DataFrame, path: str,
     (docs.repartition("dbkt")
          .write.mode(mode).partitionBy("dbkt").parquet(path + "/docs"))
     spark = df.sparkSession
-    (spark.createDataFrame(
-        [(k, num_hashes, bands, num_buckets)],
-        "k int, num_hashes int, bands int, num_buckets int")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+    if mode != "append":
+        # params are fixed at build time — appends inherit them, so
+        # rewriting the params table per delta would only add a job,
+        # and the session params cache stays valid across appends
+        (spark.createDataFrame(
+            [(k, num_hashes, bands, num_buckets)],
+            "k int, num_hashes int, bands int, num_buckets int")
+         .coalesce(1).write.mode("overwrite").parquet(path + "/params"))
+        _PARAMS_CACHE.pop(path.rstrip("/"), None)
     # rebuilding over a previous index: drop the cached file listing,
     # or later readers resolve deleted part files (FILE_NOT_EXIST)
     for sub in ("/bands", "/docs", "/params"):
@@ -117,6 +141,16 @@ def read_minhash_params(spark, path: str) -> dict:
     row = spark.read.parquet(path + "/params").collect()[0]
     return {"k": row["k"], "num_hashes": row["num_hashes"],
             "bands": row["bands"], "num_buckets": row["num_buckets"]}
+
+
+def _cached_params(spark, path: str) -> dict:
+    """Session-cached :func:`read_minhash_params` (see
+    :data:`_PARAMS_CACHE` for the invalidation contract)."""
+    key = path.rstrip("/")
+    p = _PARAMS_CACHE.get(key)
+    if p is None:
+        p = _PARAMS_CACHE[key] = read_minhash_params(spark, path)
+    return p
 
 
 def cross_candidates(spark, new_banded: DataFrame, index_path: str,
@@ -174,6 +208,90 @@ def _corpus_wins_survivors(new_docs: DataFrame, confirmed: DataFrame,
     return new_docs.join(F.broadcast(drops), id_col, "left_anti")
 
 
+def _corpus_wins_drops(edges: list, corpus_ids: set) -> set:
+    """Driver-side twin of :func:`_corpus_wins_survivors` for small
+    confirmed-pair graphs: path-compressing union-find over the
+    collected edge list; returns the NEW-doc ids to drop (a new doc
+    drops iff its component holds a corpus doc, or it is not the
+    min-id new doc of a corpus-free component).  Identical decision
+    to the distributed formulation — only the execution site differs
+    (zero Spark jobs instead of label propagation + checkpoint)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:              # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_new: dict = {}
+    comp_has_corpus: set = set()
+    for node in parent:
+        root = find(node)
+        if node in corpus_ids:
+            comp_has_corpus.add(root)
+        else:
+            comp_new.setdefault(root, []).append(node)
+    drops: set = set()
+    for root, news in comp_new.items():
+        if root in comp_has_corpus:
+            drops.update(news)
+        else:
+            news.remove(min(news))
+            drops.update(news)
+    return drops
+
+
+def _local_id_frame(spark, ids, template: DataFrame, id_col: str):
+    """One-column (``id_col``) DataFrame from a driver-side id list,
+    typed like ``template[id_col]`` — a LocalTableScan, so building
+    and broadcasting it costs no Spark job."""
+    schema = T.StructType(
+        [T.StructField(id_col, template.schema[id_col].dataType, True)])
+    return spark.createDataFrame([(i,) for i in sorted(ids)], schema)
+
+
+def _verify_pairs_local(spark, pairs: list, texts: dict, id_type,
+                        k: int, threshold: float) -> list:
+    """Exact Jaccard over a COLLECTED candidate set: one zero-shuffle
+    job over a local pair frame, shingled with :func:`char_shingles`
+    — the same Spark kernel family as the exploded path, so the
+    string semantics (Java regex ``\\s`` class, UTF-16 substring
+    positions) are byte-identical to ``jaccard_verify``.  Texts that
+    normalize to empty (or are null) get an EMPTY shingle set, the
+    behavior the exploded path's ``length > 0`` filter produces.
+    Returns the confirmed (doc_a, doc_b) list."""
+    if not pairs:
+        return []
+    rows = [(a, b, texts.get(a), texts.get(b)) for a, b in pairs]
+    schema = T.StructType([
+        T.StructField("doc_a", id_type, True),
+        T.StructField("doc_b", id_type, True),
+        T.StructField("__ta", T.StringType(), True),
+        T.StructField("__tb", T.StringType(), True)])
+    pf = spark.createDataFrame(rows, schema)
+
+    def sh(col):
+        norm = F.trim(F.regexp_replace(col, r"\s+", " "))
+        return F.when(F.length(norm) > 0, char_shingles(col, k)) \
+                .otherwise(F.array().cast("array<string>"))
+
+    sa, sb = sh(F.col("__ta")), sh(F.col("__tb"))
+    inter = F.size(F.array_intersect(sa, sb))
+    jac = inter / (F.size(sa) + F.size(sb) - inter)
+    out = (pf.select("doc_a", "doc_b", jac.alias("j"))
+             .where(F.col("j") >= F.lit(threshold)))
+    return [(r["doc_a"], r["doc_b"]) for r in out.collect()]
+
+
 def dedup_minhash_incremental(spark, new_docs: DataFrame,
                               index_path: str,
                               id_col: str = "doc_id",
@@ -187,93 +305,186 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     probing with mismatched (k, num_hashes, bands) can't happen.
     With ``append=True`` the *entire batch* (survivors and duplicates
     alike — see the module docstring for why) is appended to the
-    index after the decision."""
-    p = read_minhash_params(spark, index_path)
+    index after the decision.
+
+    Execution shape (round 9): the steady cost of a delta probe is
+    job-SCHEDULING latency, not data — the r8 formulation paid ~9
+    sequential jobs per call, ~10 shuffle stages of them inside the
+    exploded-shingle verify.  This one pays 6 cheap jobs + the
+    caller's action: every driver-side set in play (batch ids, seen
+    ids, candidate pairs + corpus ids, in-pair texts, the drop set)
+    is bounded by the delta or the candidate set — and the call
+    ALREADY broadcast delta-sized frames, so driver-holding them is
+    the same budget class.  Candidate pairs are Jaccard-verified on a
+    local zero-shuffle frame (:func:`_verify_pairs_local`, Spark's
+    own shingle kernel) and the corpus-wins decision runs as
+    union-find on the driver (:func:`_corpus_wins_drops`); candidate
+    sets past :data:`LOCAL_VERIFY_MAX_PAIRS` fall back to the fully
+    distributed r8 formulation.  The returned plan is the caller's
+    own input anti-joined against a LOCAL excluded-id table — it
+    reads neither the index nor any cache, so every pin is released
+    before return (:class:`~.pins.PinScope`) and an append can't be
+    observed by the result."""
+    p = _cached_params(spark, index_path)
     k, num_hashes, bands = p["k"], p["num_hashes"], p["bands"]
     num_buckets = p["num_buckets"]
 
-    # resume semantics first: ids the index has already seen are not
+    # job 1: batch ids AND their doc-bucket hashes in one bounded
+    # collect (the decision below broadcasts delta-sized sets anyway,
+    # so driver-holding the id list is the same budget class)
+    id_rows = (new_docs
+               .select(F.col(id_col).alias("doc"),
+                       F.pmod(F.xxhash64(F.col(id_col)),
+                              F.lit(num_buckets)).alias("dbkt"))
+               .distinct().collect())
+    if not id_rows:
+        return new_docs
+    batch_bkts = sorted({r["dbkt"] for r in id_rows})
+
+    # job 2: resume semantics — ids the index has already seen are not
     # "new" (re-running a batch is a no-op, and append stays
-    # duplicate-free).  The seen-id scan is partition-pruned to the
-    # batch's own dbkt values; the anti-join's left side is the small
-    # batch.
-    batch_bkts = sorted(r["b"] for r in new_docs.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(num_buckets))
-        .alias("b")).distinct().collect())
-    seen = (spark.read.parquet(index_path + "/docs")
-            .where(F.col("dbkt").isin(batch_bkts))
-            .select(F.col("doc").alias(id_col)))
-    # persist the anti-joined batch: it is read by the banding
-    # kernel, the Jaccard verify union, and the survivor-id
-    # computation — without this each consumer re-runs the seen-id
-    # index scan + anti-join (3 redundant probe-side jobs; the batch
-    # is small by construction, so the cache is bounded by the delta,
-    # not the corpus)
-    orig = new_docs
-    new_docs = new_docs.join(seen, id_col, "left_anti").persist()
-
-    nb = _banded(new_docs, id_col, text_col, k, num_hashes,
-                 bands).persist()
-    # in-batch candidates: band-bucket self-join, (a < b) pairs
-    a, b = nb.alias("a"), nb.alias("b")
-    batch_cands = (
-        a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                      F.col("a.bucket") == F.col("b.bucket"),
-                      F.col("a.doc") < F.col("b.doc")])
-         .select(F.col("a.doc").alias("doc_a"),
-                 F.col("b.doc").alias("doc_b"))
-         .distinct())
-    cross = cross_candidates(spark, nb, index_path,
-                             num_buckets).persist()
-
-    # corpus text for candidate docs only: partition-pruned by the
-    # dbkt values riding on the matched band rows, then a broadcast
-    # semi-join down to exactly the candidate ids
-    cand_corpus = (cross.select(F.col("doc_a").alias("doc"), "dbkt_a")
-                        .distinct())
-    dbkts = sorted({r["dbkt_a"] for r in
-                    cand_corpus.select("dbkt_a").distinct().collect()})
-    corpus_texts = (
+    # duplicate-free).  Partition-pruned scan, semi-joined against the
+    # local batch-id table, collected (bounded by the batch).
+    batch_ids_df = _local_id_frame(
+        spark, (r["doc"] for r in id_rows), new_docs, id_col)
+    seen_ids = {
+        r["doc"] for r in
         spark.read.parquet(index_path + "/docs")
-        .where(F.col("dbkt").isin(dbkts))
-        .join(F.broadcast(cand_corpus.select("doc")), "doc", "left_semi")
-        .select(F.col("doc").alias(id_col), F.col("text").alias(text_col)))
+             .where(F.col("dbkt").isin(batch_bkts))
+             .select("doc")
+             .join(F.broadcast(batch_ids_df.withColumnRenamed(
+                 id_col, "doc")), "doc", "left_semi")
+             .collect()}
 
-    union_df = corpus_texts.unionByName(
-        new_docs.select(id_col, text_col))
-    all_cands = (batch_cands
-                 .unionByName(cross.select("doc_a", "doc_b"))
-                 .distinct())
-    pins: list = []
-    confirmed = jaccard_verify(union_df, all_cands, id_col, text_col,
-                               k, threshold, pinned=pins)
-    survivors = _corpus_wins_survivors(
-        new_docs, confirmed, cand_corpus.select("doc").distinct(),
-        id_col)
-    # Pin only the survivor ID SET (tiny — ids, not texts: an eager
-    # checkpoint of the survivor rows measured 0.9 s/pass slower at
-    # bench scale) and hand back a broadcast semi-join of the
-    # CALLER's own input against it.  The returned plan reads neither
-    # the index nor any cache released below, so (a) every
-    # probe-side persist can be dropped — a repeated-delta ingest
-    # loop previously leaked one cached batch frame per call (ADVICE
-    # r8) — and (b) the append-mode index mutation can't be observed
-    # by the result.
-    kept = survivors.select(id_col).localCheckpoint()
-    survivors = orig.join(F.broadcast(kept), id_col, "left_semi")
-    if append:
-        # new_docs' plan reads index docs (the seen filter) —
-        # checkpoint so the append doesn't read its own write target
-        to_add = new_docs.localCheckpoint()
-        write_minhash_index(to_add, index_path, id_col, text_col,
-                            k=k, num_hashes=num_hashes, bands=bands,
-                            num_buckets=num_buckets, mode="append")
-    nb.unpersist()
-    cross.unpersist()
-    new_docs.unpersist()
-    for p in pins:
-        p.unpersist()
-    return survivors
+    orig = new_docs
+    kept_frame = None
+    with PinScope() as pins:
+        # the fresh batch feeds the banding kernel and the verify
+        # union; its seen-filter is a broadcast anti against the LOCAL
+        # id table (no index read in the plan)
+        fresh = orig
+        if seen_ids:
+            fresh = orig.join(
+                F.broadcast(_local_id_frame(spark, seen_ids, orig,
+                                            id_col)),
+                id_col, "left_anti")
+        fresh = pins.pin(fresh)
+
+        probe = pins.pin(
+            _banded(fresh, id_col, text_col, k, num_hashes, bands)
+            .withColumn("pbkt", _pbkt(num_buckets)))
+        # job 3: the probe's partition hashes (fills the probe cache)
+        pbkts = sorted(r["pbkt"] for r in
+                       probe.select("pbkt").distinct().collect())
+
+        # in-batch candidates: band-bucket self-join, (a < b) pairs
+        a, b = probe.alias("a"), probe.alias("b")
+        batch_cands = (
+            a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                          F.col("a.bucket") == F.col("b.bucket"),
+                          F.col("a.doc") < F.col("b.doc")])
+             .select(F.col("a.doc").alias("doc_a"),
+                     F.col("b.doc").alias("doc_b"))
+             .distinct())
+        # cross candidates: stored bands scanned only in the batch's
+        # own pbkt partitions, batch side broadcast — the corpus never
+        # shuffles (same plan as cross_candidates, inlined so the pbkt
+        # collect above is the one that fills the probe cache)
+        idx = (spark.read.parquet(index_path + "/bands")
+               .where(F.col("pbkt").isin(pbkts)))
+        cross = (idx.join(F.broadcast(probe.withColumnRenamed(
+                     "doc", "doc_b")), ["band", "bucket", "pbkt"])
+                    .where(F.col("doc") != F.col("doc_b"))
+                    .select(F.col("doc").alias("doc_a"), "doc_b",
+                            F.col("dbkt").alias("dbkt_a"))
+                    .distinct())
+        # the candidate pair set, corpus-side partition tags riding
+        # along (dbkt_a is functionally dependent on doc_a, so the
+        # distinct is still per-pair; batch-batch pairs carry null)
+        all_cands = (cross.unionByName(
+                        batch_cands.withColumn(
+                            "dbkt_a", F.lit(None).cast("bigint")))
+                     .distinct())
+        # job 4: one bounded collect gets the pairs, the candidate
+        # corpus ids AND their doc partitions
+        pair_rows = all_cands.limit(LOCAL_VERIFY_MAX_PAIRS + 1) \
+                             .collect()
+        if len(pair_rows) <= LOCAL_VERIFY_MAX_PAIRS:
+            pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
+            cand_ids = {r["doc_a"] for r in pair_rows
+                        if r["dbkt_a"] is not None}
+            dbkts = sorted({r["dbkt_a"] for r in pair_rows
+                            if r["dbkt_a"] is not None})
+            in_pair_ids = ({a for a, _ in pairs}
+                           | {b for _, b in pairs})
+            # job 5: texts of in-pair docs only — pruned corpus read
+            # plus the cached batch, semi-joined against the local id
+            # table
+            if in_pair_ids:
+                corpus_texts = (
+                    spark.read.parquet(index_path + "/docs")
+                    .where(F.col("dbkt").isin(dbkts))
+                    .select(F.col("doc").alias(id_col),
+                            F.col("text").alias(text_col)))
+                texts = {
+                    r[id_col]: r[text_col] for r in
+                    corpus_texts.unionByName(
+                        fresh.select(id_col, text_col))
+                    .join(F.broadcast(_local_id_frame(
+                        spark, in_pair_ids, orig, id_col)),
+                        id_col, "left_semi")
+                    .collect()}
+            else:
+                texts = {}
+            # job 6 (zero-shuffle): exact Jaccard on the local pair
+            # frame; decision via driver union-find
+            confirmed_pairs = _verify_pairs_local(
+                spark, pairs, texts, orig.schema[id_col].dataType,
+                k, threshold)
+            drops = _corpus_wins_drops(confirmed_pairs, cand_ids)
+        else:
+            # distributed fallback for a pathological candidate set:
+            # the r8 formulation (exploded-shingle verify, label
+            # propagation, survivor-id pin)
+            cross = pins.pin(cross)
+            cand_corpus = (cross.select(F.col("doc_a").alias("doc"),
+                                        "dbkt_a").distinct())
+            dbkts = sorted({r["dbkt_a"] for r in
+                            cand_corpus.select("dbkt_a")
+                                       .distinct().collect()})
+            corpus_texts = (
+                spark.read.parquet(index_path + "/docs")
+                .where(F.col("dbkt").isin(dbkts))
+                .join(F.broadcast(cand_corpus.select("doc")), "doc",
+                      "left_semi")
+                .select(F.col("doc").alias(id_col),
+                        F.col("text").alias(text_col)))
+            union_df = corpus_texts.unionByName(
+                fresh.select(id_col, text_col))
+            confirmed = jaccard_verify(
+                union_df, all_cands.select("doc_a", "doc_b"), id_col,
+                text_col, k, threshold, pinned=pins)
+            survivors = _corpus_wins_survivors(
+                fresh, confirmed,
+                cross.select(F.col("doc_a").alias("doc")).distinct(),
+                id_col)
+            kept_frame = survivors.select(id_col).localCheckpoint()
+        if append:
+            # fresh's plan reads only the caller's input and a local
+            # id table — never the index — so the append can write
+            # straight from the pinned frame
+            write_minhash_index(fresh, index_path, id_col, text_col,
+                                k=k, num_hashes=num_hashes,
+                                bands=bands, num_buckets=num_buckets,
+                                mode="append")
+    if kept_frame is not None:
+        return orig.join(F.broadcast(kept_frame), id_col, "left_semi")
+    excluded = seen_ids | drops
+    if not excluded:
+        return orig
+    return orig.join(
+        F.broadcast(_local_id_frame(spark, excluded, orig, id_col)),
+        id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -320,12 +531,13 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     )
 
     num_planes = _index_planes(spark, index_path, num_planes, dim)
-    nb = (new_embeddings
-          .select(F.col(id_col).alias("doc"),
-                  F.col(vec_col).alias("v"),
-                  l2_norm_fixed(vec_col, dim).alias("nrm"),
-                  srp_bucket(vec_col, dim, num_planes).alias("bucket"))
-          .persist())
+    pins = PinScope()
+    nb = pins.pin(
+        new_embeddings
+        .select(F.col(id_col).alias("doc"),
+                F.col(vec_col).alias("v"),
+                l2_norm_fixed(vec_col, dim).alias("nrm"),
+                srp_bucket(vec_col, dim, num_planes).alias("bucket")))
     buckets = sorted(r["bucket"] for r in
                      nb.select("bucket").distinct().collect())
     idx = (spark.read.parquet(index_path)
@@ -368,15 +580,17 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     # same contract as dedup_minhash_incremental: pin the survivor id
     # set, return a broadcast semi-join over the caller's input —
     # index-free and cache-free, so nothing cached outlives the call
-    kept = survivors.select(id_col).localCheckpoint()
-    survivors = orig.join(F.broadcast(kept), id_col, "left_semi")
-    if append:
-        to_add = new_embeddings.localCheckpoint()
-        write_srp_index(to_add, index_path, dim, id_col=id_col,
-                        vec_col=vec_col, num_planes=num_planes,
-                        mode="append")
-    nb.unpersist()
-    return survivors
+    # (PinScope releases even if the append write raises)
+    try:
+        kept = survivors.select(id_col).localCheckpoint()
+        if append:
+            to_add = new_embeddings.localCheckpoint()
+            write_srp_index(to_add, index_path, dim, id_col=id_col,
+                            vec_col=vec_col, num_planes=num_planes,
+                            mode="append")
+    finally:
+        pins.release()
+    return orig.join(F.broadcast(kept), id_col, "left_semi")
 
 
 def compact_minhash_index(spark, index_path: str, out_path: str) -> None:
