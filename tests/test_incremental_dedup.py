@@ -190,23 +190,29 @@ def test_compact_minhash_index(spark, docs, split, tmp_path):
                               append=True)
     dedup_minhash_incremental(spark, rest, path, threshold=THRESH,
                               append=True)
+    # fragmentation now shows as one delta directory per append (the
+    # r9 retryable-append layout): count files per pbkt ACROSS deltas
     frag_counts = Counter(
         f.rsplit("/", 2)[1]
-        for f in glob.glob(f"{path}/bands/pbkt=*/part-*.parquet"))
+        for f in glob.glob(f"{path}/bands/delta=*/pbkt=*/part-*.parquet"))
     assert max(frag_counts.values()) > 1      # fragmentation exists
 
     out = str(tmp_path / "compactidx")
     compact_minhash_index(spark, path, out)
     comp_counts = Counter(
         f.rsplit("/", 2)[1]
-        for f in glob.glob(f"{out}/bands/pbkt=*/part-*.parquet"))
+        for f in glob.glob(f"{out}/bands/delta=*/pbkt=*/part-*.parquet"))
     assert max(comp_counts.values()) == 1     # one file per dir
+    # and compaction folded every delta back into base
+    assert glob.glob(f"{out}/bands/delta=*") \
+        == [f"{out}/bands/delta=base"]
 
-    # identical content and identical probe answers
+    # identical content (modulo the folded delta key) and identical
+    # probe answers
     a = {tuple(r) for r in
-         spark.read.parquet(path + "/bands").collect()}
+         spark.read.parquet(path + "/bands").drop("delta").collect()}
     b = {tuple(r) for r in
-         spark.read.parquet(out + "/bands").collect()}
+         spark.read.parquet(out + "/bands").drop("delta").collect()}
     assert a == b
     # fresh ids carrying stored docs' text: the probe must traverse
     # the real candidate path (not the seen-id shortcut) identically
@@ -343,3 +349,62 @@ def test_pin_scope_structural_release(spark):
     scope.release()                       # idempotent
     with pytest.raises(RuntimeError, match="released"):
         scope.append(df)
+
+
+def test_minhash_append_retry_is_idempotent(spark, docs, split,
+                                            tmp_path):
+    """VERDICT r9 item 4: a whole-call retry of a delta-keyed append
+    must not double-append — the delta overwrites its own partitions.
+    A replay with exclude_delta reproduces the original decision."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        write_minhash_index,
+    )
+    corpus, batch = split
+    path = str(tmp_path / "retryidx")
+    write_minhash_index(corpus, path, num_buckets=16)
+
+    first = {r["doc_id"] for r in dedup_minhash_incremental(
+        spark, batch, path, threshold=THRESH, append=True,
+        delta_id="b0001").collect()}
+    assert first
+    bands_n = spark.read.parquet(path + "/bands").count()
+    docs_n = spark.read.parquet(path + "/docs").count()
+
+    # whole-call retry: same delta_id, its own delta excluded from
+    # the probe (the post-crash rerun / streaming replay shape)
+    replay = {r["doc_id"] for r in dedup_minhash_incremental(
+        spark, batch, path, threshold=THRESH, append=True,
+        delta_id="b0001", exclude_delta="b0001").collect()}
+    assert replay == first
+    assert spark.read.parquet(path + "/bands").count() == bands_n
+    assert spark.read.parquet(path + "/docs").count() == docs_n
+    # the index holds each batch doc exactly once
+    dup_ids = (spark.read.parquet(path + "/docs")
+               .groupBy("doc").count().where("count > 1").count())
+    assert dup_ids == 0
+    # unsafe delta ids are rejected up front
+    with pytest.raises(ValueError, match="safe partition value"):
+        write_minhash_index(batch, path, mode="append",
+                            delta_id="a b/c")
+
+
+def test_srp_append_retry_is_idempotent(spark, emb, tmp_path):
+    """Same contract for the SRP layout: retrying a delta-keyed
+    append leaves the index byte-identical (row-count and probe)."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    corpus = emb.where(F.col("vec_id") < 300)
+    batch = emb.where(F.col("vec_id") >= 300)
+    path = str(tmp_path / "srpretry")
+    write_srp_index(corpus, path, dim=DIM, num_planes=6)
+    write_srp_index(batch, path, dim=DIM, mode="append",
+                    num_planes=None, delta_id="b0001")
+    n = spark.read.parquet(path).count()
+    assert n == corpus.count() + batch.count()
+    # retry the same delta: no growth, no duplicate ids
+    write_srp_index(batch, path, dim=DIM, mode="append",
+                    num_planes=None, delta_id="b0001")
+    assert spark.read.parquet(path).count() == n
+    assert (spark.read.parquet(path).groupBy("vec_id").count()
+            .where("count > 1").count()) == 0

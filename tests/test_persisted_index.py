@@ -101,10 +101,16 @@ def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
            topk_ivf_over_index(spark, inc_path, q, cents,
                                k=5, nprobe=4).collect()}
     assert got == want and len(got) > 0
-    # appended rows landed inside the existing cell directories
+    # appended rows landed in their own delta, same cell values (the
+    # r9 delta level makes the append retryable; cell pruning is
+    # below it)
+    import glob as _glob
     import os
-    dirs = [d for d in os.listdir(inc_path) if d.startswith("cell_id=")]
-    assert len(dirs) <= 16 and len(dirs) > 0
+    deltas = [d for d in os.listdir(inc_path) if d.startswith("delta=")]
+    assert len(deltas) == 2                   # base + one append
+    cells = {os.path.basename(d) for d in
+             _glob.glob(f"{inc_path}/delta=*/cell_id=*")}
+    assert 0 < len(cells) <= 16
 
 
 def test_ivf_index_prunes_to_probed_cells(spark, tmp_path):
@@ -223,9 +229,9 @@ def test_srp_index_metadata_round_trip(spark, tmp_path):
     assert read_srp_index_meta(spark, path) == {"num_planes": p,
                                                 "dim": 64}
     # the sidecar never leaks into the data: index root reads see
-    # exactly the vector columns
+    # exactly the vector columns (+ the r9 delta partition level)
     assert set(spark.read.parquet(path).columns) \
-        == set(emb.columns) | {"__nrm", "bucket"}
+        == set(emb.columns) | {"__nrm", "bucket", "delta"}
     qs = _queries(spark)
     by_meta = topk_lsh_over_index(spark, path, qs, dim=64, k=5).collect()
     assert len(by_meta) > 0
@@ -277,3 +283,31 @@ def test_srp_meta_corrupt_sidecar_raises_not_default(spark, tmp_path):
     os.system(f"rm -rf {path}/_srp_meta")
     spark.catalog.refreshByPath(path + "/_srp_meta")
     assert read_srp_index_meta(spark, path) is None
+
+
+def test_ivf_append_retry_is_idempotent(spark, tmp_path):
+    """VERDICT r9 item 4: retrying a delta-keyed append_to_ivf_index
+    call leaves the index unchanged (the delta overwrites itself),
+    and query answers stay identical to the single-append state."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        append_to_ivf_index, first_id_centroids, topk_ivf_over_index,
+        write_ivf_index,
+    )
+    emb = _emb(spark)
+    cents = first_id_centroids(emb, 16)
+    path = str(tmp_path / "ivf_retry")
+    write_ivf_index(emb.where("vec_id % 2 = 0"), cents, path)
+    append_to_ivf_index(emb.where("vec_id % 2 = 1"), cents, path,
+                        delta_id="b0001")
+    n = spark.read.parquet(path).count()
+    q = _queries(spark)
+    want = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+            topk_ivf_over_index(spark, path, q, cents,
+                                k=5, nprobe=4).collect()}
+    append_to_ivf_index(emb.where("vec_id % 2 = 1"), cents, path,
+                        delta_id="b0001")
+    assert spark.read.parquet(path).count() == n
+    got = {(r["query_id"], r["neighbor_id"], r["rank"]) for r in
+           topk_ivf_over_index(spark, path, q, cents,
+                               k=5, nprobe=4).collect()}
+    assert got == want

@@ -26,10 +26,12 @@ is what makes the incremental decision identical to re-running
 
 Index layout under ``path``:
 
-* ``bands/``  — (doc, band, bucket, dbkt) partitioned by ``pbkt =
-  pmod(xxhash64(bucket, band), num_buckets)``; a probe touches only
-  the partitions of the batch's own buckets.
-* ``docs/``   — (doc, text) partitioned by ``dbkt =
+* ``bands/``  — (doc, band, bucket, dbkt) partitioned by
+  ``delta`` (the ingest batch that wrote the rows; ``base`` for the
+  initial build) then ``pbkt = pmod(xxhash64(bucket, band),
+  num_buckets)``; a probe touches only the partitions of the batch's
+  own buckets (``pbkt`` pruning works below the delta level).
+* ``docs/``   — (doc, text) partitioned by ``delta`` then ``dbkt =
   pmod(xxhash64(doc), num_buckets)``; candidate verification reads
   only the partitions holding candidate corpus docs (their ``dbkt``
   rides along on the band rows, so no corpus-side hashing at query
@@ -37,6 +39,11 @@ Index layout under ``path``:
 * ``params/`` — one row recording (k, num_hashes, bands,
   num_buckets); loaded back so callers can't probe with mismatched
   hashing parameters.
+
+The ``delta`` level is what makes appends RETRYABLE (a delta-keyed
+append deletes its own partitions first — whole-call idempotent) and
+streaming REPLAYABLE (a probe can exclude its own delta to recompute
+a micro-batch's decision exactly as if it hadn't appended yet).
 
 Reference parity: the reference dedups only within one run
 (``pipelines/ingest_pipeline.py`` drop_duplicates); incremental
@@ -99,29 +106,59 @@ def write_minhash_index(df: DataFrame, path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 8, num_hashes: int = 32,
                         bands: int = 8, num_buckets: int = 64,
-                        mode: str = "overwrite") -> None:
+                        mode: str = "overwrite",
+                        delta_id: str | None = None) -> None:
     """Persist the banded-signature store for ``df`` (one shuffle —
     the signature groupBy; the band fan-out and partitioned write are
     narrow).  ``mode='append'`` extends an existing index (the layout
     is append-friendly; compact small files with a periodic rewrite
-    when delta batches are tiny and frequent)."""
+    when delta batches are tiny and frequent).
+
+    Rerun semantics (round 9): every write lands under a ``delta``
+    partition level (the base build uses ``delta=base``).  An append
+    with an explicit ``delta_id`` is WHOLE-CALL IDEMPOTENT: the
+    delta's own partition directories are deleted before the write,
+    so a caller retrying a failed batch — or a streaming sink
+    replaying a micro-batch id — overwrites its own rows instead of
+    double-appending (the ``hll_stream_sink`` shard pattern).
+    Without ``delta_id`` an append gets a random delta and is
+    at-most-once: DON'T retry it.  Probes are delta-agnostic (the
+    ``pbkt``/``dbkt`` pruning columns are below ``delta``), and an
+    empty retried delta correctly ends up empty on disk."""
+    from trial_data_ingestion_spark.operators.sketches import (
+        check_partition_value, delete_path,
+    )
+    spark = df.sparkSession
+    if mode == "append":
+        if delta_id is None:
+            import uuid
+            delta_id = "d-" + uuid.uuid4().hex[:12]
+        check_partition_value(delta_id, what="delta_id")
+        delete_path(spark, f"{path}/bands/delta={delta_id}")
+        delete_path(spark, f"{path}/docs/delta={delta_id}")
+    else:
+        delta_id = "base" if delta_id is None \
+            else check_partition_value(delta_id, what="delta_id")
     banded = (_banded(df, id_col, text_col, k, num_hashes, bands)
               .withColumn("dbkt", F.pmod(F.xxhash64(F.col("doc")),
                                          F.lit(num_buckets)))
-              .withColumn("pbkt", _pbkt(num_buckets)))
+              .withColumn("pbkt", _pbkt(num_buckets))
+              .withColumn("delta", F.lit(delta_id)))
     # repartition ON the partition column first: otherwise every
     # write task emits a file into every partition dir (tasks x
     # buckets tiny files — measured 8x slower to write AND to probe);
     # hashed on pbkt, each bucket is exactly one task's one file
     (banded.repartition("pbkt")
-           .write.mode(mode).partitionBy("pbkt").parquet(path + "/bands"))
+           .write.mode(mode).partitionBy("delta", "pbkt")
+           .parquet(path + "/bands"))
     docs = df.select(F.col(id_col).alias("doc"),
                      F.col(text_col).alias("text"),
                      F.pmod(F.xxhash64(F.col(id_col)),
-                            F.lit(num_buckets)).alias("dbkt"))
+                            F.lit(num_buckets)).alias("dbkt"),
+                     F.lit(delta_id).alias("delta"))
     (docs.repartition("dbkt")
-         .write.mode(mode).partitionBy("dbkt").parquet(path + "/docs"))
-    spark = df.sparkSession
+         .write.mode(mode).partitionBy("delta", "dbkt")
+         .parquet(path + "/docs"))
     if mode != "append":
         # params are fixed at build time — appends inherit them, so
         # rewriting the params table per delta would only add a job,
@@ -297,7 +334,10 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                               id_col: str = "doc_id",
                               text_col: str = "text",
                               threshold: float = 0.8,
-                              append: bool = False) -> DataFrame:
+                              append: bool = False,
+                              delta_id: str | None = None,
+                              exclude_delta: str | None = None,
+                              ) -> DataFrame:
     """New-batch rows that survive near-dedup against BOTH the
     persisted corpus index and the batch itself.
 
@@ -305,7 +345,13 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     probing with mismatched (k, num_hashes, bands) can't happen.
     With ``append=True`` the *entire batch* (survivors and duplicates
     alike — see the module docstring for why) is appended to the
-    index after the decision.
+    index after the decision; pass a stable ``delta_id`` to make the
+    whole call RETRYABLE (the append overwrites its own delta instead
+    of double-appending — see :func:`write_minhash_index`).
+    ``exclude_delta`` removes one delta from every index read: a
+    replayed micro-batch that already appended as delta ``X`` probes
+    with ``delta_id=X, exclude_delta=X`` and reproduces its original
+    decision exactly (the streaming-sink contract).
 
     Execution shape (round 9): the steady cost of a delta probe is
     job-SCHEDULING latency, not data — the r8 formulation paid ~9
@@ -329,6 +375,12 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     k, num_hashes, bands = p["k"], p["num_hashes"], p["bands"]
     num_buckets = p["num_buckets"]
 
+    def _idx(sub: str) -> DataFrame:
+        t = spark.read.parquet(index_path + sub)
+        if exclude_delta is not None:
+            t = t.where(F.col("delta") != F.lit(exclude_delta))
+        return t
+
     # job 1: batch ids AND their doc-bucket hashes in one bounded
     # collect (the decision below broadcasts delta-sized sets anyway,
     # so driver-holding the id list is the same budget class)
@@ -349,7 +401,7 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
         spark, (r["doc"] for r in id_rows), new_docs, id_col)
     seen_ids = {
         r["doc"] for r in
-        spark.read.parquet(index_path + "/docs")
+        _idx("/docs")
              .where(F.col("dbkt").isin(batch_bkts))
              .select("doc")
              .join(F.broadcast(batch_ids_df.withColumnRenamed(
@@ -390,7 +442,7 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
         # own pbkt partitions, batch side broadcast — the corpus never
         # shuffles (same plan as cross_candidates, inlined so the pbkt
         # collect above is the one that fills the probe cache)
-        idx = (spark.read.parquet(index_path + "/bands")
+        idx = (_idx("/bands")
                .where(F.col("pbkt").isin(pbkts)))
         cross = (idx.join(F.broadcast(probe.withColumnRenamed(
                      "doc", "doc_b")), ["band", "bucket", "pbkt"])
@@ -422,7 +474,7 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
             # table
             if in_pair_ids:
                 corpus_texts = (
-                    spark.read.parquet(index_path + "/docs")
+                    _idx("/docs")
                     .where(F.col("dbkt").isin(dbkts))
                     .select(F.col("doc").alias(id_col),
                             F.col("text").alias(text_col)))
@@ -453,7 +505,7 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                             cand_corpus.select("dbkt_a")
                                        .distinct().collect()})
             corpus_texts = (
-                spark.read.parquet(index_path + "/docs")
+                _idx("/docs")
                 .where(F.col("dbkt").isin(dbkts))
                 .join(F.broadcast(cand_corpus.select("doc")), "doc",
                       "left_semi")
@@ -476,7 +528,7 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
             write_minhash_index(fresh, index_path, id_col, text_col,
                                 k=k, num_hashes=num_hashes,
                                 bands=bands, num_buckets=num_buckets,
-                                mode="append")
+                                mode="append", delta_id=delta_id)
     if kept_frame is not None:
         return orig.join(F.broadcast(kept_frame), id_col, "left_semi")
     excluded = seen_ids | drops
@@ -500,7 +552,10 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
                                     vec_col: str = "embedding",
                                     threshold: float = 0.9,
                                     num_planes: int | None = None,
-                                    append: bool = False) -> DataFrame:
+                                    append: bool = False,
+                                    delta_id: str | None = None,
+                                    exclude_delta: str | None = None,
+                                    ) -> DataFrame:
     """New-batch vectors surviving embedding-cosine near-dedup
     against BOTH a persisted :func:`~.similarity.write_srp_index`
     corpus and the batch itself.
@@ -540,8 +595,10 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
                 srp_bucket(vec_col, dim, num_planes).alias("bucket")))
     buckets = sorted(r["bucket"] for r in
                      nb.select("bucket").distinct().collect())
-    idx = (spark.read.parquet(index_path)
-           .where(F.col("bucket").isin(buckets))
+    idx = spark.read.parquet(index_path)
+    if exclude_delta is not None:
+        idx = idx.where(F.col("delta") != F.lit(exclude_delta))
+    idx = (idx.where(F.col("bucket").isin(buckets))
            .select(F.col(id_col).alias("doc"),
                    F.col(vec_col).alias("v"),
                    F.col("__nrm").alias("nrm"), "bucket"))
@@ -587,7 +644,7 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
             to_add = new_embeddings.localCheckpoint()
             write_srp_index(to_add, index_path, dim, id_col=id_col,
                             vec_col=vec_col, num_planes=num_planes,
-                            mode="append")
+                            mode="append", delta_id=delta_id)
     finally:
         pins.release()
     return orig.join(F.broadcast(kept), id_col, "left_semi")
@@ -604,18 +661,23 @@ def compact_minhash_index(spark, index_path: str, out_path: str) -> None:
     enough to schedule periodically.  Writing to a NEW root keeps
     the operation atomic-by-rename for the caller and sidesteps
     Spark's cached-listing hazards of in-place rewrites (see
-    ``write_minhash_index``)."""
+    ``write_minhash_index``).  Compaction also FOLDS the accumulated
+    ``delta`` partitions back into a single ``delta=base`` — the
+    per-delta rerun bookkeeping only matters for in-flight appends,
+    and folding it keeps the directory count flat across epochs."""
     if out_path.rstrip("/") == index_path.rstrip("/"):
         raise ValueError(
             "compact_minhash_index: out_path must differ from "
             "index_path (atomic swap by rename is the caller's step)")
-    bands = spark.read.parquet(index_path + "/bands")
+    bands = (spark.read.parquet(index_path + "/bands")
+             .withColumn("delta", F.lit("base")))
     (bands.repartition("pbkt")
-          .write.mode("overwrite").partitionBy("pbkt")
+          .write.mode("overwrite").partitionBy("delta", "pbkt")
           .parquet(out_path + "/bands"))
-    docs = spark.read.parquet(index_path + "/docs")
+    docs = (spark.read.parquet(index_path + "/docs")
+            .withColumn("delta", F.lit("base")))
     (docs.repartition("dbkt")
-         .write.mode("overwrite").partitionBy("dbkt")
+         .write.mode("overwrite").partitionBy("delta", "dbkt")
          .parquet(out_path + "/docs"))
     (spark.read.parquet(index_path + "/params")
      .coalesce(1).write.mode("overwrite").parquet(out_path + "/params"))

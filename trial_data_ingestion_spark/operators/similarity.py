@@ -523,14 +523,17 @@ def write_ivf_index(embeddings: DataFrame, centroids: DataFrame,
     cells = _nearest_cells(embeddings, centroids, vec_col, id_col, 1, dim)
     if dim is not None:
         cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
-    (cells.write.mode("overwrite").partitionBy("cell_id").parquet(path))
+    (cells.withColumn("delta", F.lit("base"))
+          .write.mode("overwrite").partitionBy("delta", "cell_id")
+          .parquet(path))
     embeddings.sparkSession.catalog.refreshByPath(path)
 
 
 def append_to_ivf_index(new_embeddings: DataFrame, centroids: DataFrame,
                         path: str, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        dim: int | None = None) -> None:
+                        dim: int | None = None,
+                        delta_id: str | None = None) -> None:
     """Add a delta batch to a persisted :func:`write_ivf_index`
     layout WITHOUT rebuilding: the batch assigns against the SAME
     centroid table the index was built with (pass the same frame —
@@ -540,13 +543,29 @@ def append_to_ivf_index(new_embeddings: DataFrame, centroids: DataFrame,
     shuffled — the incremental-dedup operating contract for ANN.
     Recall drifts only as the data distribution drifts away from the
     frozen centers; re-fit + rebuild on a schedule, like any IVF.
-    Caller dedups ids (the index is a layout, not a keyed store)."""
+    Caller dedups ids (the index is a layout, not a keyed store).
+
+    Rerun semantics (round 9): pass a stable ``delta_id`` and a
+    whole-call retry is idempotent — the append deletes its own
+    ``delta`` partition directory before writing.  Without one the
+    delta is random and the append is at-most-once (don't retry)."""
+    from trial_data_ingestion_spark.operators.sketches import (
+        check_partition_value, delete_path,
+    )
+    spark = new_embeddings.sparkSession
+    if delta_id is None:
+        import uuid
+        delta_id = "d-" + uuid.uuid4().hex[:12]
+    check_partition_value(delta_id, what="delta_id")
+    delete_path(spark, f"{path}/delta={delta_id}")
     cells = _nearest_cells(new_embeddings, centroids, vec_col, id_col,
                            1, dim)
     if dim is not None:
         cells = cells.withColumn("__nrm", l2_norm_fixed(vec_col, dim))
-    cells.write.mode("append").partitionBy("cell_id").parquet(path)
-    new_embeddings.sparkSession.catalog.refreshByPath(path)
+    (cells.withColumn("delta", F.lit(delta_id))
+          .write.mode("append").partitionBy("delta", "cell_id")
+          .parquet(path))
+    spark.catalog.refreshByPath(path)
 
 
 def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
@@ -599,7 +618,8 @@ def topk_ivf_over_index(spark, index_path: str, queries: DataFrame,
 def write_srp_index(embeddings: DataFrame, path: str, dim: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     num_planes: int | str = 8,
-                    mode: str = "overwrite") -> None:
+                    mode: str = "overwrite",
+                    delta_id: str | None = None) -> None:
     """Persist the SRP-LSH layout for :func:`topk_lsh_over_index`:
     one narrow map computes each vector's bucket (literal-plane
     codegen, no shuffle) and the norm, written partitioned by
@@ -621,9 +641,25 @@ def write_srp_index(embeddings: DataFrame, path: str, dim: int,
 
     ``mode="append"`` extends an existing index (delta batches land
     in the same bucket directories); the plane set then COMES FROM
-    the sidecar — a conflicting explicit ``num_planes`` raises."""
+    the sidecar — a conflicting explicit ``num_planes`` raises.
+
+    Rerun semantics (round 9): rows land under a ``delta`` partition
+    level above ``bucket`` (``delta=base`` for the build).  An append
+    with an explicit ``delta_id`` deletes its own delta directory
+    before writing, making a whole-call retry idempotent; without
+    one the append gets a random delta and is at-most-once (don't
+    retry it).  Bucket pruning is unaffected (``bucket`` remains a
+    partition column below ``delta``)."""
+    from trial_data_ingestion_spark.operators.sketches import (
+        check_partition_value, delete_path,
+    )
     spark = embeddings.sparkSession
     if mode == "append":
+        if delta_id is None:
+            import uuid
+            delta_id = "d-" + uuid.uuid4().hex[:12]
+        check_partition_value(delta_id, what="delta_id")
+        delete_path(spark, f"{path}/delta={delta_id}")
         meta = read_srp_index_meta(spark, path)
         if meta is None:
             if not isinstance(num_planes, int) \
@@ -644,10 +680,13 @@ def write_srp_index(embeddings: DataFrame, path: str, dim: int,
     else:
         num_planes = resolve_num_planes(num_planes,
                                         lambda: embeddings.count())
+        delta_id = "base" if delta_id is None \
+            else check_partition_value(delta_id, what="delta_id")
     out = (embeddings
            .withColumn("__nrm", l2_norm_fixed(vec_col, dim))
-           .withColumn("bucket", srp_bucket(vec_col, dim, num_planes)))
-    (out.write.mode(mode).partitionBy("bucket").parquet(path))
+           .withColumn("bucket", srp_bucket(vec_col, dim, num_planes))
+           .withColumn("delta", F.lit(delta_id)))
+    (out.write.mode(mode).partitionBy("delta", "bucket").parquet(path))
     # sidecar AFTER the data write: a static-mode overwrite of `path`
     # deletes the whole root, sidecar included
     (spark.createDataFrame([(int(num_planes), int(dim))],

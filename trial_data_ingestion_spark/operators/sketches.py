@@ -56,6 +56,19 @@ def check_partition_value(value: str, what: str = "shard") -> str:
     return value
 
 
+def delete_path(spark, path: str) -> None:
+    """Recursively delete ``path`` through the Hadoop FS API (so it
+    works against whatever filesystem Spark is configured for, not
+    just local disk) and drop any cached listing of it.  The shared
+    primitive behind the idempotent shard/delta overwrite pattern:
+    delete-your-own-partition, then (re)write it."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
+    spark.catalog.refreshByPath(path)
+
+
 def hll_shard_sketches(df: DataFrame, group_cols: list[str],
                        value_col: str, lgk: int = 12) -> DataFrame:
     """One (group, sketch) row per group: the mergeable per-shard
@@ -96,10 +109,7 @@ def write_hll_shard(df: DataFrame, path: str, group_cols: list[str],
     check_partition_value(shard)
     spark = df.sparkSession
     if df.isEmpty():
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(f"{path}/shard={shard}")
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(p, True)
+        delete_path(spark, f"{path}/shard={shard}")
         spark.catalog.refreshByPath(path)
         return
     out = (hll_shard_sketches(df, group_cols, value_col, lgk)
