@@ -224,3 +224,47 @@ def test_unsafe_shard_name_rejected(spark, tmp_path):
     # date-like and batch-id-like names stay allowed
     write_hll_shard(ev, path, ["event_type"], "user_id", "2026-08-15")
     write_hll_shard(ev, path, ["event_type"], "user_id", "batch_0.1")
+
+
+def test_hll_stream_sink_restart_from_checkpoint(spark, tmp_path):
+    """VERDICT r9 item 8: kill the sketch-maintaining stream
+    mid-run, restart from the same checkpoint, and the shard table
+    still matches the exact batch computation — committed batches are
+    not re-run, an uncommitted one replays onto its own shard."""
+    from trial_data_ingestion_spark.operators.sketches import (
+        hll_stream_sink, merged_distinct,
+    )
+    from trial_data_ingestion_spark.streaming import drain
+
+    ev = _events(spark).select("user_id", "event_type")
+    src = str(tmp_path / "restart_src")
+    for m in range(4):                     # 4 files -> 4 micro-batches
+        ev.where(F.col("user_id") % 4 == m).coalesce(1) \
+            .write.mode("append").parquet(src)
+    path = str(tmp_path / "hll_restart")
+    ck = str(tmp_path / "ck_restart")
+
+    def start():
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        return (stream.writeStream
+                .foreachBatch(hll_stream_sink(path, ["event_type"],
+                                              "user_id"))
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True).start())
+
+    q = start()
+    drain(q, n_data_batches=1)      # kill after >=1 batch, mid-stream
+    assert not q.isActive
+    # restart from the checkpoint; availableNow + foreachBatch
+    # self-terminates once the remaining files are processed
+    q2 = start()
+    q2.awaitTermination(120)
+    assert q2.exception() is None
+
+    got = {r["event_type"]: r["n_distinct"] for r in
+           merged_distinct(spark, path, ["event_type"]).collect()}
+    want = {r["event_type"]: r["n"] for r in
+            ev.groupBy("event_type")
+              .agg(F.countDistinct("user_id").alias("n")).collect()}
+    assert got == want

@@ -650,6 +650,64 @@ def embedding_near_dups_incremental(spark, new_embeddings: DataFrame,
     return orig.join(F.broadcast(kept), id_col, "left_semi")
 
 
+def minhash_dedup_stream_sink(index_path: str, out_path: str,
+                              id_col: str = "doc_id",
+                              text_col: str = "text",
+                              threshold: float = 0.8,
+                              shard_prefix: str = "batch"):
+    """``foreachBatch`` sink running corpus-level incremental
+    near-dedup over a document stream — the streaming closure of the
+    persisted-MinHash tier, the way ``hll_stream_sink`` closed the
+    sketch tier (round-9 verdict item 5).
+
+    Each micro-batch is one delta: it probes the index with its
+    batch-id shard EXCLUDED from every read and appends itself under
+    that shard (:func:`dedup_minhash_incremental` with
+    ``delta_id = exclude_delta = {shard_prefix}-{batch_id:09d}``),
+    then writes its survivors to ``out_path`` partitioned by the same
+    shard.  Batch ids are stable across checkpoint restarts, so a
+    REPLAYED micro-batch reproduces the identical decision (its own
+    delta is invisible to the probe), overwrites its own index delta
+    instead of double-appending, and rewrites its own survivor shard
+    — exactly-once output by construction.  An all-duplicate batch
+    correctly leaves an empty survivor shard.
+
+    The exactness argument leans on Structured Streaming's replay
+    shape: only the LATEST (uncommitted) batch is ever re-delivered,
+    so at replay time the index holds exactly the deltas the original
+    attempt saw plus possibly the batch's own — which the probe
+    excludes.  (An out-of-order replay of an OLD batch after newer
+    deltas landed is not a state Structured Streaming produces.)
+
+    Usage::
+
+        q = (docs.writeStream
+             .foreachBatch(minhash_dedup_stream_sink(idx, out))
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from trial_data_ingestion_spark.operators.sketches import (
+            delete_path,
+        )
+        spark = batch_df.sparkSession
+        shard = f"{shard_prefix}-{batch_id:09d}"
+        survivors = dedup_minhash_incremental(
+            spark, batch_df, index_path, id_col=id_col,
+            text_col=text_col, threshold=threshold, append=True,
+            delta_id=shard, exclude_delta=shard)
+        # idempotent survivor shard: delete-then-append (a replay that
+        # now keeps nothing leaves the shard empty, never stale)
+        delete_path(spark, f"{out_path}/shard={shard}")
+        (survivors.withColumn("shard", F.lit(shard))
+                  .write.mode("append").partitionBy("shard")
+                  .parquet(out_path))
+        spark.catalog.refreshByPath(out_path)
+
+    return sink
+
+
 def compact_minhash_index(spark, index_path: str, out_path: str) -> None:
     """Rewrite an append-accumulated index at ``index_path`` into a
     fresh layout at ``out_path`` with one file per partition again.
