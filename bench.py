@@ -28,6 +28,18 @@ regression back to r1 levels pass silently.
     > 1.3x the best-known total — catches broad slow drift that stays
     under the per-query gate.
 
+Machine-noise calibration (round 9): every record carries
+``calibration_sec`` — a fixed synthetic CPU-bound workload
+(data-independent, same shape every run) measured alongside the
+entries.  The round-8 driver machine ran the SAME code ~8-15%
+uniformly slower than a quiet machine, which forced cold-total
+forensics to separate noise from regression; the calibration entry
+turns that into arithmetic.  The gates normalize each best-known time
+by (current calibration / that record's calibration), clamped to
+CAL_NORM_BOUNDS so a pathological calibration sample can never hide a
+real regression (relax at most 1.5x) or manufacture one (tighten at
+most 0.9x).  Records predating the entry normalize by 1.0.
+
 `python bench.py --rebaseline` writes the current rolling best to
 BENCH_BASELINE.json (committed artifact, for the judge's eyes — the
 gates themselves always recompute from the BENCH_r*.json files).
@@ -677,6 +689,84 @@ REGRESSION_FACTOR = 2.0
 REGRESSION_MIN_SEC = 0.4
 TOTAL_REGRESSION_FACTOR = 1.3
 
+# --- machine-noise calibration (round 9) --------------------------------
+#: rows of the fixed synthetic CPU-bound calibration workload; sized so
+#: the entry lands ~0.5-1.0 s on the reference machine — long enough to
+#: swamp scheduling jitter, short enough to not tax the suite
+CALIBRATION_ROWS = 512_000_000
+#: clamp on the calibration normalization factor applied to best-known
+#: times: a slow-machine run may relax the gate at most 1.5x; a
+#: fast-looking calibration sample may tighten it at most to 0.9x (so a
+#: lucky calibration can't turn ordinary jitter into a REGRESSION flag)
+CAL_NORM_BOUNDS = (0.9, 1.5)
+
+
+def _calibration_sec(spark) -> float:
+    """Fixed synthetic CPU-bound entry: hash-and-count over a range,
+    32 partitions, no IO, no shuffle beyond the final partial-agg
+    gather — measures raw machine throughput under the same JVM the
+    bench entries run in.  Median of 3 after one warm-up pass."""
+    def one() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, CALIBRATION_ROWS, 1, 32).selectExpr(
+            "count_if(pmod(xxhash64(id), 97) = 0) AS n").collect()
+        return time.perf_counter() - t0
+
+    one()
+    return round(statistics.median(one() for _ in range(3)), 3)
+
+
+def _cal_norm(cal_now: float | None, cal_base: float | None) -> float:
+    """Normalization factor applied to a best-known time before the
+    regression compare: current machine speed relative to the machine
+    that set the record, clamped to CAL_NORM_BOUNDS.  Missing
+    calibration on either side (pre-r9 records, tail-truncated
+    artifacts) -> 1.0, i.e. the historical un-normalized gate."""
+    if not cal_now or not cal_base:
+        return 1.0
+    return min(max(cal_now / cal_base, CAL_NORM_BOUNDS[0]),
+               CAL_NORM_BOUNDS[1])
+
+
+def _gate_regressions(steady: dict[str, float], cal_now: float | None,
+                      baseline: dict[str, float],
+                      baseline_cal: dict[str, float | None],
+                      ) -> dict[str, dict]:
+    """Per-entry regression gate vs the rolling best, calibration-
+    normalized.  Pure function so the normalization logic is unit-
+    testable without a SparkSession."""
+    regressions: dict[str, dict] = {}
+    for name, base in baseline.items():
+        now = steady.get(name)
+        if now is None:
+            continue
+        norm = _cal_norm(cal_now, baseline_cal.get(name))
+        if now > max(base * norm * REGRESSION_FACTOR, REGRESSION_MIN_SEC):
+            regressions[name] = {
+                "best_sec": base, "now_sec": now,
+                "cal_norm": round(norm, 3),
+                "factor": round(now / (base * norm), 2)}
+    return regressions
+
+
+def _gate_total(steady: dict[str, float], cal_now: float | None,
+                baseline: dict[str, float],
+                baseline_cal: dict[str, float | None],
+                common: list[str]) -> dict:
+    """Broad-drift total gate over the common entries, each best-known
+    time calibration-normalized before summing."""
+    base_total = sum(baseline[n] * _cal_norm(cal_now, baseline_cal.get(n))
+                     for n in common)
+    now_total = sum(steady[n] for n in common)
+    if base_total > 0 and now_total > base_total * TOTAL_REGRESSION_FACTOR:
+        return {
+            "common_queries": len(common),
+            "best_total_sec": round(base_total, 3),
+            "now_total_sec": round(now_total, 3),
+            "factor": round(now_total / base_total, 2),
+        }
+    return {}
+
 #: entries whose measurement SEMANTICS changed: values recorded
 #: before the named round measured less work and are not comparable
 #: floors.  b02's old .count() materialization let Catalyst's
@@ -733,17 +823,24 @@ def _recover_from_tail(tail: str) -> dict[str, float]:
     return {k: float(v) for k, v in _TAIL_KV_RE.findall(tail[:cut])}
 
 
-def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
+def _load_rolling_baseline(here: str | None = None,
+                           ) -> tuple[dict[str, float],
+                                      dict[str, float | None],
+                                      list[str]]:
     """Per-query BEST (minimum) steady seconds across every
     BENCH_r*.json (driver-recorded; bench JSON wrapped under a
     'parsed' key) and BENCH_LOCAL_r*.json (written directly by
     ``python bench.py``) in the repo (sf0.1, local[32]).  Returns the
-    baseline and the list of round files that contributed.  Tolerates
-    driver artifacts whose 'parsed' is null (tail-truncated bench
-    line) by salvaging what the tail still holds.  Queries listed in
+    baseline, the calibration_sec of the record that set each entry's
+    best (None for pre-calibration records — see _cal_norm), and the
+    list of round files that contributed.  Tolerates driver artifacts
+    whose 'parsed' is null (tail-truncated bench line) by salvaging
+    what the tail still holds.  Queries listed in
     :data:`INCOMPARABLE_BEFORE` ignore rounds before their cutoff."""
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     best: dict[str, float] = {}
+    best_cal: dict[str, float | None] = {}
     rounds: list[str] = []
     paths = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")) +
                    glob.glob(os.path.join(here, "BENCH_LOCAL_r[0-9]*.json")))
@@ -763,8 +860,11 @@ def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
         if not isinstance(doc, dict):
             continue
         parsed = doc.get("parsed", doc)
+        calibration: float | None = None
         if isinstance(parsed, dict) and parsed.get("queries"):
             queries = parsed["queries"]
+            if parsed.get("calibration_sec"):
+                calibration = float(parsed["calibration_sec"])
         else:
             queries = _recover_from_tail(doc.get("tail") or "")
             if queries:
@@ -783,18 +883,21 @@ def _load_rolling_baseline() -> tuple[dict[str, float], list[str]]:
             v = float(v)
             if k not in best or v < best[k]:
                 best[k] = v
-    return best, rounds
+                best_cal[k] = calibration
+    return best, best_cal, rounds
 
 
 def rebaseline() -> None:
     """Write the rolling best to BENCH_BASELINE.json for inspection."""
-    best, rounds = _load_rolling_baseline()
+    best, best_cal, rounds = _load_rolling_baseline()
     here = os.path.dirname(os.path.abspath(__file__))
     out = {"note": "per-query best steady seconds across rounds; "
                    "regenerate with `python bench.py --rebaseline` — "
                    "bench gates recompute this live from BENCH_r*.json",
            "rounds": rounds,
            "queries": {k: best[k] for k in sorted(best)},
+           "calibration_sec": {k: best_cal[k] for k in sorted(best_cal)
+                               if best_cal[k] is not None},
            "total_sec": round(sum(best.values()), 3)}
     with open(os.path.join(here, "BENCH_BASELINE.json"), "w") as f:
         json.dump(out, f, indent=2)
@@ -829,6 +932,11 @@ def main() -> None:
     # representative of a long-lived cluster.
     QUERIES["q01_pricing_summary"](spark, sf_dir).count()
 
+    # fixed synthetic CPU-bound entry measured FIRST (quiet JVM, no
+    # cache pressure from the suite) — the machine-speed yardstick the
+    # gates normalize by
+    calibration = _calibration_sec(spark)
+
     cold: dict[str, float] = {}
     for name in headline:
         t0 = time.perf_counter()
@@ -844,37 +952,28 @@ def main() -> None:
     steady = {n: round(statistics.median(s), 3)
               for n, s in samples.items()}
 
-    baseline, baseline_rounds = _load_rolling_baseline()
+    baseline, baseline_cal, baseline_rounds = _load_rolling_baseline()
     regressions: dict = {}
     total_regression: dict = {}
     if sf_dir.rstrip("/").endswith("sf0.1") and baseline:
-        for name, base in baseline.items():
-            now = steady.get(name)
-            if now is None:
-                continue
-            if now > max(base * REGRESSION_FACTOR, REGRESSION_MIN_SEC):
-                regressions[name] = {"best_sec": base, "now_sec": now,
-                                     "factor": round(now / base, 2)}
+        regressions = _gate_regressions(steady, calibration,
+                                        baseline, baseline_cal)
         for name, r in regressions.items():
-            print(f"REGRESSION {name}: best {r['best_sec']}s -> "
-                  f"{r['now_sec']}s ({r['factor']}x > "
+            print(f"REGRESSION {name}: best {r['best_sec']}s "
+                  f"(cal_norm {r['cal_norm']}) -> {r['now_sec']}s "
+                  f"({r['factor']}x > "
                   f"{REGRESSION_FACTOR}x gate)", file=sys.stderr)
 
         # the broad-drift total gate is only meaningful on full runs —
         # a --only subset's "total" is whatever the dev asked for
         common = ([n for n in baseline if n in steady]
                   if headline == HEADLINE else [])
-        base_total = sum(baseline[n] for n in common)
-        now_total = sum(steady[n] for n in common)
-        if base_total > 0 and now_total > base_total * TOTAL_REGRESSION_FACTOR:
-            total_regression = {
-                "common_queries": len(common),
-                "best_total_sec": round(base_total, 3),
-                "now_total_sec": round(now_total, 3),
-                "factor": round(now_total / base_total, 2),
-            }
+        total_regression = _gate_total(steady, calibration,
+                                       baseline, baseline_cal, common)
+        if total_regression:
             print(f"TOTAL REGRESSION over {len(common)} common queries: "
-                  f"best {base_total:.2f}s -> {now_total:.2f}s "
+                  f"best {total_regression['best_total_sec']:.2f}s -> "
+                  f"{total_regression['now_total_sec']:.2f}s "
                   f"({total_regression['factor']}x > "
                   f"{TOTAL_REGRESSION_FACTOR}x gate)", file=sys.stderr)
 
@@ -886,6 +985,7 @@ def main() -> None:
         "value": round(sum(steady.values()), 3),
         "unit": "sec",
         "queries": steady,
+        "calibration_sec": calibration,
         "steady_passes": STEADY_PASSES,
         "cold_total_sec": round(sum(cold.values()), 3),
         "queries_cold": cold,

@@ -30,7 +30,7 @@ def test_incomparable_entries_excluded_from_rolling_best():
     of the work (see bench.INCOMPARABLE_BEFORE); the rolling-best
     loader must not use it as a regression floor."""
     import bench
-    best, rounds = bench._load_rolling_baseline()
+    best, _cal, rounds = bench._load_rolling_baseline()
     assert "BENCH_r04.json" in rounds          # r4 data still loads
     b02 = best.get("b02_decontam_report")
     # either no post-cutoff round exists yet (no floor at all) or the
@@ -44,7 +44,7 @@ def test_loader_tolerates_parsed_null_round():
     not crash on it, and must salvage the steady entries the tail
     still holds (r5's tail retains 22 of the 41)."""
     import bench
-    best, rounds = bench._load_rolling_baseline()
+    best, _cal, rounds = bench._load_rolling_baseline()
     assert "BENCH_r05.json" in rounds
     # b09 only exists from r5 on, so its floor can only come from the
     # salvaged tail (or a later round that would never exceed it much)
@@ -108,3 +108,82 @@ def test_scale_record_gates():
                 if e["ratio"] > gate}
         assert not over, f"tier {factor}x over the scale gate: {over}"
     assert rec["pass"] is True
+
+
+# --- round-9 calibration normalization (machine-noise yardstick) --------
+
+def test_cal_norm_clamps_and_defaults():
+    """Missing calibration on either side -> 1.0 (historical gate);
+    in-range ratios pass through; out-of-range ratios clamp to
+    CAL_NORM_BOUNDS so a pathological sample can neither hide a real
+    regression nor manufacture one from jitter."""
+    import bench
+    assert bench._cal_norm(None, 0.7) == 1.0
+    assert bench._cal_norm(0.7, None) == 1.0
+    assert bench._cal_norm(None, None) == 1.0
+    assert abs(bench._cal_norm(0.77, 0.70) - 1.1) < 1e-9
+    lo, hi = bench.CAL_NORM_BOUNDS
+    assert bench._cal_norm(2.1, 0.7) == hi      # 3x slower -> clamp 1.5
+    assert bench._cal_norm(0.35, 0.70) == lo    # 2x faster -> clamp 0.9
+
+
+def test_gate_regressions_calibration_normalized():
+    """A uniformly slower machine (the r8 driver scenario) must not
+    flag entries that merely scaled with the machine; a genuine
+    regression must still flag through the normalization."""
+    import bench
+    baseline = {"q": 1.0, "r": 1.0}
+    baseline_cal = {"q": 0.6, "r": None}
+    # machine 1.4x slower than the record's: q at 2.5s is within the
+    # normalized gate (1.0 * 1.4 * 2.0 = 2.8) ...
+    flags = bench._gate_regressions({"q": 2.5}, 0.84, baseline,
+                                    baseline_cal)
+    assert flags == {}
+    # ... but without a calibration on the record (entry r) the gate
+    # stays un-normalized and 2.5s > 2.0s flags
+    flags = bench._gate_regressions({"r": 2.5}, 0.84, baseline,
+                                    baseline_cal)
+    assert "r" in flags and flags["r"]["cal_norm"] == 1.0
+    # a genuine regression flags through the normalization
+    flags = bench._gate_regressions({"q": 3.5}, 0.84, baseline,
+                                    baseline_cal)
+    assert "q" in flags and flags["q"]["cal_norm"] == 1.4
+    # a fast-looking calibration can tighten at most to the 0.9 clamp:
+    # 1.9s on a "2x faster" machine stays under 1.0 * 0.9 * 2.0
+    flags = bench._gate_regressions({"q": 1.75}, 0.30, baseline,
+                                    baseline_cal)
+    assert flags == {}
+
+
+def test_gate_total_calibration_normalized():
+    import bench
+    baseline = {"a": 1.0, "b": 1.0}
+    baseline_cal = {"a": 0.6, "b": 0.6}
+    common = ["a", "b"]
+    # 1.45x drift on a machine measured 1.4x slower: normalized total
+    # gate is 2 * 1.4 * 1.3 = 3.64 > 2.9 -> quiet
+    assert bench._gate_total({"a": 1.45, "b": 1.45}, 0.84,
+                             baseline, baseline_cal, common) == {}
+    # same drift with no calibration history -> flags (2.9 > 2.6)
+    flagged = bench._gate_total({"a": 1.45, "b": 1.45}, 0.84,
+                                baseline, {"a": None, "b": None},
+                                common)
+    assert flagged and flagged["factor"] > 1.0
+
+
+def test_baseline_loader_tracks_calibration(tmp_path):
+    """best_cal[k] must be the calibration of the RECORD that set
+    entry k's best — not the newest or oldest round's."""
+    import json
+
+    import bench
+    (tmp_path / "BENCH_r01.json").write_text(json.dumps(
+        {"parsed": {"queries": {"q": 1.0, "r": 0.5}}}))
+    (tmp_path / "BENCH_LOCAL_r02.json").write_text(json.dumps(
+        {"queries": {"q": 0.9, "r": 0.8}, "calibration_sec": 0.7}))
+    best, best_cal, rounds = bench._load_rolling_baseline(
+        here=str(tmp_path))
+    assert best == {"q": 0.9, "r": 0.5}
+    assert best_cal["q"] == 0.7      # r02 set q's best and has cal
+    assert best_cal["r"] is None     # r01 set r's best, pre-cal record
+    assert set(rounds) == {"BENCH_r01.json", "BENCH_LOCAL_r02.json"}
