@@ -1115,3 +1115,94 @@ def test_streaming_minhash_dedup_replay_is_idempotent(spark, tmp_path):
             for r in spark.read.parquet(out).collect()} == surv
     assert spark.read.parquet(idx + "/bands").count() == bands_n
     assert spark.read.parquet(idx + "/docs").count() == docs_n
+
+
+def test_streaming_embedding_dedup_matches_batch_loop(spark, tmp_path):
+    """Streaming twin of the SRP incremental path: foreachBatch over a
+    3-file vector stream must keep exactly the survivors a batch loop
+    of embedding_near_dups_incremental keeps for the same micro-batch
+    composition (recovered from the index's own delta partitions)."""
+    import glob
+
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_dedup_stream_sink, embedding_near_dups_incremental,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    from trial_data_ingestion_spark.streaming import drain
+    from trial_data_ingestion_spark.streaming.documents import (
+        read_document_stream,
+    )
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    corpus = emb.where("vec_id < 300")
+    batch = emb.where("vec_id >= 300")
+    idx = str(tmp_path / "srp_stream_idx")
+    write_srp_index(corpus, idx, dim=64)
+
+    src = str(tmp_path / "emb_src")
+    for m in range(3):                       # 3 files -> 3 batches
+        (batch.where(F.col("vec_id") % 3 == m).coalesce(1)
+              .write.mode("append").parquet(src))
+    out = str(tmp_path / "emb_out")
+    stream = read_document_stream(
+        spark, src, schema="vec_id long, embedding array<float>",
+        max_files_per_trigger=1)
+    q = (stream.writeStream
+         .foreachBatch(embedding_dedup_stream_sink(idx, out, dim=64,
+                                                   threshold=0.4))
+         .option("checkpointLocation", str(tmp_path / "ck_emb"))
+         .trigger(availableNow=True).start())
+    drain(q, n_data_batches=3)
+
+    got = {r["vec_id"] for r in spark.read.parquet(out).collect()}
+    assert 0 < len(got) < batch.count()      # some dups were dropped
+
+    placed = (spark.read.parquet(idx)
+              .where(F.col("delta") != "base")
+              .select("vec_id", "delta").collect())
+    by_shard: dict = {}
+    for r in placed:
+        by_shard.setdefault(r["delta"], set()).add(r["vec_id"])
+    assert len(by_shard) == 3
+    idx2 = str(tmp_path / "srp_loop_idx")
+    write_srp_index(corpus, idx2, dim=64)
+    want: set = set()
+    for shard in sorted(by_shard):
+        b = batch.where(F.col("vec_id").isin(sorted(by_shard[shard])))
+        want |= {r["vec_id"] for r in embedding_near_dups_incremental(
+            spark, b, idx2, 64, threshold=0.4, append=True).collect()}
+    assert got == want
+    shards = {d.rsplit("=", 1)[1] for d in glob.glob(f"{out}/shard=*")}
+    assert shards == set(by_shard)
+
+
+def test_streaming_embedding_dedup_replay_is_idempotent(spark, tmp_path):
+    """Re-delivering the latest micro-batch must not change the
+    survivor set or grow the SRP index: the delta-keyed append
+    overwrites itself and the probe excludes its own delta."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        embedding_dedup_stream_sink,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        write_srp_index,
+    )
+    emb = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+           .select("vec_id", "embedding"))
+    corpus = emb.where("vec_id < 300")
+    b1 = emb.where("vec_id >= 300 AND vec_id % 2 = 0")
+    b2 = emb.where("vec_id >= 300 AND vec_id % 2 = 1")
+    idx = str(tmp_path / "srp_rp_idx")
+    out = str(tmp_path / "srp_rp_out")
+    write_srp_index(corpus, idx, dim=64)
+    sink = embedding_dedup_stream_sink(idx, out, dim=64, threshold=0.4)
+    sink(b1, 0)
+    sink(b2, 1)
+    surv = {(r["shard"], r["vec_id"])
+            for r in spark.read.parquet(out).collect()}
+    idx_n = spark.read.parquet(idx).count()
+    sink(b2, 1)                              # re-delivered latest batch
+    assert {(r["shard"], r["vec_id"])
+            for r in spark.read.parquet(out).collect()} == surv
+    assert spark.read.parquet(idx).count() == idx_n

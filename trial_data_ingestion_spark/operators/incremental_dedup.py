@@ -708,6 +708,49 @@ def minhash_dedup_stream_sink(index_path: str, out_path: str,
     return sink
 
 
+def embedding_dedup_stream_sink(index_path: str, out_path: str,
+                                dim: int,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                threshold: float = 0.9,
+                                shard_prefix: str = "batch"):
+    """``foreachBatch`` sink running corpus-level incremental
+    embedding-cosine near-dedup over a vector stream — the streaming
+    closure of the persisted-SRP tier, symmetric with
+    :func:`minhash_dedup_stream_sink` (same shard/delta contract).
+
+    Each micro-batch probes the SRP index with its own batch-id delta
+    EXCLUDED from every read and appends itself under that delta
+    (:func:`embedding_near_dups_incremental` with
+    ``delta_id = exclude_delta = {shard_prefix}-{batch_id:09d}``),
+    then rewrites its survivor shard under ``out_path``.  Because the
+    plane count comes from the index's ``_srp_meta`` sidecar, every
+    micro-batch hashes with the planes the corpus was built with —
+    a sink cannot misroute probes by passing its own count.  Replay
+    of the latest uncommitted batch reproduces the identical decision
+    and overwrites its own delta + shard — exactly-once output by
+    construction (see :func:`minhash_dedup_stream_sink` for the
+    replay-shape argument)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from trial_data_ingestion_spark.operators.sketches import (
+            delete_path,
+        )
+        spark = batch_df.sparkSession
+        shard = f"{shard_prefix}-{batch_id:09d}"
+        survivors = embedding_near_dups_incremental(
+            spark, batch_df, index_path, dim, id_col=id_col,
+            vec_col=vec_col, threshold=threshold, append=True,
+            delta_id=shard, exclude_delta=shard)
+        delete_path(spark, f"{out_path}/shard={shard}")
+        (survivors.withColumn("shard", F.lit(shard))
+                  .write.mode("append").partitionBy("shard")
+                  .parquet(out_path))
+        spark.catalog.refreshByPath(out_path)
+
+    return sink
+
+
 def compact_minhash_index(spark, index_path: str, out_path: str) -> None:
     """Rewrite an append-accumulated index at ``index_path`` into a
     fresh layout at ``out_path`` with one file per partition again.
