@@ -408,3 +408,36 @@ def test_srp_append_retry_is_idempotent(spark, emb, tmp_path):
     assert spark.read.parquet(path).count() == n
     assert (spark.read.parquet(path).groupBy("vec_id").count()
             .where("count > 1").count()) == 0
+
+
+def test_distributed_fallback_matches_local_decision(spark, docs, split,
+                                                     index_path,
+                                                     monkeypatch):
+    """The local-verify fast path and the distributed fallback are two
+    EXECUTION SITES of one decision procedure — forcing the fallback
+    (shrink the pair/doc bounds to zero) must reproduce the local
+    path's survivors exactly.  This is the only coverage the
+    distributed branch gets below 100k candidate pairs, and it also
+    pins the round-9 text-payload bound (LOCAL_VERIFY_MAX_DOCS): a
+    delta whose candidates touch too many docs must not collect their
+    texts driver-side."""
+    from trial_data_ingestion_spark.operators import (
+        incremental_dedup as mod,
+    )
+    corpus, batch = split
+    local = {r["doc_id"] for r in dedup_minhash_incremental(
+        spark, batch, index_path, threshold=THRESH)
+        .select("doc_id").collect()}
+
+    monkeypatch.setattr(mod, "LOCAL_VERIFY_MAX_DOCS", 0)
+    via_doc_bound = {r["doc_id"] for r in mod.dedup_minhash_incremental(
+        spark, batch, index_path, threshold=THRESH)
+        .select("doc_id").collect()}
+    assert via_doc_bound == local
+
+    monkeypatch.setattr(mod, "LOCAL_VERIFY_MAX_DOCS", 25_000)
+    monkeypatch.setattr(mod, "LOCAL_VERIFY_MAX_PAIRS", 0)
+    via_pair_bound = {r["doc_id"] for r in mod.dedup_minhash_incremental(
+        spark, batch, index_path, threshold=THRESH)
+        .select("doc_id").collect()}
+    assert via_pair_bound == local

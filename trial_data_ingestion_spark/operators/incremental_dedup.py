@@ -69,6 +69,19 @@ from trial_data_ingestion_spark.operators.pins import PinScope
 #:  corpus pairs — the distributed verify path runs unchanged.
 LOCAL_VERIFY_MAX_PAIRS = 100_000
 
+#: second bound on the local path (round 9): the pair verify collects
+#: the TEXTS of every in-pair doc, so the driver payload is bounded
+#: by doc count x doc size, not by the pair count alone — 100k pairs
+#: over 2k hot docs collect ~2 MB, but 90k pairs spread over 90k
+#: docs would pull ~100 MB of strings through the driver.  Past this
+#: many in-pair docs the distributed formulation runs instead; the
+#: decision needs only the already-collected pair rows, never the
+#: texts.  (Measured for calibration: the b09 100x tier's probe has
+#: 719k pairs over 196k docs — the PAIR bound already routes it to
+#: the distributed path; this bound covers the many-docs/few-pairs
+#: quadrant the pair bound misses.)
+LOCAL_VERIFY_MAX_DOCS = 25_000
+
 #: (normalized index path) -> params dict.  An index's hashing
 #: parameters are FIXED at build time (appends inherit them), so the
 #: params read — one whole job of scheduling latency per probe — is
@@ -365,8 +378,9 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     local zero-shuffle frame (:func:`_verify_pairs_local`, Spark's
     own shingle kernel) and the corpus-wins decision runs as
     union-find on the driver (:func:`_corpus_wins_drops`); candidate
-    sets past :data:`LOCAL_VERIFY_MAX_PAIRS` fall back to the fully
-    distributed r8 formulation.  The returned plan is the caller's
+    sets past :data:`LOCAL_VERIFY_MAX_PAIRS` — or touching more than
+    :data:`LOCAL_VERIFY_MAX_DOCS` docs (the text-payload bound) —
+    fall back to the fully distributed r8 formulation.  The returned plan is the caller's
     own input anti-joined against a LOCAL excluded-id table — it
     reads neither the index nor any cache, so every pin is released
     before return (:class:`~.pins.PinScope`) and an append can't be
@@ -461,14 +475,15 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
         # corpus ids AND their doc partitions
         pair_rows = all_cands.limit(LOCAL_VERIFY_MAX_PAIRS + 1) \
                              .collect()
-        if len(pair_rows) <= LOCAL_VERIFY_MAX_PAIRS:
+        in_pair_ids = ({r["doc_a"] for r in pair_rows}
+                       | {r["doc_b"] for r in pair_rows})
+        if (len(pair_rows) <= LOCAL_VERIFY_MAX_PAIRS
+                and len(in_pair_ids) <= LOCAL_VERIFY_MAX_DOCS):
             pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
             cand_ids = {r["doc_a"] for r in pair_rows
                         if r["dbkt_a"] is not None}
             dbkts = sorted({r["dbkt_a"] for r in pair_rows
                             if r["dbkt_a"] is not None})
-            in_pair_ids = ({a for a, _ in pairs}
-                           | {b for _, b in pairs})
             # job 5: texts of in-pair docs only — pruned corpus read
             # plus the cached batch, semi-joined against the local id
             # table
