@@ -1384,19 +1384,13 @@ def run_scale() -> None:
     # alongside to RESTORE recall at the 0.8 threshold
     # (1-(1-0.8^6)^8 = 0.91 vs the base setting's 0.88).  Measured
     # at 100x: candidates 126k (linear), steady 9.1 s vs 34 s fixed.
-    def q19_banding(factor):
-        dec = max(0, math.ceil(math.log10(factor)))
-        bands = 4 + 2 * dec
-        rows = 4 + dec
-        return bands * rows, bands
-
+    # The rule is API (dedup.auto_banding / num_hashes="auto"); the
+    # tier exercises it the way a deployment would.
     def q19_scaled(spark, sf_dir):
         from trial_data_ingestion_spark.operators import dedup
-        nh, b = q19_banding(factor)
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         out = dedup.dedup_minhash(d, "doc_id", "text", k=8,
-                                  num_hashes=nh, bands=b,
-                                  threshold=0.8)
+                                  num_hashes="auto", threshold=0.8)
         return out.select("doc_id")
 
     scaled_overrides = {"q48_embedding_dups_blocked": q48_scaled,
@@ -1520,8 +1514,6 @@ def run_profile_q19() -> None:
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
                               "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    import math
-
     from trial_data_ingestion_spark.operators import dedup
     from trial_data_ingestion_spark.session import get_spark
 
@@ -1558,8 +1550,8 @@ def run_profile_q19() -> None:
     for factor, d in dirs.items():
         docs = spark.read.parquet(f"{d}/documents.parquet")
         n_docs = docs.count()
-        dec = max(0, math.ceil(math.log10(factor)))
-        nh, b = (4 + dec) * (4 + 2 * dec), 4 + 2 * dec
+        plan = dedup.auto_banding(n_docs)
+        nh, b = plan["num_hashes"], plan["bands"]
 
         tier: dict = {"rows": n_docs}
         # fixed setting: signature + candidate evidence at every

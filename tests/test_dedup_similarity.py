@@ -436,3 +436,51 @@ def test_embedding_near_dups_auto_planes(spark):
         embedding_near_dups(emb, dim=64, num_planes=True)
     with pytest.raises(ValueError):
         embedding_near_dups(emb, dim=64, num_planes=0)
+
+
+def test_auto_banding_tracks_corpus_decades():
+    """The LSH twin of srp_auto_planes (round 9): rows_per_band +1 and
+    bands +2 per decade beyond the 10k-doc anchor, so the chance-
+    collision candidate term stays linear (measured across two decades
+    in Q19_SCALE_PROFILE.json) while recall at the threshold never
+    drops below the anchor setting's."""
+    from trial_data_ingestion_spark.operators.dedup import (
+        auto_banding, lsh_candidate_probability,
+    )
+    anchor = auto_banding(10_000)
+    assert (anchor["bands"], anchor["rows_per_band"]) == (4, 4)
+    assert auto_banding(5_000)["num_hashes"] == 16    # below anchor
+    d1 = auto_banding(50_000)
+    assert (d1["bands"], d1["rows_per_band"]) == (6, 5)
+    d2 = auto_banding(500_000)
+    assert (d2["bands"], d2["rows_per_band"]) == (8, 6)
+    base_recall = lsh_candidate_probability(0.8, 4, 4)
+    for plan in (d1, d2):
+        # steeper rows kill chance collisions; extra bands must keep
+        # recall at the 0.8 threshold AT LEAST the anchor's
+        assert plan["recall"] >= base_recall
+        # the S-curve midpoint stays near the anchor's (0.707) — the
+        # two knobs move together so the curve STEEPENS in place
+        assert 0.65 < plan["midpoint"] < 0.8
+    import pytest
+    with pytest.raises(ValueError):
+        auto_banding(-1)
+
+
+def test_dedup_minhash_auto_matches_explicit(spark, sf_dir):
+    """num_hashes="auto" below the anchor resolves to the anchor
+    banding — survivors must equal the explicit (16, 4) run; a
+    non-int non-auto setting raises."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.dedup import dedup_minhash
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    explicit = {r["doc_id"] for r in dedup_minhash(
+        docs_df, "doc_id", "text", k=8, num_hashes=16, bands=4,
+        threshold=0.8).select("doc_id").collect()}
+    auto = {r["doc_id"] for r in dedup_minhash(
+        docs_df, "doc_id", "text", k=8, num_hashes="auto",
+        threshold=0.8).select("doc_id").collect()}
+    assert auto == explicit
+    with pytest.raises(ValueError):
+        dedup_minhash(docs_df, "doc_id", "text", num_hashes=1.5)
