@@ -691,9 +691,20 @@ TOTAL_REGRESSION_FACTOR = 1.3
 
 # --- machine-noise calibration (round 9) --------------------------------
 #: rows of the fixed synthetic CPU-bound calibration workload; sized so
-#: the entry lands ~0.5-1.0 s on the reference machine — long enough to
+#: the entry lands ~0.8 s on the reference machine — long enough to
 #: swamp scheduling jitter, short enough to not tax the suite
-CALIBRATION_ROWS = 512_000_000
+CALIBRATION_ROWS = 1_024_000_000
+#: tasks: 4x the core count, so one straggler costs 1/128th of the
+#: wall instead of extending it (32 tasks on 32 threads measured ~18%
+#: cross-session spread; 128 tasks ~9%)
+CALIBRATION_TASKS = 128
+#: bump when the calibration WORKLOAD changes: the yardstick's scale
+#: changes with it, so the gates must never normalize a v-N value by
+#: a v-M record (a 512M-row v1 value against a 1024M-row v2 record
+#: would read as a 1.7x machine-speed shift and relax every gate to
+#: the clamp).  Records carry calibration_version; the loader drops
+#: calibrations whose version differs from the running one.
+CALIBRATION_VERSION = 2
 #: clamp on the calibration normalization factor applied to best-known
 #: times: a slow-machine run may relax the gate at most 1.5x; a
 #: fast-looking calibration sample may tighten it at most to 0.9x (so a
@@ -705,15 +716,23 @@ def _calibration_sec(spark) -> float:
     """Fixed synthetic CPU-bound entry: hash-and-count over a range,
     32 partitions, no IO, no shuffle beyond the final partial-agg
     gather — measures raw machine throughput under the same JVM the
-    bench entries run in.  Median of 3 after one warm-up pass."""
+    bench entries run in.  MIN of 5 after two warm-up passes: the
+    minimum estimates machine capacity, and a genuinely loaded
+    machine — the condition the yardstick exists to detect —
+    inflates every sample, minimum included.  Measured cross-session
+    spread ~9% (vs ~18% with 32 tasks / 3-sample median); the
+    CAL_NORM_BOUNDS clamp plus the 2x gate factor absorb the
+    residue."""
     def one() -> float:
         t0 = time.perf_counter()
-        spark.range(0, CALIBRATION_ROWS, 1, 32).selectExpr(
+        spark.range(0, CALIBRATION_ROWS, 1,
+                    CALIBRATION_TASKS).selectExpr(
             "count_if(pmod(xxhash64(id), 97) = 0) AS n").collect()
         return time.perf_counter() - t0
 
     one()
-    return round(statistics.median(one() for _ in range(3)), 3)
+    one()
+    return round(min(one() for _ in range(5)), 3)
 
 
 def _cal_norm(cal_now: float | None, cal_base: float | None) -> float:
@@ -863,7 +882,9 @@ def _load_rolling_baseline(here: str | None = None,
         calibration: float | None = None
         if isinstance(parsed, dict) and parsed.get("queries"):
             queries = parsed["queries"]
-            if parsed.get("calibration_sec"):
+            if (parsed.get("calibration_sec")
+                    and parsed.get("calibration_version")
+                    == CALIBRATION_VERSION):
                 calibration = float(parsed["calibration_sec"])
         else:
             queries = _recover_from_tail(doc.get("tail") or "")
@@ -986,6 +1007,7 @@ def main() -> None:
         "unit": "sec",
         "queries": steady,
         "calibration_sec": calibration,
+        "calibration_version": CALIBRATION_VERSION,
         "steady_passes": STEADY_PASSES,
         "cold_total_sec": round(sum(cold.values()), 3),
         "queries_cold": cold,

@@ -210,10 +210,18 @@ def test_baseline_loader_tracks_calibration(tmp_path):
     (tmp_path / "BENCH_r01.json").write_text(json.dumps(
         {"parsed": {"queries": {"q": 1.0, "r": 0.5}}}))
     (tmp_path / "BENCH_LOCAL_r02.json").write_text(json.dumps(
-        {"queries": {"q": 0.9, "r": 0.8}, "calibration_sec": 0.7}))
+        {"queries": {"q": 0.9, "r": 0.8}, "calibration_sec": 0.7,
+         "calibration_version": bench.CALIBRATION_VERSION}))
+    # an old-protocol calibration must be DROPPED, not rescaled: the
+    # workload changed, so its value is on a different scale
+    (tmp_path / "BENCH_LOCAL_r03.json").write_text(json.dumps(
+        {"queries": {"s": 0.4}, "calibration_sec": 0.5,
+         "calibration_version": bench.CALIBRATION_VERSION - 1}))
     best, best_cal, rounds = bench._load_rolling_baseline(
         here=str(tmp_path))
-    assert best == {"q": 0.9, "r": 0.5}
+    assert best == {"q": 0.9, "r": 0.5, "s": 0.4}
     assert best_cal["q"] == 0.7      # r02 set q's best and has cal
     assert best_cal["r"] is None     # r01 set r's best, pre-cal record
-    assert set(rounds) == {"BENCH_r01.json", "BENCH_LOCAL_r02.json"}
+    assert best_cal["s"] is None     # r03's cal is old-protocol
+    assert set(rounds) == {"BENCH_r01.json", "BENCH_LOCAL_r02.json",
+                           "BENCH_LOCAL_r03.json"}
