@@ -973,6 +973,16 @@ def main() -> None:
     steady = {n: round(statistics.median(s), 3)
               for n, s in samples.items()}
 
+    # second calibration sample AFTER the steady passes: load arriving
+    # mid-suite inflates the steady medians but not a start-only
+    # yardstick (false REGRESSION flags), while startup-only load
+    # would relax every gate by up to the clamp.  The gates normalize
+    # by min(start, end) — machine capacity — and the record carries
+    # both so forensics can tell start-of-run load from mid-run load.
+    calibration_start = calibration
+    calibration_end = _calibration_sec(spark)
+    calibration = min(calibration_start, calibration_end)
+
     baseline, baseline_cal, baseline_rounds = _load_rolling_baseline()
     regressions: dict = {}
     total_regression: dict = {}
@@ -1007,6 +1017,8 @@ def main() -> None:
         "unit": "sec",
         "queries": steady,
         "calibration_sec": calibration,
+        "calibration_start_sec": calibration_start,
+        "calibration_end_sec": calibration_end,
         "calibration_version": CALIBRATION_VERSION,
         "steady_passes": STEADY_PASSES,
         "cold_total_sec": round(sum(cold.values()), 3),
@@ -1043,7 +1055,38 @@ def main() -> None:
             json.dump(out, f, indent=2)
             f.write("\n")
         print(f"wrote {local_path}", file=sys.stderr)
-    print(json.dumps(out))
+    # The driver keeps only a 2000-char TAIL of stdout; the full
+    # record (~4 KB with cold passes and gate details) truncates and
+    # records "parsed": null (rounds 5 and 9).  Emit a COMPACT record
+    # as the one stdout JSON line — steady queries + calibration, the
+    # exact fields the rolling-baseline loader consumes — sized to fit
+    # the tail whole; the full record lives in BENCH_LOCAL_r{NN}.json.
+    # Key order matters to the salvage path: "queries" precede the
+    # "steady_passes" fence so a front-truncated tail still yields
+    # steady entries to _recover_from_tail.
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "calibration_sec": calibration,
+        "calibration_start_sec": calibration_start,
+        "calibration_end_sec": calibration_end,
+        "calibration_version": CALIBRATION_VERSION,
+        "queries": steady,
+        "steady_passes": STEADY_PASSES,
+        "cold_total_sec": out["cold_total_sec"],
+        "n_regressions_vs_best": len(regressions),
+        "total_regression_vs_best": total_regression,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        # stay parseable even if the suite grows: drop per-query
+        # detail before overflowing the driver's tail window
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_LOCAL record (line overflow)"
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 # ===========================================================================
@@ -1162,7 +1205,20 @@ def _rot_tables(factor: int) -> list:
     and every shingle-set Jaccard is preserved EXACTLY, while two
     different permutations agree on ~1 letter in 26, so ACROSS
     replicas no q-gram (and no 8-char shingle) survives — candidate
-    volume cannot grow for data reasons."""
+    volume cannot grow for data reasons.
+
+    SCOPE: the permutation covers ASCII a-z/A-Z/0-9 only.
+    Whitespace, punctuation, and non-ASCII letters pass through
+    identically in every replica, so the no-shared-cross-replica-gram
+    invariant holds only for corpora whose q-length windows are
+    dominated by ASCII alphanumerics (true of the English testdata
+    corpus — pinned empirically by test_scale_generator.py's
+    test_rot_cross_replica_windows_are_far).  A punctuation-heavy or
+    CJK corpus would need the
+    table extended to the characters actually observed (permute every
+    codepoint above a frequency floor); left unextended here because
+    the generator's ONLY consumer is the scale tier over the English
+    sf corpus."""
     import random
     import string
 
@@ -1545,8 +1601,25 @@ def run_profile_q19() -> None:
     dirs = {1: base_dir}
     for factor in sorted(SCALE_TIERS):
         d = f"/tmp/spark_graft_scale/x{factor}"
-        if os.path.exists(os.path.join(d, "_SCALE_OK.json")):
+        marker = os.path.join(d, "_SCALE_OK.json")
+        if not os.path.exists(marker):
+            continue
+        # same freshness contract as make_scaled_dir: a stale corpus
+        # from an older generator (or wrong factor) must not feed the
+        # published profile numbers
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (meta.get("factor") == factor
+                and meta.get("gen") == SCALE_GEN_VERSION):
             dirs[factor] = d
+        else:
+            print(f"profile-q19: skipping stale tier dir {d} "
+                  f"(gen {meta.get('gen')} != {SCALE_GEN_VERSION} "
+                  f"or factor {meta.get('factor')} != {factor})",
+                  file=sys.stderr)
 
     def timed(fn) -> float:
         fn()

@@ -467,6 +467,45 @@ def test_auto_banding_tracks_corpus_decades():
         auto_banding(-1)
 
 
+def test_auto_banding_holds_recall_at_callers_threshold():
+    """ADVICE r9: the +2-bands/+1-row schedule restores recall only
+    near 0.8 — at threshold 0.7 recall dropped 0.67 -> 0.63 across two
+    decades and at 0.5 it halved (0.23 -> 0.12), so
+    num_hashes='auto' with a shallow threshold silently KEPT most true
+    duplicates.  The floor must hold at the CALLER'S threshold: bands
+    grow beyond the schedule until the S-curve at that threshold is
+    back to at least the anchor setting's recall there."""
+    import pytest
+
+    from trial_data_ingestion_spark.operators.dedup import (
+        auto_banding, lsh_candidate_probability,
+    )
+    for threshold in (0.5, 0.6, 0.7, 0.8, 0.9):
+        anchor_recall = lsh_candidate_probability(threshold, 4, 4)
+        for n_docs in (10_000, 50_000, 500_000, 5_000_000):
+            plan = auto_banding(n_docs, threshold=threshold)
+            assert plan["recall"] >= anchor_recall, (threshold, n_docs)
+            # the selectivity schedule is a floor, never undone
+            assert plan["rows_per_band"] >= 4
+            assert plan["bands"] >= 4
+    # the 0.8 graded/measured settings are unchanged by the floor
+    assert (auto_banding(500_000, 0.8)["bands"],
+            auto_banding(500_000, 0.8)["rows_per_band"]) == (8, 6)
+    # shallow threshold two decades out: bands grow past the schedule
+    p5 = auto_banding(500_000, threshold=0.5)
+    assert p5["bands"] > 8
+    # budget cap: an impossible (threshold, corpus) combination warns
+    # and reports the achieved recall instead of growing bands without
+    # bound (the cap bounds the recall-restoring growth; the
+    # selectivity schedule itself is never undone)
+    with pytest.warns(UserWarning, match="max_hashes"):
+        capped = auto_banding(500_000, threshold=0.2, max_hashes=64)
+    assert capped["num_hashes"] <= 64
+    assert capped["recall"] < lsh_candidate_probability(0.2, 4, 4)
+    with pytest.raises(ValueError):
+        auto_banding(10_000, threshold=1.5)
+
+
 def test_dedup_minhash_auto_matches_explicit(spark, sf_dir):
     """num_hashes="auto" below the anchor resolves to the anchor
     banding — survivors must equal the explicit (16, 4) run; a

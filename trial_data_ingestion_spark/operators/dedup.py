@@ -235,7 +235,8 @@ AUTO_BANDING_ANCHOR_DOCS = 10_000
 
 
 def auto_banding(n_docs: int, threshold: float = 0.8,
-                 base_bands: int = 4, base_rows: int = 4) -> dict:
+                 base_bands: int = 4, base_rows: int = 4,
+                 max_hashes: int = 512) -> dict:
     """Deployment banding for a corpus of ``n_docs``: the LSH twin of
     ``similarity.srp_auto_planes`` and the fuzzy join's gram-length
     rule — selectivity must track log(corpus).
@@ -248,31 +249,60 @@ def auto_banding(n_docs: int, threshold: float = 0.8,
     by the exact-Jaccard verify.  The cure steepens the S-curve:
     ``rows_per_band`` +1 per decade beyond the anchor multiplies the
     per-band chance-collision probability by roughly the corpus's
-    min-hash collision rate (<< 1/10), outrunning the decade's 10x;
-    ``bands`` +2 per decade RESTORES recall at the threshold (at 0.8:
-    0.88 at (4,4) -> 0.91 at (6,5) -> 0.91 at (8,6)).  Measured at
-    100x rows: candidates linear (126k), steady wall 9.1 s vs 34 s
-    fixed.
+    min-hash collision rate (<< 1/10), outrunning the decade's 10x.
+
+    ``bands`` then RESTORES recall **at the caller's threshold**: it
+    starts from the +2-per-decade schedule and grows until the
+    S-curve's candidate probability at ``threshold`` is back to at
+    least the anchor setting's at that same threshold — a floor in
+    ``threshold``, not just at the 0.8 the schedule was tuned on.
+    (At 0.8 the floor is already met by the schedule: 0.88 at (4,4)
+    -> 0.91 at (6,5) -> 0.91 at (8,6), the graded/measured settings.
+    At 0.7 two decades out the schedule alone would DROP recall
+    0.67 -> 0.63 and at 0.5 halve it 0.23 -> 0.12 — silently keeping
+    most true duplicates; the floor grows bands to 9 and 17 instead.)
+    A shallow threshold on a huge corpus may need more bands than
+    ``max_hashes`` admits; the plan is then capped and a
+    ``UserWarning`` reports the achieved recall — the caller's cue to
+    raise the hash budget or re-think the threshold.
+
+    Measured at 100x rows (threshold 0.8): candidates linear (126k),
+    steady wall 9.1 s vs 34 s fixed.
 
     Returns ``{bands, rows_per_band, num_hashes, midpoint, recall}``
     ready to feed :func:`dedup_minhash` /
     :func:`minhash_lsh_candidates`; ``midpoint`` is the S-curve's
-    half-probability similarity (stays within a few percent of the
-    anchor setting's as both knobs move together), ``recall`` the
-    candidate probability at exactly ``threshold``."""
+    half-probability similarity, ``recall`` the candidate probability
+    at exactly ``threshold`` (>= the anchor's unless capped)."""
     import math
+    import warnings
     if n_docs < 0:
         raise ValueError("n_docs must be non-negative")
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
     decades = max(0, math.ceil(math.log10(
         max(n_docs, 1) / AUTO_BANDING_ANCHOR_DOCS)))
-    bands = base_bands + 2 * decades
     rows = base_rows + decades
+    anchor_recall = lsh_candidate_probability(threshold, base_bands,
+                                              base_rows)
+    bands = base_bands + 2 * decades
+    while (lsh_candidate_probability(threshold, bands, rows)
+           < anchor_recall and (bands + 1) * rows <= max_hashes):
+        bands += 1
+    recall = lsh_candidate_probability(threshold, bands, rows)
+    if recall < anchor_recall:
+        warnings.warn(
+            f"auto_banding: hash budget max_hashes={max_hashes} caps "
+            f"bands at {bands} (rows_per_band={rows}); recall at "
+            f"threshold {threshold} is {recall:.3f} < the anchor "
+            f"setting's {anchor_recall:.3f} — raise max_hashes or "
+            f"the threshold", UserWarning, stacklevel=2)
     return {
         "bands": bands,
         "rows_per_band": rows,
         "num_hashes": bands * rows,
         "midpoint": (1.0 / bands) ** (1.0 / rows),
-        "recall": lsh_candidate_probability(threshold, bands, rows),
+        "recall": recall,
     }
 
 

@@ -61,7 +61,7 @@ def drain(query, n_data_batches: int = 1, timeout: float = 180.0,
     # a FAILED query makes awaitTermination itself raise
     # StreamingQueryException — normalize both failure surfaces to
     # the documented RuntimeError
-    from pyspark.errors.exceptions.base import StreamingQueryException
+    from pyspark.errors import StreamingQueryException
     try:
         query.awaitTermination(60)
     except StreamingQueryException as e:
