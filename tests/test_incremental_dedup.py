@@ -441,3 +441,56 @@ def test_distributed_fallback_matches_local_decision(spark, docs, split,
         spark, batch, index_path, threshold=THRESH)
         .select("doc_id").collect()}
     assert via_pair_bound == local
+
+
+def test_index_auto_banding_and_append_guard(spark, docs, split,
+                                             tmp_path):
+    """r9 verdict item 4 (index-side auto-banding): a base build with
+    num_hashes='auto' sizes the banding from the corpus via
+    auto_banding at the caller's threshold, records it in params/, and
+    probes inherit it — survivors still match the full-corpus dedup at
+    the matching setting.  Appends must validate against the stored
+    params: an append with mismatched banding would silently corrupt
+    every later probe, so it raises instead; 'auto' on an append is
+    rejected outright (a delta's count is not the corpus's)."""
+    from trial_data_ingestion_spark.operators.dedup import auto_banding
+
+    corpus, batch = split
+    path = str(tmp_path / "idx_auto")
+    write_minhash_index(corpus, path, num_hashes="auto",
+                        threshold=THRESH, num_buckets=16)
+    plan = auto_banding(corpus.count(), THRESH)
+    p = read_minhash_params(spark, path)
+    assert (p["num_hashes"], p["bands"]) == (plan["num_hashes"],
+                                             plan["bands"])
+    # the probe inherits the stored banding and the decision matches
+    # the batch operator run at the SAME banding (corpus-wins rule,
+    # same id layout as test_incremental_matches_full_corpus_dedup)
+    full = dedup_minhash(docs, "doc_id", "text",
+                         num_hashes=p["num_hashes"], bands=p["bands"],
+                         threshold=THRESH)
+    want = {r["doc_id"] for r in
+            full.where(F.col("doc_id") >= 300).select("doc_id").collect()}
+    got = {r["doc_id"] for r in
+           dedup_minhash_incremental(spark, batch, path,
+                                     threshold=THRESH)
+           .select("doc_id").collect()}
+    assert got == want
+    # append guard: mismatched banding raises before touching disk
+    with pytest.raises(ValueError, match="stored params"):
+        write_minhash_index(batch, path, num_hashes=64, bands=8,
+                            num_buckets=16, mode="append",
+                            delta_id="d-bad")
+    with pytest.raises(ValueError, match="base builds"):
+        write_minhash_index(batch, path, num_hashes="auto",
+                            mode="append", delta_id="d-bad2")
+    # a matching append still works
+    write_minhash_index(batch, path, k=p["k"],
+                        num_hashes=p["num_hashes"], bands=p["bands"],
+                        num_buckets=p["num_buckets"], mode="append",
+                        delta_id="d-ok")
+    assert dedup_minhash_incremental(spark, batch, path,
+                                     threshold=THRESH).count() == 0
+    with pytest.raises(ValueError, match="int or 'auto'"):
+        write_minhash_index(batch, str(tmp_path / "idx_bad"),
+                            num_hashes=True)

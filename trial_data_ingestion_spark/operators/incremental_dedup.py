@@ -117,10 +117,11 @@ def _pbkt(num_buckets: int):
 
 def write_minhash_index(df: DataFrame, path: str,
                         id_col: str = "doc_id", text_col: str = "text",
-                        k: int = 8, num_hashes: int = 32,
+                        k: int = 8, num_hashes: int | str = 32,
                         bands: int = 8, num_buckets: int = 64,
                         mode: str = "overwrite",
-                        delta_id: str | None = None) -> None:
+                        delta_id: str | None = None,
+                        threshold: float = 0.8) -> None:
     """Persist the banded-signature store for ``df`` (one shuffle —
     the signature groupBy; the band fan-out and partitioned write are
     narrow).  ``mode='append'`` extends an existing index (the layout
@@ -137,11 +138,49 @@ def write_minhash_index(df: DataFrame, path: str,
     Without ``delta_id`` an append gets a random delta and is
     at-most-once: DON'T retry it.  Probes are delta-agnostic (the
     ``pbkt``/``dbkt`` pruning columns are below ``delta``), and an
-    empty retried delta correctly ends up empty on disk."""
+    empty retried delta correctly ends up empty on disk.
+
+    ``num_hashes="auto"`` (base builds only) sizes the banding from a
+    ``count()`` of ``df`` via :func:`dedup.auto_banding` at
+    ``threshold`` — the corpus-tracking setting that keeps the
+    PROBE's chance-collision candidate term linear as the indexed
+    corpus grows (the index-side twin of
+    ``dedup_minhash(num_hashes='auto')``; b09's 100x wall exponent
+    was 0.64 with fixed banding because probe candidates inherit the
+    band-collision birthday term).  ``bands`` is then ignored and the
+    chosen pair lands in ``params/`` for every later probe/append.
+    An APPEND always validates (k, num_hashes, bands, num_buckets)
+    against the stored params and raises on mismatch — appending
+    bands keyed differently from the stored corpus would silently
+    corrupt every later probe."""
     from trial_data_ingestion_spark.operators.sketches import (
         check_partition_value, delete_path,
     )
     spark = df.sparkSession
+    if num_hashes == "auto":
+        if mode == "append":
+            raise ValueError(
+                "num_hashes='auto' is for base builds; appends "
+                "inherit the index's stored banding — pass the "
+                "params/ values (or omit to use the defaults and "
+                "let the validation below catch a mismatch)")
+        from trial_data_ingestion_spark.operators.dedup import (
+            auto_banding,
+        )
+        plan = auto_banding(df.count(), threshold)
+        num_hashes, bands = plan["num_hashes"], plan["bands"]
+    elif not isinstance(num_hashes, int) or isinstance(num_hashes, bool):
+        raise ValueError("num_hashes must be an int or 'auto'")
+    if mode == "append":
+        stored = _cached_params(spark, path)
+        got = {"k": k, "num_hashes": num_hashes, "bands": bands,
+               "num_buckets": num_buckets}
+        if got != stored:
+            raise ValueError(
+                f"append banding {got} does not match the index's "
+                f"stored params {stored}; an append must use the "
+                f"base build's banding or every later probe reads "
+                f"corrupt buckets")
     if mode == "append":
         if delta_id is None:
             import uuid
