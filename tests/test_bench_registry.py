@@ -137,9 +137,11 @@ def test_scale_marginal_decade_gate():
     # (n*k + n^2/k minimized at k ~ sqrt(n)) — SemDeDup's shape is
     # inherently superlinear without approximate assignment (the
     # paper runs it on GPUs).  The record's scale_knobs entry names
-    # the linear alternative for the same semantics: SRP blocking
-    # (q48, measured linear here).  b13 stays under the CUMULATIVE
-    # 120x gate, asserted in test_scale_record_gates.
+    # the alternatives for the same semantics: single-table SRP with
+    # the recall trade (q48, measured linear here) and recall-held
+    # multi-table SRP (semantic_dedup_blocked, the classic LSH
+    # n^(1+rho) — sub-quadratic, not linear).  b13 stays under the
+    # CUMULATIVE 120x gate, asserted in test_scale_record_gates.
     exempt = {"b13_semantic_dedup"}
     over = {}
     for name in both:

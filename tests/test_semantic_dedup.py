@@ -252,3 +252,98 @@ def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
         .executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert "Scan ExistingRDD" not in plan, plan[:1500]
+
+
+def test_srp_recall_planning_math():
+    """srp_pair_recall is the Goemans-Williamson collision curve; the
+    table planner inverts it to a target recall — the SRP twin of
+    dedup.lsh_plan (r10: these numbers back semantic_dedup_blocked's
+    'auto' knobs)."""
+    import math
+
+    import pytest
+
+    from trial_data_ingestion_spark.operators.similarity import (
+        srp_pair_recall, srp_tables_for_recall,
+    )
+    # the multitable docstring's worked example: cosine 0.9, p=8
+    theta = math.acos(0.9)
+    p1 = (1 - theta / math.pi) ** 8
+    assert abs(srp_pair_recall(0.9, 8) - p1) < 1e-12
+    assert abs(srp_pair_recall(0.9, 8, 4)
+               - (1 - (1 - p1) ** 4)) < 1e-12
+    assert 0.28 < p1 < 0.30
+    L = srp_tables_for_recall(0.9, 8, target=0.95)
+    assert srp_pair_recall(0.9, 8, L) >= 0.95
+    assert srp_pair_recall(0.9, 8, L - 1) < 0.95   # smallest such L
+    # identical vectors collide in every table
+    assert srp_pair_recall(1.0, 64, 1) == 1.0
+    assert srp_tables_for_recall(1.0, 64) == 1
+    # unreachable target under the cap warns and returns the cap
+    with pytest.warns(UserWarning, match="tables reach only"):
+        capped = srp_tables_for_recall(0.5, 24, target=0.95,
+                                       max_tables=8)
+    assert capped == 8
+    with pytest.raises(ValueError):
+        srp_tables_for_recall(0.9, 8, target=1.5)
+
+
+def test_semantic_dedup_blocked_on_planted_dups(spark):
+    """The linear-path operator must reproduce the GLOBAL exact
+    graph's removal set in the paper's operating regime (tight dup
+    groups, cosine >= ~0.995): with auto planes and recall-planned
+    tables every planted pair is found (deterministic here — planes
+    are md5-derived, data is seeded).  keep='best' elects by score;
+    'farthest' has no cells to be far from and is rejected."""
+    import numpy as np
+    import pytest
+
+    from trial_data_ingestion_spark.operators.dedup import (
+        connected_components_min_label,
+    )
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup_blocked,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_exact,
+    )
+    rng = np.random.default_rng(11)
+    dim, n_groups, copies = 16, 8, 3
+    bases = rng.normal(size=(n_groups, dim))
+    bases /= np.linalg.norm(bases, axis=1, keepdims=True)
+    rows = []
+    for g in range(n_groups):
+        for c in range(copies):
+            v = bases[g] + rng.normal(scale=0.01, size=dim)
+            rows.append((g * 10 + c, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<float>")
+    eps = 0.98
+    gpairs = embedding_near_dups_exact(emb, threshold=eps, dim=dim) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    want_drop = {r["doc"] for r in
+                 connected_components_min_label(gpairs).collect()
+                 if r["doc"] != r["label"]}
+    assert len(want_drop) == n_groups * (copies - 1)
+    kept = {r["vec_id"] for r in
+            semantic_dedup_blocked(emb, dim=dim, eps=eps,
+                                   target_recall=0.999).collect()}
+    assert kept == {r[0] for r in rows} - want_drop
+    # score election: the HIGHEST id in each group carries the best
+    # score, so min-id never survives a group
+    from pyspark.sql import functions as F
+    scored = emb.withColumn("q", F.col("vec_id").cast("double"))
+    kept_best = {r["vec_id"] for r in
+                 semantic_dedup_blocked(scored, dim=dim, eps=eps,
+                                        target_recall=0.999,
+                                        keep="best",
+                                        score_col="q").collect()}
+    assert kept_best == {g * 10 + (copies - 1) for g in range(n_groups)}
+    with pytest.raises(ValueError):
+        semantic_dedup_blocked(emb, dim=dim, keep="farthest")
+    with pytest.raises(ValueError):
+        semantic_dedup_blocked(emb, dim=dim, keep="best")
+    with pytest.raises(ValueError):
+        semantic_dedup_blocked(emb, dim=dim, num_tables=0)
+    with pytest.raises(ValueError):
+        semantic_dedup_blocked(emb, dim=dim, num_tables=True)

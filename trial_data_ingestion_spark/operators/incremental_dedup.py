@@ -172,6 +172,10 @@ def write_minhash_index(df: DataFrame, path: str,
     elif not isinstance(num_hashes, int) or isinstance(num_hashes, bool):
         raise ValueError("num_hashes must be an int or 'auto'")
     if mode == "append":
+        if delta_id is None:
+            import uuid
+            delta_id = "d-" + uuid.uuid4().hex[:12]
+        check_partition_value(delta_id, what="delta_id")
         stored = _cached_params(spark, path)
         got = {"k": k, "num_hashes": num_hashes, "bands": bands,
                "num_buckets": num_buckets}
@@ -181,11 +185,6 @@ def write_minhash_index(df: DataFrame, path: str,
                 f"stored params {stored}; an append must use the "
                 f"base build's banding or every later probe reads "
                 f"corrupt buckets")
-    if mode == "append":
-        if delta_id is None:
-            import uuid
-            delta_id = "d-" + uuid.uuid4().hex[:12]
-        check_partition_value(delta_id, what="delta_id")
         delete_path(spark, f"{path}/bands/delta={delta_id}")
         delete_path(spark, f"{path}/docs/delta={delta_id}")
     else:

@@ -235,3 +235,77 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
                              "left_anti")
                  .select(id_col))
     return embeddings.join(drops, id_col, "left_anti")
+
+
+def semantic_dedup_blocked(embeddings: DataFrame, dim: int,
+                           eps: float = 0.9,
+                           num_planes: int | str = "auto",
+                           num_tables: int | str = "auto",
+                           target_recall: float = 0.95,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding",
+                           keep: str = "min_id",
+                           score_col: str | None = None) -> DataFrame:
+    """:func:`semantic_dedup` semantics (drop epsilon-connected
+    cosine duplicates, one representative per group) with MULTI-TABLE
+    SRP blocking instead of centroid cells — the sub-quadratic path
+    at corpus scale.
+
+    Why it exists: the centroid-cell shape is inherently superlinear
+    — bounding the per-cell exact-pair term n²/cells needs
+    cells ~ n, which makes the broadcast-argmin assignment n·cells =
+    n², and ANY exact assignment with balanced cells is >= n^1.5
+    (n·k + n²/k minimized at k ~ sqrt(n)); the SemDeDup paper pays
+    that term on GPUs.  SRP blocking is data-independent, so recall
+    at a HIGH eps needs amplification: ``num_tables="auto"`` sizes
+    the table count from :func:`similarity.srp_tables_for_recall` so
+    the union recall at exactly ``eps`` reaches ``target_recall``
+    (pairs above eps are found with higher probability still).
+    ``num_planes="auto"`` keeps bucket occupancy constant per
+    :func:`similarity.srp_auto_planes`, so PER-TABLE candidate
+    volume stays linear in n.
+
+    Cost law, stated precisely: with occupancy-pinned planes the
+    single-table recall at eps decays as planes grow, so holding
+    ``target_recall`` makes the table count grow too — total cost is
+    the classic LSH n^(1+rho), rho < 1, NOT linear (only the
+    fixed-recall-trade single-table path, ``embedding_near_dups``
+    with planes="auto" — the q48 scale-tier entry — is measured
+    linear).  Either way the curve sits below the cell shape's
+    exact-assignment n^1.5-to-n^2, and the knobs are explicit where
+    the cell path's cost cliff is structural.
+
+    Representative rules: ``min_id`` (default) or ``keep="best"``
+    with a ``score_col`` — ``farthest`` needs cell centroids and has
+    no meaning here."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_multitable, resolve_num_planes,
+        srp_tables_for_recall,
+    )
+    if keep not in ("min_id", "best"):
+        raise ValueError(f"keep must be min_id|best, got {keep!r}")
+    if keep == "best" and score_col is None:
+        raise ValueError("keep='best' requires score_col")
+    num_planes = resolve_num_planes(num_planes,
+                                    lambda: embeddings.count())
+    if num_tables == "auto":
+        num_tables = srp_tables_for_recall(eps, num_planes,
+                                           target=target_recall)
+    elif (isinstance(num_tables, bool)
+          or not isinstance(num_tables, int) or num_tables < 1):
+        raise ValueError(f"num_tables must be a positive int or "
+                         f"'auto', got {num_tables!r}")
+    pairs = embedding_near_dups_multitable(
+        embeddings, dim, id_col, vec_col, threshold=eps,
+        num_planes=num_planes, num_tables=num_tables) \
+        .select("doc_a", "doc_b").localCheckpoint()
+    if keep == "best":
+        from trial_data_ingestion_spark.operators.dedup import (
+            keep_best_per_cluster,
+        )
+        return keep_best_per_cluster(embeddings, pairs, id_col,
+                                     score_col)
+    labels = connected_components_min_label(pairs)
+    drops = (labels.where(F.col("label") != F.col("doc"))
+             .select(F.col("doc").alias(id_col)))
+    return embeddings.join(drops, id_col, "left_anti")

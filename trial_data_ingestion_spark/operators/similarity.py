@@ -436,6 +436,55 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     )
 
 
+def srp_pair_recall(cos: float, num_planes: int,
+                    num_tables: int = 1) -> float:
+    """P(a pair at cosine ``cos`` collides in at least one of
+    ``num_tables`` independent SRP tables of ``num_planes`` planes)
+    — the SRP twin of ``dedup.lsh_candidate_probability``.  Per
+    Goemans-Williamson, one plane separates the pair with probability
+    θ/π (θ = the pair's angle), so one table finds it with
+    ``(1 - θ/π)^p`` and L tables miss it with the L-th power of the
+    single-table miss.  Driver-side arithmetic for planning and
+    tests."""
+    import math
+    theta = math.acos(max(-1.0, min(1.0, cos)))
+    p1 = (1.0 - theta / math.pi) ** num_planes
+    return 1.0 - (1.0 - p1) ** num_tables
+
+
+def srp_tables_for_recall(cos: float, num_planes: int,
+                          target: float = 0.95,
+                          max_tables: int = 64) -> int:
+    """Smallest table count whose union recall at cosine ``cos``
+    reaches ``target`` given ``num_planes`` planes per table — the
+    (p, L) planning rule :func:`embedding_near_dups_multitable`'s
+    docstring describes, as code.  Capped at ``max_tables`` with a
+    ``UserWarning`` reporting the achieved recall (a steep plane
+    count at a shallow cosine can make the target unreachable —
+    lower ``num_planes`` or the target)."""
+    import math
+    import warnings
+    if not 0.0 < target < 1.0:
+        raise ValueError("target must be in (0, 1)")
+    p1 = srp_pair_recall(cos, num_planes, 1)
+    if p1 >= 1.0:
+        return 1
+    if p1 <= 0.0:
+        tables = max_tables
+    else:
+        tables = min(max_tables,
+                     max(1, math.ceil(math.log(1.0 - target)
+                                      / math.log(1.0 - p1))))
+    got = srp_pair_recall(cos, num_planes, tables)
+    if got < target:
+        warnings.warn(
+            f"srp_tables_for_recall: {max_tables} tables reach only "
+            f"{got:.3f} recall at cosine {cos} with {num_planes} "
+            f"planes (target {target}) — lower num_planes or the "
+            f"target", UserWarning, stacklevel=2)
+    return tables
+
+
 def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding",
