@@ -507,12 +507,21 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
     ``num_planes="auto"`` sizes the per-table plane count from a
     count() of the corpus (:func:`resolve_num_planes`).
 
-    Scale shape: ONE pass computes all L bucket ids per vector
-    (codegen'd literal-plane expressions), ``posexplode`` fans each
-    vector into L (table, bucket) rows, and the self-join key is the
-    composite (table, bucket) — still a plain shuffle join, never
-    all-pairs.  Pairs colliding in several tables are deduplicated
-    BEFORE the exact rescore so each candidate is scored once."""
+    Scale shape (r10, same as the single-table path): ONE pass
+    computes all L bucket ids per vector (codegen'd literal-plane
+    expressions), ``posexplode`` fans each vector into L
+    (table, bucket) rows, ONE groupBy((table, bucket)) shuffle
+    collects bucket members, and in-bucket (i < j) pairs explode
+    from the collected array — never a self-join (which scans and
+    hashes the source twice; measured 2.4x slower on the
+    single-table path in round 6, and ~2x here).  Scoring runs
+    BEFORE the cross-table pair dedup, on purpose: a pair colliding
+    in several tables is scored once per collision (the dim-term dot
+    is a few hundred codegen'd flops), but deduplicating first would
+    shuffle the full vectors (KBs/row at real dims) where
+    deduplicating scored pairs shuffles 3 scalars/row — at 100 TB
+    the shuffle bytes dominate the duplicate flops by orders of
+    magnitude."""
     num_planes = resolve_num_planes(num_planes,
                                     lambda: embeddings.count())
     buckets = [srp_bucket(vec_col, dim, num_planes,
@@ -528,21 +537,22 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
         F.posexplode(F.array(*[F.col(f"__b{t}")
                                for t in range(num_tables)]))
          .alias("tbl", "bucket"))
-    a, b = tagged.alias("a"), tagged.alias("b")
-    cand = (
-        a.join(b, on=[F.col("a.tbl") == F.col("b.tbl"),
-                      F.col("a.bucket") == F.col("b.bucket"),
-                      F.col("a.doc") < F.col("b.doc")])
-         .select(F.col("a.doc").alias("doc_a"),
-                 F.col("b.doc").alias("doc_b"),
-                 F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
-                 F.col("a.nrm").alias("na"), F.col("b.nrm").alias("nb"))
-         .dropDuplicates(["doc_a", "doc_b"]))
-    return (cand
-            .withColumn("cos", dot_fixed("va", "vb", dim)
-                        / (F.col("na") * F.col("nb")))
-            .where(F.col("cos") >= threshold)
-            .select("doc_a", "doc_b", "cos"))
+    grouped = tagged.groupBy("tbl", "bucket").agg(
+        F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
+    pairs = (
+        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+               .select("a", F.expr("slice(ms, i + 2, size(ms))")
+                       .alias("rest"))
+               .select("a", F.explode("rest").alias("b")))
+    return (
+        pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                         / (F.col("a.nrm") * F.col("b.nrm")))
+             .where(F.col("cos") >= threshold)
+             .select(F.least("a.doc", "b.doc").alias("doc_a"),
+                     F.greatest("a.doc", "b.doc").alias("doc_b"),
+                     F.col("cos"))
+             .dropDuplicates(["doc_a", "doc_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
