@@ -1073,6 +1073,46 @@ def rebaseline() -> None:
     print(f"BENCH_BASELINE.json: {len(best)} queries from {rounds}")
 
 
+#: budget for the one stdout JSON line: the driver keeps only a
+#: 2000-char TAIL of stdout, and the full record (~4 KB with cold
+#: passes and gate details) truncated into "parsed": null in rounds 5
+#: and 9; a 100-char margin covers trailing log noise after the line
+COMPACT_LINE_BUDGET = 1900
+
+
+def _compact_line(out: dict) -> str:
+    """The one stdout JSON line, sized to fit the driver's tail
+    whole: steady queries + both calibrations — the exact fields the
+    rolling-baseline loader consumes; the full record lives in
+    BENCH_LOCAL_r{NN}.json.  Key order matters to the salvage path:
+    "queries" precede the "steady_passes" fence so a front-truncated
+    tail still yields steady entries to _recover_from_tail.  If the
+    suite ever grows past the budget, per-query detail is dropped
+    rather than overflowing (the line stays parseable; the BENCH_LOCAL
+    file keeps the detail)."""
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "sf": out["sf"],
+        "calibration_sec": out["calibration_sec"],
+        "calibration_version": out["calibration_version"],
+        "calibration_mem_sec": out["calibration_mem_sec"],
+        "calibration_mem_version": out["calibration_mem_version"],
+        "queries": out["queries"],
+        "steady_passes": out["steady_passes"],
+        "cold_total_sec": out["cold_total_sec"],
+        "n_regressions_vs_best": len(out["regressions_vs_best"]),
+        "total_regression_vs_best": out["total_regression_vs_best"],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > COMPACT_LINE_BUDGET:
+        compact.pop("queries")
+        compact["queries_in"] = "BENCH_LOCAL record (line overflow)"
+        line = json.dumps(compact, separators=(",", ":"))
+    return line
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -1218,38 +1258,7 @@ def main() -> None:
             json.dump(out, f, indent=2)
             f.write("\n")
         print(f"wrote {local_path}", file=sys.stderr)
-    # The driver keeps only a 2000-char TAIL of stdout; the full
-    # record (~4 KB with cold passes and gate details) truncates and
-    # records "parsed": null (rounds 5 and 9).  Emit a COMPACT record
-    # as the one stdout JSON line — steady queries + calibration, the
-    # exact fields the rolling-baseline loader consumes — sized to fit
-    # the tail whole; the full record lives in BENCH_LOCAL_r{NN}.json.
-    # Key order matters to the salvage path: "queries" precede the
-    # "steady_passes" fence so a front-truncated tail still yields
-    # steady entries to _recover_from_tail.
-    compact = {
-        "metric": out["metric"],
-        "value": out["value"],
-        "unit": "sec",
-        "sf": out["sf"],
-        "calibration_sec": calibration,
-        "calibration_version": CALIBRATION_VERSION,
-        "calibration_mem_sec": calibration_mem,
-        "calibration_mem_version": CALIBRATION_MEM_VERSION,
-        "queries": steady,
-        "steady_passes": STEADY_PASSES,
-        "cold_total_sec": out["cold_total_sec"],
-        "n_regressions_vs_best": len(regressions),
-        "total_regression_vs_best": total_regression,
-    }
-    line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1900:
-        # stay parseable even if the suite grows: drop per-query
-        # detail before overflowing the driver's tail window
-        compact.pop("queries")
-        compact["queries_in"] = "BENCH_LOCAL record (line overflow)"
-        line = json.dumps(compact, separators=(",", ":"))
-    print(line)
+    print(_compact_line(out))
 
 
 # ===========================================================================

@@ -278,3 +278,47 @@ def test_baseline_loader_tracks_calibration(tmp_path):
     runs = bench._load_calibrated_runs(here=str(tmp_path))
     assert [r["file"] for r in runs] == ["BENCH_LOCAL_r02.json"]
     assert runs[0]["cal"] == 0.7 and runs[0]["mem"] is None
+
+
+def test_compact_line_fits_driver_tail_and_parses():
+    """r9 verdict item 6: the driver records only a 2000-char stdout
+    tail, so the one JSON line bench prints must fit it whole — with
+    the CURRENT suite size and realistic key lengths — and must carry
+    the exact fields the rolling-baseline loader consumes.  A
+    pathologically grown suite degrades to a parseable no-queries
+    line instead of overflowing."""
+    import json
+
+    import bench
+    out = {
+        "metric": "headline-query steady-state wall time "
+                  "(median of 3), local[32]",
+        "value": 85.0, "unit": "sec", "sf": 0.1,
+        "calibration_sec": 0.686,
+        "calibration_version": bench.CALIBRATION_VERSION,
+        "calibration_mem_sec": 1.078,
+        "calibration_mem_version": bench.CALIBRATION_MEM_VERSION,
+        "queries": {n: 1.234 for n in bench.HEADLINE},
+        "steady_passes": bench.STEADY_PASSES,
+        "cold_total_sec": 130.0,
+        "regressions_vs_best": {},
+        "total_regression_vs_best": {},
+    }
+    line = bench._compact_line(out)
+    assert len(line) <= bench.COMPACT_LINE_BUDGET
+    rec = json.loads(line)
+    # the loader's contract: queries + current-protocol calibrations
+    assert rec["queries"] == out["queries"]
+    assert rec["calibration_sec"] == 0.686
+    assert rec["calibration_version"] == bench.CALIBRATION_VERSION
+    assert rec["calibration_mem_sec"] == 1.078
+    # the salvage fence sits AFTER the queries in the serialized line
+    assert line.index('"queries"') < line.index('"steady_passes"')
+    # overflow: 500 long-named entries cannot fit -> queries dropped,
+    # line still parseable and under budget
+    big = dict(out, queries={f"q{i:03d}_very_long_entry_name_padding":
+                             1.234 for i in range(500)})
+    line2 = bench._compact_line(big)
+    assert len(line2) <= bench.COMPACT_LINE_BUDGET
+    rec2 = json.loads(line2)
+    assert "queries" not in rec2 and "queries_in" in rec2
