@@ -71,6 +71,29 @@ def test_cli_fulltext_then_chunk_fulltext(spark, tmp_path, fixture_file,
     assert all(r["n_tokens"] <= 64 for r in rows)
 
 
+def test_cli_fulltext_allow_abstract_only(tmp_path, fixture_file,
+                                          capsys):
+    """--allow-abstract-only (reference cli.py:26
+    require_fulltext=False) keeps the short-body record as a RECORD:
+    the same worklist that fails 2 under the default policy fails
+    only the no-PMCID doi here."""
+    csv = tmp_path / "worklist.csv"
+    csv.write_text("doi,journal\n"
+                   "10.1000/long,Journal A\n"
+                   "10.1000/short,\n"
+                   "10.1000/missing,Journal B\n", encoding="utf-8")
+    out = str(tmp_path / "processed_abs")
+    main(["fulltext", str(csv), "--output-dir", out,
+          "--fixture", fixture_file, "--allow-abstract-only"])
+    printed = capsys.readouterr().out
+    assert "appended: 2" in printed
+    assert "failures: 1" in printed
+    with open(os.path.join(out, "fulltext_articles.json"),
+              encoding="utf-8") as f:
+        pmcids = {r["pmcid"] for r in json.load(f)}
+    assert pmcids == {"PMC9999999", "PMC7777777"}
+
+
 def test_cli_run_v1_staged_pipeline(spark, tmp_path, capsys):
     src = tmp_path / "articles_in.jsonl"
     lines = [

@@ -496,12 +496,25 @@ def test_auto_banding_holds_recall_at_callers_threshold():
     assert p5["bands"] > 8
     # budget cap: an impossible (threshold, corpus) combination warns
     # and reports the achieved recall instead of growing bands without
-    # bound (the cap bounds the recall-restoring growth; the
-    # selectivity schedule itself is never undone)
+    # bound
     with pytest.warns(UserWarning, match="max_hashes"):
         capped = auto_banding(500_000, threshold=0.2, max_hashes=64)
     assert capped["num_hashes"] <= 64
     assert capped["recall"] < lsh_candidate_probability(0.2, 4, 4)
+    # the cap bounds the WHOLE plan (r11): a caller budget smaller
+    # than the base decade schedule (500k docs -> 8 bands x 6 rows =
+    # 48 hashes > 32) shrinks the schedule to fit and warns, instead
+    # of silently returning a plan that exceeds the stated budget
+    with pytest.warns(UserWarning, match="max_hashes"):
+        small = auto_banding(500_000, threshold=0.8, max_hashes=32)
+    assert small["bands"] * small["rows_per_band"] <= 32
+    assert small["num_hashes"] <= 32
+    # pathological budget below one band's rows: still bounded
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")
+        tiny = auto_banding(500_000, threshold=0.8, max_hashes=3)
+    assert tiny["bands"] * tiny["rows_per_band"] <= 3
     with pytest.raises(ValueError):
         auto_banding(10_000, threshold=1.5)
 

@@ -187,9 +187,14 @@ def _df_plan(spark, df, mode="simple"):
 
 
 def test_multitable_srp_is_equijoin_no_python(spark):
-    """The L-table union must stay ONE equi-join on the composite
-    (table, bucket) key — never a CartesianProduct or nested-loop over
-    vectors — and fully JVM-side (literal-plane bucket expressions)."""
+    """The L-table union is ONE scan + ONE keyed shuffle (the r10
+    group-collect rewrite, commit 4f91a33): all L bucket ids compute
+    in one pass, a single groupBy((table, bucket)) collects members,
+    and in-bucket pairs explode from the array — there is NO join on
+    the source at all (no SortMergeJoin/ShuffledHashJoin, never a
+    CartesianProduct or nested loop), everything JVM-side, and the
+    cross-table pair dedup runs AFTER scoring (shuffling 3 scalars per
+    duplicate collision instead of full vectors)."""
     from trial_data_ingestion_spark.operators.similarity import (
         embedding_near_dups_multitable,
     )
@@ -197,11 +202,18 @@ def test_multitable_srp_is_equijoin_no_python(spark):
     df = embedding_near_dups_multitable(emb, dim=64, threshold=0.9,
                                         num_planes=8, num_tables=4)
     plan = _df_plan(spark, df)
+    # no join of any kind over the source — the candidate generation
+    # is a groupBy aggregate, not a self-join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan and "PythonUDF" not in plan
-    # dedup-before-rescore survives as an aggregate/distinct on pairs
-    assert "deduplicate" in plan.lower() or "aggregate" in plan.lower()
+    # the single keyed exchange feeds a collect_list aggregate; the
+    # post-score cross-table dedup is the HashAggregate on pair keys
+    assert "Generate" in plan                       # the explodes
+    assert plan.lower().count("aggregate") >= 1
 
 
 def test_kmeans_ivf_assignment_broadcasts_centroids(spark):

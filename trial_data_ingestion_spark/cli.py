@@ -29,6 +29,23 @@ Networking: the reference CLI always talks to live NCBI.  Here the
 :class:`FixtureFetcher` the test suite uses, so the command is
 smoke-testable in an air-gapped container.
 
+Flag parity (reference ``cli.py:13-31``): all pipeline-POLICY flags
+are present (``--idconv-chunk``/``--efetch-chunk``,
+``--min-fulltext-chars``, ``--require-fulltext/--allow-abstract-only``,
+the single-fallback toggle, ``--request-timeout``).  Deliberately
+OMITTED are the reference's driver-execution knobs, which have no
+meaning under Spark's execution model:
+
+  --batch-workers        thread-pool width -> here the connector's
+                         parallelism is the worklist's PARTITION
+                         count (Spark schedules the batches)
+  --batch-throttle-sec / per-thread sleeps -> subsumed by the
+  --throttle-sec         client-side ``--rpm`` rate limiter, which
+                         bounds the aggregate request rate no matter
+                         how many partitions fetch concurrently
+  --progress             tqdm bar -> the Spark UI / event log is the
+                         progress surface for a distributed job
+
 Tokenization: the reference chunker tokenizes with a HuggingFace
 ``AutoTokenizer`` (``chunker_archived.py:26``); this package's C4
 chunker uses the regex tokenizer (``operators/chunking.py:161``) so
@@ -90,7 +107,8 @@ def cmd_fulltext(args) -> None:
         min_fulltext_chars=args.min_fulltext_chars,
         idconv_batch=args.idconv_chunk,
         efetch_batch=args.efetch_chunk,
-        single_fallback=args.single_fallback)
+        single_fallback=args.single_fallback,
+        require_fulltext=args.require_fulltext)
     out = args.output_dir
     os.makedirs(out, exist_ok=True)
     # same artifact trio as the reference run (K1/K2/K6 —
@@ -241,6 +259,11 @@ def build_parser() -> argparse.ArgumentParser:
     ft.add_argument("--rpm", type=int, default=None,
                     help="client-side rate limit (requests/minute)")
     ft.add_argument("--min-fulltext-chars", type=int, default=200)
+    # reference cli.py:26 --require-fulltext/--allow-abstract-only
+    ft.add_argument("--require-fulltext", dest="require_fulltext",
+                    action="store_true", default=True)
+    ft.add_argument("--allow-abstract-only", dest="require_fulltext",
+                    action="store_false")
     ft.add_argument("--allow-pmc-single-fallback", dest="single_fallback",
                     action="store_true", default=False)
     ft.add_argument("--fixture", default=None,

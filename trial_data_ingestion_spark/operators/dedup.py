@@ -264,7 +264,12 @@ def auto_banding(n_docs: int, threshold: float = 0.8,
     A shallow threshold on a huge corpus may need more bands than
     ``max_hashes`` admits; the plan is then capped and a
     ``UserWarning`` reports the achieved recall — the caller's cue to
-    raise the hash budget or re-think the threshold.
+    raise the hash budget or re-think the threshold.  The cap bounds
+    the WHOLE plan: if the base decade schedule alone would exceed
+    ``max_hashes`` (a small caller budget on a huge corpus), the
+    schedule is shrunk to fit — ``bands * rows_per_band <=
+    max_hashes`` holds on every return path — and the same recall
+    warning reports what the budget costs.
 
     Measured at 100x rows (threshold 0.8): candidates linear (126k),
     steady wall 9.1 s vs 34 s fixed.
@@ -286,6 +291,15 @@ def auto_banding(n_docs: int, threshold: float = 0.8,
     anchor_recall = lsh_candidate_probability(threshold, base_bands,
                                               base_rows)
     bands = base_bands + 2 * decades
+    # the cap bounds the WHOLE plan, not just the recall-growth loop:
+    # a small caller budget (max_hashes=32 at 500k docs, schedule 48)
+    # must never silently exceed max_hashes — shrink the schedule to
+    # fit (rows first only if a single band already overflows) and let
+    # the recall warning below report the cost
+    if bands * rows > max_hashes:
+        if rows > max_hashes:
+            rows = max(1, max_hashes)
+        bands = max(1, max_hashes // rows)
     while (lsh_candidate_probability(threshold, bands, rows)
            < anchor_recall and (bands + 1) * rows <= max_hashes):
         bands += 1

@@ -22,10 +22,11 @@ difference is the point:
 
 Pipeline: assign each vector to its nearest trained centroid
 (broadcast crossJoin against k centers — the corpus never shuffles
-for assignment); self-join within each cell (equi-join on cell_id,
-``id_a < id_b``); exact cosine >= eps; connected components over the
-verified pairs (driver union-find for realistic dup-graph sizes);
-keep one representative per component.
+for assignment); group by cell and explode in-cell (i < j) member
+combinations after ONE keyed exchange (the round-11 group-collect
+shape, replacing the alias self-join); exact cosine >= eps;
+connected components over the verified pairs (driver union-find for
+realistic dup-graph sizes); keep one representative per component.
 
 Representative rules:
   * ``keep="min_id"`` (default): the lowest id — deterministic and
@@ -142,33 +143,44 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
     """Verified semantic-duplicate pairs ``(doc_a, doc_b, cos)``:
     same-cell candidates only, exact cosine >= eps.
 
-    Norms are computed once per vector before the pair join (O(n),
+    Physical shape (round 11, same rewrite as the SRP paths' round-6/
+    round-10 form): ONE scan + ONE shuffle.  The previous alias
+    self-join on ``cell_id`` scanned the assignment twice (persist()
+    kept it from re-running the centroid argmin, but the join itself
+    still exchanged both sides and probed a hash relation); grouping
+    by cell, collecting the members, and exploding in-cell (i < j)
+    combinations generates the identical candidate set after a single
+    keyed exchange — the join form measured 2.4x slower on the SRP
+    twin (commit 4f91a33).  A hot cell degrades to one wide row
+    instead of a straggler join task; the per-cell quadratic pair
+    count is the same either way, and ``num_clusters`` (cells ~ n) is
+    the knob that bounds cell size.
+
+    Norms are computed once per vector before pair generation (O(n),
     and it keeps the per-pair expression inside janino's codegen
-    method limit — see embedding_near_dups)."""
-    # materialize the assignment once: the self-join would otherwise
-    # execute the centroid argmin subtree (crossJoin + per-row window)
-    # once per branch — at any scale that is the single most expensive
-    # narrow stage here, and it is identical on both sides.
-    # persist(), NOT localCheckpoint(): a checkpoint replays through
-    # RDDScanExec, which disables whole-stage codegen for the entire
-    # downstream join stage and leaves the 64-term pair cosine in
-    # interpreted eval — measured 5x slower on the bench corpus; the
-    # in-memory columnar cache keeps the scoring stage compiled
+    method limit — see embedding_near_dups).  Ids appearing more than
+    once in the input are guarded (``doc != doc``) so no self-pair is
+    emitted — the old strict-``<`` join dropped those rows too."""
     emb = (assign_cells(embeddings, centroids, id_col, vec_col, dim)
            .select(F.col(id_col).alias("doc"),
                    F.col(vec_col).alias("v"),
                    l2_norm_fixed(vec_col, dim).alias("nrm"),
-                   "cell_id")
-           .persist())
-    a, b = emb.alias("a"), emb.alias("b")
+                   "cell_id"))
+    grouped = emb.groupBy("cell_id").agg(
+        F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
+    pairs = (
+        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+               .select("a", F.expr("slice(ms, i + 2, size(ms))")
+                       .alias("rest"))
+               .select("a", F.explode("rest").alias("b")))
     return (
-        a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
-                      F.col("a.doc") < F.col("b.doc")])
-         .withColumn("cos", dot_fixed("a.v", "b.v", dim)
-                     / (F.col("a.nrm") * F.col("b.nrm")))
-         .where(F.col("cos") >= eps)
-         .select(F.col("a.doc").alias("doc_a"),
-                 F.col("b.doc").alias("doc_b"), F.col("cos"))
+        pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                         / (F.col("a.nrm") * F.col("b.nrm")))
+             .where(F.col("cos") >= eps)
+             .where(F.col("a.doc") != F.col("b.doc"))
+             .select(F.least("a.doc", "b.doc").alias("doc_a"),
+                     F.greatest("a.doc", "b.doc").alias("doc_b"),
+                     F.col("cos"))
     )
 
 
@@ -200,14 +212,17 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
             embeddings, dim, num_clusters, id_col, vec_col,
             sample_size=sample_size, seed=seed)
     pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
-                               vec_col, eps) \
-        .select("doc_a", "doc_b").localCheckpoint()
+                               vec_col, eps).select("doc_a", "doc_b")
     if keep == "best":
+        # keep_best_per_cluster localCheckpoint()s the pairs itself —
+        # checkpointing here too would materialize the candidate
+        # computation twice
         from trial_data_ingestion_spark.operators.dedup import (
             keep_best_per_cluster,
         )
         return keep_best_per_cluster(embeddings, pairs, id_col,
                                      score_col)
+    pairs = pairs.localCheckpoint()
     labels = connected_components_min_label(pairs)
     if keep == "min_id":
         drops = (labels.where(F.col("label") != F.col("doc"))
@@ -298,13 +313,17 @@ def semantic_dedup_blocked(embeddings: DataFrame, dim: int,
     pairs = embedding_near_dups_multitable(
         embeddings, dim, id_col, vec_col, threshold=eps,
         num_planes=num_planes, num_tables=num_tables) \
-        .select("doc_a", "doc_b").localCheckpoint()
+        .select("doc_a", "doc_b")
     if keep == "best":
+        # keep_best_per_cluster localCheckpoint()s the pairs itself —
+        # checkpointing here too would materialize the candidate
+        # computation twice
         from trial_data_ingestion_spark.operators.dedup import (
             keep_best_per_cluster,
         )
         return keep_best_per_cluster(embeddings, pairs, id_col,
                                      score_col)
+    pairs = pairs.localCheckpoint()
     labels = connected_components_min_label(pairs)
     drops = (labels.where(F.col("label") != F.col("doc"))
              .select(F.col("doc").alias(id_col)))

@@ -430,6 +430,11 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
         pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
                          / (F.col("a.nrm") * F.col("b.nrm")))
              .where(F.col("cos") >= threshold)
+             # duplicate ids with distinct vectors would otherwise
+             # surface as doc_a == doc_b self-edges under
+             # least/greatest (a strict-< join would have dropped
+             # them); external callers must never see self-pairs
+             .where(F.col("a.doc") != F.col("b.doc"))
              .select(F.least("a.doc", "b.doc").alias("doc_a"),
                      F.greatest("a.doc", "b.doc").alias("doc_b"),
                      F.col("cos"))
@@ -548,6 +553,9 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
         pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
                          / (F.col("a.nrm") * F.col("b.nrm")))
              .where(F.col("cos") >= threshold)
+             # same duplicate-id self-pair guard as the single-table
+             # path (see embedding_near_dups)
+             .where(F.col("a.doc") != F.col("b.doc"))
              .select(F.least("a.doc", "b.doc").alias("doc_a"),
                      F.greatest("a.doc", "b.doc").alias("doc_b"),
                      F.col("cos"))

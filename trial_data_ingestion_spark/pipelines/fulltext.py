@@ -59,9 +59,15 @@ def run_fulltext(input_df: DataFrame,
                  min_fulltext_chars: int = MIN_FULLTEXT_CHARS,
                  idconv_batch: int = IDCONV_BATCH,
                  efetch_batch: int = EFETCH_BATCH,
-                 single_fallback: bool = False) -> dict:
+                 single_fallback: bool = False,
+                 require_fulltext: bool = True) -> dict:
     """Build the pipeline; returns lazy ``records`` / ``failures``
-    DataFrames plus the deduped worklist for summary counters."""
+    DataFrames plus the deduped worklist for summary counters.
+
+    ``require_fulltext=False`` (the reference's
+    ``--allow-abstract-only``, fulltext_enricher.py:115,211) skips the
+    body-length gate entirely: parsed records with short-or-empty
+    bodies are KEPT as records instead of failing ``abstract_only``."""
     prepared = prepare_input(input_df)
 
     worklist = prepared
@@ -89,9 +95,11 @@ def run_fulltext(input_df: DataFrame,
          .when(F.col("title").isNull(),
                F.coalesce(F.col("parse_error"),
                           F.lit("PMC fetch failed (batched only)")))
-         .when(blen < min_fulltext_chars, F.lit("abstract_only"))
-         .otherwise(F.lit(None))
     )
+    if require_fulltext:
+        status = status.when(blen < min_fulltext_chars,
+                             F.lit("abstract_only"))
+    status = status.otherwise(F.lit(None))
     classified = assembled.withColumn("__reason", status)
 
     # P14 canonical record (fulltext_enricher.py:70-80)
