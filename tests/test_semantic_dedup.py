@@ -207,13 +207,14 @@ def test_semantic_dedup_deterministic(spark):
 
 
 def test_semantic_dedup_plan_shape(spark):
-    """r11 contract: in-cell candidate generation is ONE scan + ONE
-    keyed shuffle (groupBy(cell_id).collect_list + slice-explode, the
-    same group-collect shape as the SRP paths) — there is NO join over
-    the assigned corpus at all (the join form scanned/exchanged both
-    sides; measured 2.4x slower on the SRP twin), and no Python
-    anywhere.  The centroid argmin's broadcast nested loop (k rows) is
-    the only join-like node allowed."""
+    """The cell self-join must be an equi-join on cell_id
+    (shuffle/broadcast hash or sort-merge — AQE-skew-splittable),
+    never a nested loop; no Python anywhere.  The join shape is
+    DELIBERATE (r11 A/B on bench b13: join 3.16 s vs the SRP paths'
+    group-collect 4.3-4.7 s at ~1250 members/cell — group-collect's
+    slice-explode copies O(members^2) full vectors, a loss at
+    SemDeDup's large cell occupancy where SRP's pinned ~16/bucket
+    made it a 2.4x win)."""
     from trial_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dup_pairs,
     )
@@ -228,13 +229,33 @@ def test_semantic_dedup_plan_shape(spark):
     plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
-    # no equi-join over the corpus: candidates come from the aggregate
-    assert "SortMergeJoin" not in plan
-    assert "ShuffledHashJoin" not in plan
-    assert "BroadcastHashJoin" not in plan
-    assert "collect_list" in plan
-    assert "Generate" in plan                        # the explodes
-    # no persist/checkpoint residue: one scan, codegen end to end
+    # the centroid argmin is the only nested loop (broadcast, k rows);
+    # the candidate join itself must key on cell_id
+    assert "SortMergeJoin [cell_id" in plan \
+        or "ShuffledHashJoin [cell_id" in plan \
+        or "BroadcastHashJoin [cell_id" in plan
+
+
+def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
+    """Round-5 regression fix pin: the assignment materializes via the
+    in-memory COLUMNAR cache, not localCheckpoint — a checkpoint's
+    RDDScanExec replay disables whole-stage codegen for the pair-join
+    stage and leaves the 64-term cosine in interpreted eval (measured
+    5x slower at bench scale)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = first_id_centroids(emb, 4).select(
+        "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
+    plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "InMemoryTableScan" in plan, plan[:1500]
     assert "Scan ExistingRDD" not in plan, plan[:1500]
 
 

@@ -22,11 +22,12 @@ difference is the point:
 
 Pipeline: assign each vector to its nearest trained centroid
 (broadcast crossJoin against k centers — the corpus never shuffles
-for assignment); group by cell and explode in-cell (i < j) member
-combinations after ONE keyed exchange (the round-11 group-collect
-shape, replacing the alias self-join); exact cosine >= eps;
-connected components over the verified pairs (driver union-find for
-realistic dup-graph sizes); keep one representative per component.
+for assignment); self-join within each cell (equi-join on cell_id,
+``id_a < id_b`` — measured FASTER than the SRP paths' group-collect
+shape at SemDeDup's large cell occupancy, see
+:func:`semantic_dup_pairs`); exact cosine >= eps; connected
+components over the verified pairs (driver union-find for realistic
+dup-graph sizes); keep one representative per component.
 
 Representative rules:
   * ``keep="min_id"`` (default): the lowest id — deterministic and
@@ -143,44 +144,46 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
     """Verified semantic-duplicate pairs ``(doc_a, doc_b, cos)``:
     same-cell candidates only, exact cosine >= eps.
 
-    Physical shape (round 11, same rewrite as the SRP paths' round-6/
-    round-10 form): ONE scan + ONE shuffle.  The previous alias
-    self-join on ``cell_id`` scanned the assignment twice (persist()
-    kept it from re-running the centroid argmin, but the join itself
-    still exchanged both sides and probed a hash relation); grouping
-    by cell, collecting the members, and exploding in-cell (i < j)
-    combinations generates the identical candidate set after a single
-    keyed exchange — the join form measured 2.4x slower on the SRP
-    twin (commit 4f91a33).  A hot cell degrades to one wide row
-    instead of a straggler join task; the per-cell quadratic pair
-    count is the same either way, and ``num_clusters`` (cells ~ n) is
-    the knob that bounds cell size.
+    Physical shape — alias SELF-JOIN on ``cell_id``, deliberately NOT
+    the SRP paths' group-collect rewrite.  The group-collect shape's
+    win is OCCUPANCY-DEPENDENT, and r11 measured it both ways on
+    bench b13 (sf0.1, 20k vectors, 16 cells = ~1250 members/cell):
+    join 3.16 s vs group-collect 4.3-4.7 s — the rewrite that made
+    the SRP paths 2.4x faster makes cells 1.4x SLOWER.  Why: SRP
+    buckets are occupancy-PINNED (~16 members, planes grow with
+    log2(n)), so collecting a bucket's members into an array and
+    exploding (i, j) combinations costs a few array copies per tiny
+    bucket and saves a whole second scan+exchange of the source.
+    SemDeDup cells are LARGE by design (the paper operates at 10^3 -
+    10^4 members/cell; ``num_clusters ~ n`` holds occupancy constant,
+    not small), so ``slice(ms, i+2, ...)`` materializes O(members^2)
+    copies of full 64-float vectors per cell, which dwarfs the
+    hash-join's streamed, codegen'd probe.  The join's second scan is
+    cheap here because the assignment is persisted (in-memory
+    columnar — NOT localCheckpoint, whose RDDScanExec replay disables
+    whole-stage codegen for the join stage and leaves the 64-term
+    pair cosine interpreted: measured 5x slower in r5).
 
-    Norms are computed once per vector before pair generation (O(n),
+    Norms are computed once per vector before the pair join (O(n),
     and it keeps the per-pair expression inside janino's codegen
-    method limit — see embedding_near_dups).  Ids appearing more than
-    once in the input are guarded (``doc != doc``) so no self-pair is
-    emitted — the old strict-``<`` join dropped those rows too."""
+    method limit — see embedding_near_dups).  The strict ``<`` join
+    condition also guarantees no ``doc_a == doc_b`` self-pair when
+    input ids repeat, matching the guarded SRP paths."""
     emb = (assign_cells(embeddings, centroids, id_col, vec_col, dim)
            .select(F.col(id_col).alias("doc"),
                    F.col(vec_col).alias("v"),
                    l2_norm_fixed(vec_col, dim).alias("nrm"),
-                   "cell_id"))
-    grouped = emb.groupBy("cell_id").agg(
-        F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
-    pairs = (
-        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
-               .select("a", F.expr("slice(ms, i + 2, size(ms))")
-                       .alias("rest"))
-               .select("a", F.explode("rest").alias("b")))
+                   "cell_id")
+           .persist())
+    a, b = emb.alias("a"), emb.alias("b")
     return (
-        pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
-                         / (F.col("a.nrm") * F.col("b.nrm")))
-             .where(F.col("cos") >= eps)
-             .where(F.col("a.doc") != F.col("b.doc"))
-             .select(F.least("a.doc", "b.doc").alias("doc_a"),
-                     F.greatest("a.doc", "b.doc").alias("doc_b"),
-                     F.col("cos"))
+        a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
+                      F.col("a.doc") < F.col("b.doc")])
+         .withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                     / (F.col("a.nrm") * F.col("b.nrm")))
+         .where(F.col("cos") >= eps)
+         .select(F.col("a.doc").alias("doc_a"),
+                 F.col("b.doc").alias("doc_b"), F.col("cos"))
     )
 
 

@@ -403,7 +403,16 @@ def embedding_near_dups(embeddings: DataFrame, dim: int,
     ~n/2^p vectors (p is chosen so that's small); a pathological hot
     bucket degrades to one wide row here versus a straggler join task
     before — same O(size^2) pair cost either way, and multi-table SRP
-    (not a lower p) is the recall/skew remedy at scale."""
+    (not a lower p) is the recall/skew remedy at scale.
+
+    The win is OCCUPANCY-DEPENDENT (r11 A/B): it holds because SRP
+    buckets are pinned tiny (~:data:`SRP_AUTO_OCCUPANCY` members), so
+    the per-bucket array copies are negligible next to the saved
+    second scan+exchange.  At large block occupancy the same shape
+    LOSES — slice-explode materializes O(members^2) full-vector
+    copies — which is why :func:`semantic_dedup.semantic_dup_pairs`
+    (SemDeDup cells, ~10^3-10^4 members) keeps the equi-join
+    (measured there: join 3.16 s vs group-collect 4.3-4.7 s)."""
     # Norms are computed once per vector BEFORE pair generation: the
     # O(n) vs O(n^2) saving, and the per-pair expression shrinks to
     # the dim-term dot product — the full inline cosine (3 x dim
