@@ -173,6 +173,11 @@ def test_scale_marginal_decade_gate():
                 # (occupancy-pinned candidates scale with L too), so
                 # the marginal bound scales by the recorded plan's
                 # L*p ratio — same model as the cumulative override
+                assert "plan_scaled" in e1[name], (
+                    f"tier {f1}x record for {name} predates its plan "
+                    f"fields — regenerate with "
+                    f"SPARK_GRAFT_SCALE_FACTOR={f1} python bench.py "
+                    f"--scale")
                 p1_ = e1[name]["plan_scaled"]
                 p2_ = e2[name]["plan_scaled"]
                 bound *= ((p2_["num_tables"] * p2_["num_planes"])
@@ -335,11 +340,18 @@ def test_baseline_loader_tracks_calibration(tmp_path):
 def test_repo_baseline_is_fully_dual_axis():
     """Against the REAL repo records: every per-entry best must carry
     both calibration axes (the r11 contract), and the dual-axis
-    records must still cover the full suite so no entry loses its
-    floor."""
+    records must cover EVERY current HEADLINE entry — an entry whose
+    only records lack an axis would silently escape the per-entry
+    regression gate forever (review finding r11).  Adding a new bench
+    entry therefore requires running the full bench once (the written
+    BENCH_LOCAL record carries both axes) before committing."""
     import bench
     best, best_cal, rounds, best_mem = bench._load_rolling_baseline()
-    assert len(best) >= 46
+    missing = sorted(set(bench.HEADLINE) - set(best))
+    assert not missing, (
+        f"HEADLINE entries with no dual-axis floor (never "
+        f"regression-gated): {missing} — run `python bench.py` and "
+        f"commit the BENCH_LOCAL record")
     assert all(best_cal[k] is not None and best_mem[k] is not None
                for k in best)
 

@@ -186,7 +186,7 @@ def _df_plan(spark, df, mode="simple"):
     return df._jdf.queryExecution().explainString(jmode)
 
 
-def test_multitable_srp_is_equijoin_no_python(spark):
+def test_multitable_srp_single_scan_group_collect_no_python(spark):
     """The L-table union is ONE scan + ONE keyed shuffle (the r10
     group-collect rewrite, commit 4f91a33): all L bucket ids compute
     in one pass, a single groupBy((table, bucket)) collects members,

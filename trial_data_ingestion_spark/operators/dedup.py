@@ -285,6 +285,8 @@ def auto_banding(n_docs: int, threshold: float = 0.8,
         raise ValueError("n_docs must be non-negative")
     if not 0.0 < threshold < 1.0:
         raise ValueError("threshold must be in (0, 1)")
+    if max_hashes < 1:
+        raise ValueError("max_hashes must be >= 1")
     decades = max(0, math.ceil(math.log10(
         max(n_docs, 1) / AUTO_BANDING_ANCHOR_DOCS)))
     rows = base_rows + decades
