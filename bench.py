@@ -1358,6 +1358,7 @@ SCALE_ENTRIES_X100 = [
 #: alone is ~2 GB and the siblings' 100x trends already hold.
 SCALE_ENTRIES_X300 = [
     "b09_incremental_dedup",
+    "b28_semantic_dedup_blocked",
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
 ]
