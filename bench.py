@@ -1368,8 +1368,10 @@ SCALE_ENTRIES_X300 = [
 #: fixed per-job overhead.  Entries whose cost law is sub-quadratic
 #: but NOT linear (b28: LSH n^(1+rho) — holding recall at eps makes
 #: the table count L grow with the plane count) carry a
-#: ``gate_ratio_override`` computed per tier from the planned table
-#: ratio: wall ~ n * L(n), so gate = 1.2 * factor * L_scaled/L_base.
+#: ``gate_ratio_override`` computed per tier from the planned
+#: per-row work (each of the L tables hashes p sign-dots per row):
+#: wall ~ n * L(n) * p(n), so
+#: gate = 1.2 * factor * (L*p)_scaled/(L*p)_base.
 SCALE_TIERS = {10: (SCALE_ENTRIES, 12.0),
                100: (SCALE_ENTRIES_X100, 120.0),
                300: (SCALE_ENTRIES_X300, 360.0)}

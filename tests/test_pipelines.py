@@ -56,6 +56,34 @@ def test_fulltext_pipeline(spark):
                  "skipped_existing": 0, "failures": 2}
 
 
+def test_batch_workers_bounds_connector_partitions(spark):
+    """--batch-workers twin (reference cli.py:17): num_partitions
+    repartitions the connector worklist, so the mapInPandas output —
+    and therefore the number of concurrent fetcher loops — has
+    exactly that many partitions; results are unchanged."""
+    from trial_data_ingestion_spark.pipelines.fulltext import (
+        run_fulltext,
+    )
+    from trial_data_ingestion_spark.sources.http_connector import (
+        map_idconv,
+    )
+    worklist = spark.createDataFrame(
+        [(f"10.1000/long{i}",) for i in range(8)],
+        "doi_norm string").repartition(8)
+    idmap = map_idconv(worklist, _fetcher_factory, num_partitions=3)
+    assert idmap.rdd.getNumPartitions() == 3
+    # default keeps the incoming partitioning
+    assert (map_idconv(worklist, _fetcher_factory)
+            .rdd.getNumPartitions() == 8)
+    # plumbed end-to-end: same results as the unbounded run
+    bounded = run_fulltext(_input(spark), _fetcher_factory,
+                           batch_workers=2)
+    assert bounded["records"].count() == 1
+    assert (sorted(r["reason"] for r in
+                   bounded["failures"].select("reason").collect())
+            == ["abstract_only", "idconv: no PMCID"])
+
+
 def test_fulltext_resume_antijoin(spark):
     from trial_data_ingestion_spark.pipelines.fulltext import (
         run_fulltext, summarize,

@@ -32,13 +32,14 @@ smoke-testable in an air-gapped container.
 Flag parity (reference ``cli.py:13-31``): all pipeline-POLICY flags
 are present (``--idconv-chunk``/``--efetch-chunk``,
 ``--min-fulltext-chars``, ``--require-fulltext/--allow-abstract-only``,
-the single-fallback toggle, ``--request-timeout``).  Deliberately
-OMITTED are the reference's driver-execution knobs, which have no
-meaning under Spark's execution model:
+the single-fallback toggle, ``--request-timeout``).
+``--batch-workers`` (reference thread-pool width, cli.py:17) is wired
+to its Spark twin: the connector worklists' PARTITION count, which
+bounds concurrent fetch tasks — and, with each task holding its own
+``--rpm`` limiter, caps aggregate request rate at workers x rpm.
+Deliberately OMITTED are the remaining driver-execution knobs, which
+have no meaning under Spark's execution model:
 
-  --batch-workers        thread-pool width -> here the connector's
-                         parallelism is the worklist's PARTITION
-                         count (Spark schedules the batches)
   --batch-throttle-sec / per-thread sleeps -> subsumed by the
   --throttle-sec         client-side ``--rpm`` rate limiter, which
                          bounds the aggregate request rate no matter
@@ -108,7 +109,8 @@ def cmd_fulltext(args) -> None:
         idconv_batch=args.idconv_chunk,
         efetch_batch=args.efetch_chunk,
         single_fallback=args.single_fallback,
-        require_fulltext=args.require_fulltext)
+        require_fulltext=args.require_fulltext,
+        batch_workers=args.batch_workers)
     out = args.output_dir
     os.makedirs(out, exist_ok=True)
     # same artifact trio as the reference run (K1/K2/K6 —
@@ -266,6 +268,10 @@ def build_parser() -> argparse.ArgumentParser:
                     action="store_false")
     ft.add_argument("--allow-pmc-single-fallback", dest="single_fallback",
                     action="store_true", default=False)
+    # reference cli.py:17 --batch-workers: thread-pool width -> the
+    # connector worklists' partition count (bounds concurrent fetch
+    # tasks; with per-task --rpm limiters, aggregate RPM too)
+    ft.add_argument("--batch-workers", type=int, default=None)
     ft.add_argument("--fixture", default=None,
                     help="JSON fixture file -> offline FixtureFetcher")
     ft.set_defaults(func=cmd_fulltext)

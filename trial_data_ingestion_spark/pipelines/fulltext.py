@@ -60,14 +60,21 @@ def run_fulltext(input_df: DataFrame,
                  idconv_batch: int = IDCONV_BATCH,
                  efetch_batch: int = EFETCH_BATCH,
                  single_fallback: bool = False,
-                 require_fulltext: bool = True) -> dict:
+                 require_fulltext: bool = True,
+                 batch_workers: int | None = None) -> dict:
     """Build the pipeline; returns lazy ``records`` / ``failures``
     DataFrames plus the deduped worklist for summary counters.
 
     ``require_fulltext=False`` (the reference's
     ``--allow-abstract-only``, fulltext_enricher.py:115,211) skips the
     body-length gate entirely: parsed records with short-or-empty
-    bodies are KEPT as records instead of failing ``abstract_only``."""
+    bodies are KEPT as records instead of failing ``abstract_only``.
+
+    ``batch_workers`` (the reference's ``--batch-workers``,
+    cli.py:17) bounds concurrent fetch tasks by repartitioning both
+    connector worklists to that count — Spark's twin of the
+    reference's thread-pool width (see
+    :func:`http_connector.map_idconv`)."""
     prepared = prepare_input(input_df)
 
     worklist = prepared
@@ -77,13 +84,15 @@ def run_fulltext(input_df: DataFrame,
             "doi_norm", "left_anti")
 
     idmap = map_idconv(worklist, fetcher_factory, batch_size=idconv_batch,
-                       single_fallback=single_fallback)
+                       single_fallback=single_fallback,
+                       num_partitions=batch_workers)
     with_ids = worklist.join(idmap, "doi_norm", "left")
 
     parsed = map_efetch(
         with_ids.where(F.col("pmcid").isNotNull()).select("pmcid"),
         fetcher_factory, batch_size=efetch_batch,
-        single_fallback=single_fallback)
+        single_fallback=single_fallback,
+        num_partitions=batch_workers)
     assembled = with_ids.join(
         parsed.withColumnsRenamed({"fetch_error": "parse_error"}),
         "pmcid", "left")

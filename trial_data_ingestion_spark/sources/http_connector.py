@@ -340,8 +340,17 @@ def map_idconv(df: DataFrame, fetcher_factory: Callable,
                key_col: str = "doi_norm",
                batch_size: int = IDCONV_BATCH,
                throttle_sec: float = 0.0,
-               single_fallback: bool = False) -> DataFrame:
+               single_fallback: bool = False,
+               num_partitions: int | None = None) -> DataFrame:
     """S6/J5 — distributed DOI->PMCID resolution.
+
+    ``num_partitions`` is the Spark twin of the reference CLI's
+    ``--batch-workers`` thread-pool width (cli.py:17): each worklist
+    partition runs one fetcher loop, so the partition count bounds
+    concurrent HTTP fetch tasks — and, each task holding its own
+    client-side limiter (F5), the aggregate request rate is at most
+    ``num_partitions * rpm``.  Default (None) keeps the worklist's
+    incoming partitioning.
 
     Output has one row per input key: resolved (pmcid, null error) or
     failed (null pmcid, error) — the batch set-difference J5 happens
@@ -377,20 +386,26 @@ def map_idconv(df: DataFrame, fetcher_factory: Callable,
             yield pd.DataFrame(rows,
                                columns=["doi_norm", "pmcid", "fetch_error"])
 
-    return (df.select(key_col).where(f"{key_col} is not null")
-              .mapInPandas(run, _IDCONV_SCHEMA))
+    keys = df.select(key_col).where(f"{key_col} is not null")
+    if num_partitions is not None:
+        keys = keys.repartition(num_partitions)
+    return keys.mapInPandas(run, _IDCONV_SCHEMA)
 
 
 def map_efetch(df: DataFrame, fetcher_factory: Callable,
                key_col: str = "pmcid",
                batch_size: int = EFETCH_BATCH,
                throttle_sec: float = 0.0,
-               single_fallback: bool = False) -> DataFrame:
+               single_fallback: bool = False,
+               num_partitions: int | None = None) -> DataFrame:
     """S7/S8 — distributed PMC JATS fetch + parse.
 
     ``single_fallback=True`` enables the S8 ladder: pmcids missing
     from the batch EFetch response are retried one at a time through
     EFetch -> OAI-PMH -> EuropePMC fullTextXML (pmc.py:156-209).
+
+    ``num_partitions`` bounds concurrent fetch tasks exactly like
+    :func:`map_idconv`'s (the ``--batch-workers`` twin).
     """
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fetcher = fetcher_factory()
@@ -418,5 +433,7 @@ def map_efetch(df: DataFrame, fetcher_factory: Callable,
                 rows, columns=["pmcid", "title", "sections", "abstract",
                                "fetch_error"])
 
-    return (df.select(key_col).where(f"{key_col} is not null").distinct()
-              .mapInPandas(run, _EFETCH_SCHEMA))
+    keys = df.select(key_col).where(f"{key_col} is not null").distinct()
+    if num_partitions is not None:
+        keys = keys.repartition(num_partitions)
+    return keys.mapInPandas(run, _EFETCH_SCHEMA)
