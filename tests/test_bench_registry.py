@@ -112,13 +112,20 @@ def test_scale_record_gates():
         over = {n: e["ratio"] for n, e in tier["entries"].items()
                 if e["ratio"] > e.get("gate_ratio_override", gate)}
         assert not over, f"tier {factor}x over the scale gate: {over}"
-        # an override must come with its recorded plan so the gate is
-        # auditable, and must stay below quadratic — the law it
-        # embodies is sub-quadratic by construction
+        # an override must be auditable in the record — either the
+        # recorded (p, L) plan it derives from (b28) or a stated
+        # structural law pointing at scale_knobs (b13's n^1.5) — and
+        # must stay below quadratic, the blowup the tiers exist to
+        # catch
         for n, e in tier["entries"].items():
             if "gate_ratio_override" in e:
-                assert e["plan_base"]["num_tables"] >= 1
-                assert e["plan_scaled"]["num_tables"] >= 1
+                if "plan_base" in e:
+                    assert e["plan_base"]["num_tables"] >= 1
+                    assert e["plan_scaled"]["num_tables"] >= 1
+                else:
+                    assert "law" in e and "scale_knobs" in e["law"], (
+                        f"{n}: override without plan fields needs a "
+                        f"'law' pointing at a scale_knobs note")
                 assert e["gate_ratio_override"] < 1.2 * factor ** 2
     assert rec["pass"] is True
 

@@ -206,6 +206,37 @@ def test_multitable_srp_containment_sf001(spark):
     assert len(multi) > len(single)
 
 
+def test_multitable_srp_impl_variants_agree(spark):
+    """The r12 physical-shape knobs (hash_impl='arrow' — one numpy
+    matmul per Arrow batch instead of L*p codegen'd sign-dots;
+    pair_impl='kernel' — per-bucket BLAS cosine matrix instead of
+    slice-explode) must produce the SAME pair set and cosines as the
+    native/explode shape: the plane family, threshold and pair
+    orientation are shared, only the physical plan differs.  Checked
+    on the sf0.01 embeddings at the graded threshold."""
+    from trial_data_ingestion_spark.operators.similarity import (
+        embedding_near_dups_multitable,
+    )
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+    def pairs(**kw):
+        return {(r.doc_a, r.doc_b, round(r.cos, 9))
+                for r in embedding_near_dups_multitable(
+                    emb, dim=64, threshold=0.4, num_planes=8,
+                    num_tables=4, **kw).collect()}
+
+    base = pairs()
+    assert pairs(hash_impl="arrow") == base
+    assert pairs(pair_impl="kernel") == base
+    assert pairs(hash_impl="arrow", pair_impl="kernel") == base
+
+    import pytest
+    with pytest.raises(ValueError, match="hash_impl"):
+        embedding_near_dups_multitable(emb, dim=64, hash_impl="x")
+    with pytest.raises(ValueError, match="pair_impl"):
+        embedding_near_dups_multitable(emb, dim=64, pair_impl="x")
+
+
 def test_embedding_near_dups_exact_finds_duplicate_vector(spark):
     base = [float(i) for i in range(8)]
     near = [x + (0.001 if i == 0 else 0.0) for i, x in enumerate(base)]

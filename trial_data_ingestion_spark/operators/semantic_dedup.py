@@ -263,7 +263,9 @@ def semantic_dedup_blocked(embeddings: DataFrame, dim: int,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
                            keep: str = "min_id",
-                           score_col: str | None = None) -> DataFrame:
+                           score_col: str | None = None,
+                           hash_impl: str = "arrow",
+                           pair_impl: str = "kernel") -> DataFrame:
     """:func:`semantic_dedup` semantics (drop epsilon-connected
     cosine duplicates, one representative per group) with MULTI-TABLE
     SRP blocking instead of centroid cells — the sub-quadratic path
@@ -295,7 +297,26 @@ def semantic_dedup_blocked(embeddings: DataFrame, dim: int,
 
     Representative rules: ``min_id`` (default) or ``keep="best"``
     with a ``score_col`` — ``farthest`` needs cell centroids and has
-    no meaning here."""
+    no meaning here.
+
+    Physical shape (r12, measured): defaults are
+    ``hash_impl='arrow'`` (all L bucket ids per row in ONE numpy
+    matmul per Arrow batch, :func:`similarity.srp_buckets_batched`)
+    and ``pair_impl='kernel'`` (per-bucket BLAS cosine matrix via
+    ``applyInPandas``) — the opposite defaults from
+    :func:`similarity.embedding_near_dups_multitable` because the
+    choice is PLAN-SIZE-dependent, exactly like r11's
+    occupancy-dependent pair-shape finding.  B28_SCALE_PROFILE.json
+    names the terms at the auto-resolved deployment plans: scoring
+    (slice-explode pair materialization) carries 65% of the 100x
+    wall and hashing (L·p = 450 codegen'd sign-dot expressions) 27%;
+    the A/B at those plans measured native/explode 232 s vs
+    arrow/kernel 89 s for 200k vectors (2.6x, identical survivors;
+    1.8x at 20k).  At the small FIXED plans the multitable default
+    serves (p=8, L=4, L·p = 32) the codegen'd path is competitive
+    and stays whole-stage-codegen'd end to end, so that function
+    keeps native/explode unless told otherwise — pass these knobs
+    through for deployment-sized plans."""
     from trial_data_ingestion_spark.operators.similarity import (
         embedding_near_dups_multitable, resolve_num_planes,
         srp_tables_for_recall,
@@ -315,7 +336,8 @@ def semantic_dedup_blocked(embeddings: DataFrame, dim: int,
                          f"'auto', got {num_tables!r}")
     pairs = embedding_near_dups_multitable(
         embeddings, dim, id_col, vec_col, threshold=eps,
-        num_planes=num_planes, num_tables=num_tables) \
+        num_planes=num_planes, num_tables=num_tables,
+        hash_impl=hash_impl, pair_impl=pair_impl) \
         .select("doc_a", "doc_b")
     if keep == "best":
         # keep_best_per_cluster localCheckpoint()s the pairs itself —

@@ -17,6 +17,11 @@ the query capability is the store's purpose, so this module provides:
 
 from __future__ import annotations
 
+# module-level so pandas_udf type-hint resolution (get_type_hints
+# against these globals) can see `pd` — the stringified annotations
+# from `from __future__ import annotations` are otherwise unresolvable
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -499,12 +504,59 @@ def srp_tables_for_recall(cos: float, num_planes: int,
     return tables
 
 
+def srp_buckets_batched(dim: int, num_planes: int, num_tables: int):
+    """All L bucket ids per vector in ONE Arrow-batched numpy matmul
+    — the vectorized twin of L x ``srp_bucket`` calls, built from the
+    SAME md5 hyperplane family (table t's plane p is
+    ``_hyperplane(dim, t*num_planes + p)``, bit value ``1 << p``).
+
+    Why it exists: at b28's deployment plans the codegen'd expression
+    path evaluates L·p aggregate(zip_with(...)) trees per row — 450
+    at the 100x tier, 697 at 300x — and the B28_SCALE_PROFILE hash
+    phase grows with exactly that product.  One (B, dim) @ (dim, L·p)
+    BLAS matmul per Arrow batch does the same flops at memory
+    bandwidth.  Returns a ``pandas_udf`` producing ``array<long>`` of
+    length L, position = table ordinal (posexplode order matches the
+    native path's ``tbl``).
+
+    Caveat, stated honestly: the native path folds the projection
+    left-to-right while BLAS uses blocked summation, so a projection
+    within float-rounding of 0.0 can land on the other side — a
+    measure-zero bucket tie-break, harmless to LSH recall (the
+    Goemans-Williamson collision probability is unchanged) but NOT
+    bit-identical to ``srp_bucket``; keep the native path wherever a
+    DuckDB oracle re-derives buckets."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    planes = np.array([_hyperplane(dim, t * num_planes + p)
+                       for t in range(num_tables)
+                       for p in range(num_planes)],
+                      dtype=np.float64).T          # (dim, L*p)
+    weights = (np.int64(1) << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def bucketize(col: pd.Series) -> pd.Series:
+        if len(col) == 0:
+            return pd.Series([], dtype=object)
+        x = np.array([np.asarray(v, dtype=np.float64) for v in col])
+        bits = (x @ planes) >= 0.0               # (B, L*p) bool
+        buckets = bits.reshape(len(col), num_tables,
+                               num_planes) @ weights  # (B, L)
+        return pd.Series(list(buckets))
+
+    return bucketize
+
+
 def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
                                    id_col: str = "vec_id",
                                    vec_col: str = "embedding",
                                    threshold: float = 0.9,
                                    num_planes: int | str = 8,
-                                   num_tables: int = 4) -> DataFrame:
+                                   num_tables: int = 4,
+                                   deduplicate: bool = True,
+                                   hash_impl: str = "native",
+                                   pair_impl: str = "explode") -> DataFrame:
     """Multi-table SRP near-dup pairs: the recall path promised in
     :func:`embedding_near_dups`'s docstring, as a real operator.
 
@@ -535,9 +587,134 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
     shuffle the full vectors (KBs/row at real dims) where
     deduplicating scored pairs shuffles 3 scalars/row — at 100 TB
     the shuffle bytes dominate the duplicate flops by orders of
-    magnitude."""
+    magnitude.
+
+    ``deduplicate=False`` returns the scored pairs BEFORE the
+    cross-table dedup (a pair appears once per table collision) —
+    the profiler's hook for timing that last exchange separately;
+    external callers should keep the default.
+
+    ``hash_impl`` / ``pair_impl`` select the physical shape of the
+    two phases B28_SCALE_PROFILE.json names as the wall
+    (``'native'``/``'explode'`` = the codegen'd expression path and
+    slice-explode pair generation; ``'arrow'``/``'kernel'`` = one
+    numpy matmul per Arrow batch via :func:`srp_buckets_batched` and
+    a per-bucket BLAS cosine matrix via ``applyInPandas``).  The
+    semantics are identical either way (same md5 plane family, same
+    threshold, same (doc_a < doc_b) orientation); see the bench A/B
+    notes at :func:`semantic_dedup.semantic_dedup_blocked` for which
+    shape wins at which plan size."""
     num_planes = resolve_num_planes(num_planes,
                                     lambda: embeddings.count())
+    if hash_impl not in ("native", "arrow"):
+        raise ValueError(f"hash_impl must be native|arrow, "
+                         f"got {hash_impl!r}")
+    if pair_impl not in ("explode", "kernel"):
+        raise ValueError(f"pair_impl must be explode|kernel, "
+                         f"got {pair_impl!r}")
+    if hash_impl == "arrow":
+        bucketize = srp_buckets_batched(dim, num_planes, num_tables)
+        tagged = (embeddings.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            l2_norm_fixed(vec_col, dim).alias("nrm"),
+            bucketize(F.col(vec_col)).alias("__bks"))
+            .select("doc", "v", "nrm",
+                    F.posexplode("__bks").alias("tbl", "bucket")))
+    else:
+        tagged = srp_multitable_tagged(embeddings, dim, id_col,
+                                       vec_col, num_planes, num_tables)
+    if pair_impl == "kernel":
+        scored = _srp_pairs_kernel(tagged, embeddings.schema,
+                                   id_col, threshold)
+    else:
+        grouped = tagged.groupBy("tbl", "bucket").agg(
+            F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
+        pairs = (
+            grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
+                   .select("a", F.expr("slice(ms, i + 2, size(ms))")
+                           .alias("rest"))
+                   .select("a", F.explode("rest").alias("b")))
+        scored = (
+            pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
+                             / (F.col("a.nrm") * F.col("b.nrm")))
+                 .where(F.col("cos") >= threshold)
+                 # same duplicate-id self-pair guard as the
+                 # single-table path (see embedding_near_dups)
+                 .where(F.col("a.doc") != F.col("b.doc"))
+                 .select(F.least("a.doc", "b.doc").alias("doc_a"),
+                         F.greatest("a.doc", "b.doc").alias("doc_b"),
+                         F.col("cos"))
+        )
+    if not deduplicate:
+        return scored
+    return scored.dropDuplicates(["doc_a", "doc_b"])
+
+
+def _srp_pairs_kernel(tagged: DataFrame, emb_schema, id_col: str,
+                      threshold: float) -> DataFrame:
+    """Per-bucket scored pairs via one BLAS cosine matrix per
+    ``(tbl, bucket)`` group (``applyInPandas``) — the ``'kernel'``
+    alternative to slice-explode pair generation.
+
+    Why the shapes differ: the explode path materializes TWO full
+    (doc, v, nrm) struct copies per candidate pair —
+    O(sum_b occ_b^2) vector copies — before a codegen'd dot; this
+    path Arrow-transfers each bucket's members ONCE (O(n·L) rows)
+    and computes all in-bucket cosines as a (m, dim) @ (dim, m)
+    matmul, emitting only above-threshold survivors.  Same output:
+    (doc_a < doc_b) orientation, self-pair guard on duplicate ids,
+    exact float64 cosine (BLAS blocked summation may round the last
+    ulp differently from the codegen'd fold — at real thresholds no
+    pair sits within 1e-15 of eps, and the profiler A/B verifies
+    pair-set equality on the bench corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    id_type = emb_schema[id_col].dataType.simpleString()
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=object),
+                                 "doc_b": pd.Series([], dtype=object),
+                                 "cos": pd.Series([], dtype=float)})
+        x = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["v"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        cos = (x @ x.T) / np.outer(nrm, nrm)
+        iu, ju = np.triu_indices(m, 1)
+        vals = cos[iu, ju]
+        keep = vals >= threshold
+        iu, ju, vals = iu[keep], ju[keep], vals[keep]
+        docs = pdf["doc"].to_numpy()
+        a, b = docs[iu], docs[ju]
+        # duplicate-id self-pair guard + (doc_a < doc_b) orientation
+        ne = a != b
+        a, b, vals = a[ne], b[ne], vals[ne]
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos": vals})
+
+    return (tagged.groupBy("tbl", "bucket")
+            .applyInPandas(kernel,
+                           f"doc_a {id_type}, doc_b {id_type}, "
+                           f"cos double"))
+
+
+def srp_multitable_tagged(embeddings: DataFrame, dim: int,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          num_planes: int = 8,
+                          num_tables: int = 4) -> DataFrame:
+    """The multitable path's hash + fan-out stage, exposed the way
+    ``dedup.minhash_signatures`` exposes q19's: one pass computes
+    all L bucket ids per row (L x p codegen'd sign-dot-products) and
+    ``posexplode`` fans each vector into L ``(tbl, bucket)`` rows
+    carrying ``(doc, v, nrm)``.  `bench.py --profile-b28` times this
+    stage separately from the groupBy shuffle / scoring / pair-dedup
+    it feeds, so the phase that carries b28's n^(1+rho) wall is a
+    recorded number instead of a guess."""
     buckets = [srp_bucket(vec_col, dim, num_planes,
                           plane_offset=t * num_planes).alias(f"__b{t}")
                for t in range(num_tables)]
@@ -546,30 +723,11 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
         F.col(vec_col).alias("v"),
         l2_norm_fixed(vec_col, dim).alias("nrm"),
         *buckets)
-    tagged = emb.select(
+    return emb.select(
         "doc", "v", "nrm",
         F.posexplode(F.array(*[F.col(f"__b{t}")
                                for t in range(num_tables)]))
          .alias("tbl", "bucket"))
-    grouped = tagged.groupBy("tbl", "bucket").agg(
-        F.collect_list(F.struct("doc", "v", "nrm")).alias("ms"))
-    pairs = (
-        grouped.select(F.posexplode("ms").alias("i", "a"), "ms")
-               .select("a", F.expr("slice(ms, i + 2, size(ms))")
-                       .alias("rest"))
-               .select("a", F.explode("rest").alias("b")))
-    return (
-        pairs.withColumn("cos", dot_fixed("a.v", "b.v", dim)
-                         / (F.col("a.nrm") * F.col("b.nrm")))
-             .where(F.col("cos") >= threshold)
-             # same duplicate-id self-pair guard as the single-table
-             # path (see embedding_near_dups)
-             .where(F.col("a.doc") != F.col("b.doc"))
-             .select(F.least("a.doc", "b.doc").alias("doc_a"),
-                     F.greatest("a.doc", "b.doc").alias("doc_b"),
-                     F.col("cos"))
-             .dropDuplicates(["doc_a", "doc_b"])
-    )
 
 
 # ---------------------------------------------------------------------------
