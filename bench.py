@@ -1434,11 +1434,20 @@ SCALE_ENTRIES_X100 = [
 #: root-caused >= n^1.5 cell shape, still marginal-gate-EXEMPT, its
 #: 300x point recorded to show whether the exponent keeps climbing
 #: toward the bound or plateaus.
+#: b12 is deliberately NOT in the 300x tier: its gram-length dial
+#: SATURATES there — lossless positional blocking needs
+#: (d+1)*q <= 40 (the fixed comparison window), capping q at 10 for
+#: d=3, and a 300x attempt at q=10 left two hot-gram straggler tasks
+#: pinned for 50+ minutes (the same birthday cliff the dial exists
+#: to control, now uncontrollable within the window).  That is an
+#: OPERATING BOUNDARY of the blocking family, recorded in
+#: scale_knobs: past ~100x at this window/distance, edit-distance
+#: joins need a different blocking (longer windows, or deletion-
+#: neighborhood keys), not a bigger q.
 SCALE_ENTRIES_X300 = [
     "b05_curate",
     "b09_incremental_dedup",
     "b11_ivfpq_topk",
-    "b12_fuzzy_join",
     "b13_semantic_dedup",
     "b16_fuzzy_decontam",
     "b22_rejection_audit",
@@ -1994,7 +2003,13 @@ def run_scale() -> None:
         "q=4/100x), while per-replica collision density decays "
         "~0.6x per +1 of q (12.7M/7.8M/4.9M/1.2M at q=4/5/6/8) — "
         "the same occupancy law as q48's SRP planes; lossless for "
-        "the fixed 40-char windows while (d+1)*q <= 40")
+        "the fixed 40-char windows while (d+1)*q <= 40.  r12: the "
+        "dial SATURATES at 300x — q is capped at 10 by the window "
+        "((d+1)*q <= 40) and a 300x/q=10 attempt left two hot-gram "
+        "straggler tasks pinned 50+ min, so b12 stops at the 100x "
+        "tier by design: past ~100x at this window/distance the "
+        "blocking family itself is the limit (use longer windows or "
+        "deletion-neighborhood keys), not the q knob")
     rec["scale_knobs"]["b09_incremental_dedup"] = (
         "index built with write_minhash_index(num_hashes='auto', "
         "threshold=0.6) — the index-side twin of q19's banding knob: "
