@@ -1429,11 +1429,17 @@ SCALE_ENTRIES_X100 = [
 #: — re-verified one more half-decade out (300x = 1.5M docs / 600k
 #: vectors), re-planned per decade the way a deployment would.
 #: r11 verdict item 3 extended the tier to the remaining
-#: scale-sensitive entries (b05/b11/b12/b16/b22, healthy 100x
-#: exponents 0.52/0.08/0.32/0.36/0.41) and item 5 added b13 — the
-#: root-caused >= n^1.5 cell shape, still marginal-gate-EXEMPT, its
-#: 300x point recorded to show whether the exponent keeps climbing
-#: toward the bound or plateaus.
+#: scale-sensitive entries (b05/b11/b16/b22, healthy 100x exponents
+#: 0.52/0.08/0.36/0.41).  Item 5 asked for b13's 300x point: the
+#: attempt OOM'd the 8 GB local driver during the warm-up pass
+#: (per-cell pair materialization, java.lang.OutOfMemoryError in
+#: the cached-assignment build) — the root-caused n^1.5 term
+#: hitting the MEMORY wall before the time wall at 600k vectors x
+#: 4800 cells.  That is the 300x data point: the cell shape is
+#: structurally out of room one half-decade past 100x on a single
+#: node, and b28 (measured sub-quadratic, same semantics) is the
+#: deployment path.  Recorded in scale_knobs; b13 stays a
+#: 10x/100x-tier entry.
 #: b12 is deliberately NOT in the 300x tier: its gram-length dial
 #: SATURATES there — lossless positional blocking needs
 #: (d+1)*q <= 40 (the fixed comparison window), capping q at 10 for
@@ -1448,7 +1454,6 @@ SCALE_ENTRIES_X300 = [
     "b05_curate",
     "b09_incremental_dedup",
     "b11_ivfpq_topk",
-    "b13_semantic_dedup",
     "b16_fuzzy_decontam",
     "b22_rejection_audit",
     "b28_semantic_dedup_blocked",
@@ -2043,7 +2048,12 @@ def run_scale() -> None:
         "the cell shape's bound, but not linear.  b13 benchmarks the "
         "centroid-cell SHAPE and is exempted from the marginal-"
         "decade gate with this note (cumulative 100x ratio still "
-        "clears the 120x gate)")
+        "clears the 120x gate).  r12: the 300x attempt OOM'd the "
+        "8 GB local driver during the warm-up pass (per-cell pair "
+        "materialization) — the n^1.5 term hitting the memory wall "
+        "before the time wall at 600k vectors x 4800 cells; that IS "
+        "the 300x data point, so b13's curve stops at 100x on this "
+        "harness and b28 carries the semantics past it")
     rec["scale_knobs"]["q19_minhash_dedup"] = (
         "banding (b, r) = (4 + 2*ceil(log10(factor)), "
         "4 + ceil(log10(factor))): with fixed (4, 4) the LSH "
