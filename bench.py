@@ -1450,12 +1450,14 @@ SCALE_ENTRIES_X100 = [
 #: scale_knobs: past ~100x at this window/distance, edit-distance
 #: joins need a different blocking (longer windows, or deletion-
 #: neighborhood keys), not a bigger q.
+#: b05/b11/b16/b22 join this tier only WITH their measured record:
+#: the r12 pre-stop session added the names before running the tier
+#: and the registry test rightly failed on the coverage gap.  They
+#: are appended below the moment BENCH_SCALE.json carries their 300x
+#: entries (the tier re-run happens at the end of the optimization
+#: round so the record reflects the shipped code).
 SCALE_ENTRIES_X300 = [
-    "b05_curate",
     "b09_incremental_dedup",
-    "b11_ivfpq_topk",
-    "b16_fuzzy_decontam",
-    "b22_rejection_audit",
     "b28_semantic_dedup_blocked",
     "q19_minhash_dedup",
     "q48_embedding_dups_blocked",
