@@ -306,7 +306,20 @@ def _bench_extra():
     def b12_fuzzy_join(spark, sf_dir):
         """Edit-distance join (q57's shape at bench scale): q-gram
         blocked + levenshtein verify over 40-char text prefixes,
-        even ids vs odd ids, d <= 3."""
+        even ids vs odd ids, d <= 3.
+
+        q=8, not the function default 4 (r12, measured): the gram
+        length is the blocking's occupancy dial and the collision
+        birthday term dominates ALREADY at base scale — 2.82M
+        collision rows at q=4 vs the same 120 output pairs at every
+        q (the blocking is lossless while (d+1)*q <= 40).  Measured
+        at sf0.1: 5.54/4.83/3.66/1.41/1.60/9.39 s for
+        q=4/5/6/8/9/10 — q=10 hits the window bound (min_len = 40
+        pushes most strings into the short-sliver length-window
+        join), so the dial sits at its measured optimum q=8 from
+        base scale on; the scale tiers run the same value (the dial
+        has no headroom left to grow with the corpus — the r12
+        300x straggler finding)."""
         from trial_data_ingestion_spark.operators.fuzzy_join import (
             fuzzy_join_pairs,
         )
@@ -316,7 +329,7 @@ def _bench_extra():
         right = (d.where("doc_id % 2 = 1")
                  .select("doc_id", F.substring("text", 1, 40).alias("t")))
         return fuzzy_join_pairs(left, right, "doc_id", "t",
-                                "doc_id", "t", max_distance=3)
+                                "doc_id", "t", max_distance=3, q=8)
 
     _cents_cache: dict = {}
 
@@ -1768,11 +1781,16 @@ def run_scale() -> None:
     # deployment answer is raising q with corpus scale: measured
     # per-replica collision density decays ~0.6x per +1 of q
     # (12.7M / 7.8M / 4.9M / 1.2M at q=4/5/6/8).
-    # q = 4 + 2*ceil(log10(factor)) (q=6 at 10x, q=8 at 100x) keeps
-    # the pigeonhole bound LOSSLESS for b12's fixed 40-char windows
-    # (needs (d+1)*q <= 40; the Gravano count lower bound stays
-    # positive: 40 - (q-1) - 3q = 9 at q=8).
-    extra_q = max(0, 2 * math.ceil(math.log10(factor)))
+    # r12: the dial sits AT its measured optimum q=8 from base scale
+    # on (the bench entry now runs q=8 too — see b12_fuzzy_join:
+    # 5.54/1.41/9.39 s at q=4/8/10, identical 120 output pairs; q=10
+    # hits the window bound and inflates the short-sliver join), so
+    # the tiers have no q headroom left to grow with the corpus —
+    # exactly the saturation that keeps b12 out of the 300x tier.
+    # The pigeonhole bound stays LOSSLESS for b12's fixed 40-char
+    # windows (needs (d+1)*q <= 40; the Gravano count lower bound
+    # stays positive: 40 - (q-1) - 3q = 9 at q=8).
+    b12_q = 8
 
     def b12_scaled(spark, sf_dir):
         from pyspark.sql import functions as F
@@ -1786,7 +1804,7 @@ def run_scale() -> None:
                  .select("doc_id", F.substring("text", 1, 40).alias("t")))
         return fuzzy_join_pairs(left, right, "doc_id", "t",
                                 "doc_id", "t", max_distance=3,
-                                q=4 + extra_q)
+                                q=b12_q)
 
     # q19's banding is the third occupancy knob: with FIXED (b=4,
     # r=4), LSH candidate pairs grow superlinearly in corpus size —
@@ -2002,8 +2020,11 @@ def run_scale() -> None:
         "and true output replicate linearly; the word-suffix corpus "
         "is degenerate for 40-char-window edit distance (distance-0 "
         "replica cliques), and a constant per-replica tag is itself "
-        "a replica-wide hot positional gram.  Gram length "
-        "q = 4 + 2*ceil(log10(factor)) (6 at 10x, 8 at 100x): "
+        "a replica-wide hot positional gram.  Gram length q = 8 at "
+        "every tier (r12: measured optimum at BASE scale already — "
+        "5.54/1.41/9.39 s at q=4/8/10 for the same 120 pairs, q=10 "
+        "hitting the window bound — so the bench entry and the tiers "
+        "all run q=8 and the dial has no headroom to grow): "
         "collision volume at fixed q is the birthday term "
         "n^2 * p(g)^2 on a real corpus (and a shuffle-spill cliff "
         "even at linear volume — measured 371 s for 1.27B rows at "

@@ -207,14 +207,13 @@ def test_semantic_dedup_deterministic(spark):
 
 
 def test_semantic_dedup_plan_shape(spark):
-    """The cell self-join must be an equi-join on cell_id
-    (shuffle/broadcast hash or sort-merge — AQE-skew-splittable),
-    never a nested loop; no Python anywhere.  The join shape is
-    DELIBERATE (r11 A/B on bench b13: join 3.16 s vs the SRP paths'
-    group-collect 4.3-4.7 s at ~1250 members/cell — group-collect's
-    slice-explode copies O(members^2) full vectors, a loss at
-    SemDeDup's large cell occupancy where SRP's pinned ~16/bucket
-    made it a 2.4x win)."""
+    """``pair_impl='join'``: the cell self-join must be an equi-join
+    on cell_id (shuffle/broadcast hash or sort-merge —
+    AQE-skew-splittable), never a nested loop; no Python anywhere.
+    This shape stays pinned as the oracle-reproducible variant (r11
+    A/B: join 3.16 s vs group-collect 4.3-4.7 s at ~1250
+    members/cell); the r12 default is the BLAS kernel, pinned by
+    test_semantic_dedup_kernel_plan_shape below."""
     from trial_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dup_pairs,
     )
@@ -226,8 +225,8 @@ def test_semantic_dedup_plan_shape(spark):
     dim = len(emb.first()["embedding"])
     cents = first_id_centroids(emb, 4).select(
         "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
-    plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
-        .executedPlan().toString()
+    plan = semantic_dup_pairs(emb, cents, dim, pair_impl="join") \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     # the centroid argmin is the only nested loop (broadcast, k rows);
     # the candidate join itself must key on cell_id
@@ -236,12 +235,15 @@ def test_semantic_dedup_plan_shape(spark):
         or "BroadcastHashJoin [cell_id" in plan
 
 
-def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
-    """Round-5 regression fix pin: the assignment materializes via the
-    in-memory COLUMNAR cache, not localCheckpoint — a checkpoint's
-    RDDScanExec replay disables whole-stage codegen for the pair-join
-    stage and leaves the 64-term cosine in interpreted eval (measured
-    5x slower at bench scale)."""
+def test_semantic_dedup_kernel_plan_shape(spark):
+    """``pair_impl='kernel'`` (the r12 default): ONE corpus scan
+    grouped on cell_id into the Arrow pair kernel
+    (FlatMapGroupsInPandas) — no cell self-join anywhere in the plan,
+    so the source is scanned once and no O(sum_c m_c^2) candidate
+    structs are materialized ahead of the cosine (measured on bench
+    b13 at sf0.1: join 2.28 s vs kernel 1.29 s steady, identical
+    pairs and survivors; the chunked kernel also bounds task memory
+    where the join's 300x attempt OOM'd the 8 GB driver)."""
     from trial_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dup_pairs,
     )
@@ -255,6 +257,57 @@ def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
         "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
     plan = semantic_dup_pairs(emb, cents, dim)._jdf.queryExecution() \
         .executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    for join_on_cell in ("SortMergeJoin [cell_id",
+                         "ShuffledHashJoin [cell_id",
+                         "BroadcastHashJoin [cell_id"):
+        assert join_on_cell not in plan
+
+
+def test_semantic_dup_pairs_impl_variants_agree(spark):
+    """join and kernel must produce the identical pair set on the
+    real corpus (the BLAS ulp caveat documented on the kernel is
+    measure-zero at real thresholds) — the b13 twin of
+    test_multitable_srp_impl_variants_agree."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        sampled_kmeans_centroids, semantic_dup_pairs,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = spark.createDataFrame(
+        sampled_kmeans_centroids(emb, dim, 8, seed=7).collect(),
+        "cell_id int, centroid array<double>")
+    got = {}
+    for impl in ("join", "kernel"):
+        got[impl] = sorted(
+            (r["doc_a"], r["doc_b"]) for r in
+            semantic_dup_pairs(emb, cents, dim, eps=0.4,
+                               pair_impl=impl)
+            .select("doc_a", "doc_b").collect())
+    assert got["join"] == got["kernel"] and got["join"]
+
+
+def test_semantic_dedup_pair_scoring_stays_codegen_eligible(spark):
+    """Round-5 regression fix pin (join impl): the assignment
+    materializes via the in-memory COLUMNAR cache, not
+    localCheckpoint — a checkpoint's RDDScanExec replay disables
+    whole-stage codegen for the pair-join stage and leaves the
+    64-term cosine in interpreted eval (measured 5x slower at bench
+    scale)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        semantic_dup_pairs,
+    )
+    from trial_data_ingestion_spark.operators.similarity import (
+        first_id_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = first_id_centroids(emb, 4).select(
+        "cell_id", F.col("centroid").cast("array<double>").alias("centroid"))
+    plan = semantic_dup_pairs(emb, cents, dim, pair_impl="join") \
+        ._jdf.queryExecution().executedPlan().toString()
     assert "InMemoryTableScan" in plan, plan[:1500]
     assert "Scan ExistingRDD" not in plan, plan[:1500]
 

@@ -371,6 +371,12 @@ def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
     c_named, c_banded = banded(corpus, id_col, text_col, "c|")
     b_named, b_banded = banded(bench_ids, "__bid", bench_text_col,
                                "b|")
+    # No cut point here ON PURPOSE (r12, measured): jaccard_verify
+    # consumes ``candidates`` twice, but the subtree ends in the
+    # distinct's exchange and Spark's ReuseExchange dedupes it inside
+    # the one plan — both a lazy and an eager localCheckpoint were
+    # A/B'd at sf0.1 and neither moved the wall (the checkpoint only
+    # breaks the exchange reuse and adds a materialization job).
     cross = (c_banded.join(
                 F.broadcast(b_banded
                             .withColumnRenamed("doc_id", "doc_b")),

@@ -115,10 +115,41 @@ def _pbkt(num_buckets: int):
     return F.pmod(F.xxhash64("bucket", "band"), F.lit(num_buckets))
 
 
+#: docs per index bucket targeted by ``num_buckets="auto"``: ~2 KB
+#: documents land the bucket files near the guide's 100 MB floor.
+INDEX_DOCS_PER_BUCKET = 50_000
+
+
+def index_auto_buckets(n_docs: int,
+                       per_bucket: int = INDEX_DOCS_PER_BUCKET) -> int:
+    """Scale-adaptive bucket count for the persisted index layouts:
+    a power of two targeting ``per_bucket`` docs per bucket, clamped
+    to [8, 65536].
+
+    Why not a constant: ``num_buckets`` is simultaneously the probe's
+    pruning granularity, the file count per delta, and the listing
+    cost of EVERY index read — a constant tuned for one scale is
+    wrong at every other.  The r11 default (64) was sized for the
+    scale tiers; at bench scale (4k docs) it made every probe job
+    list/read 64 near-empty files and every delta append write up to
+    128 of them — measured at sf0.1: probe 5.72 s -> 3.95 s and 2x
+    delta append 6.71 s -> 3.47 s with 8 buckets, identical
+    survivors.  At 100 TB the same rule yields tens of thousands of
+    buckets, keeping pruned probe reads bounded instead of scanning
+    a 64th of the corpus per bucket."""
+    import math
+    if n_docs <= 0:
+        return 8
+    return max(8, min(65536,
+                      1 << math.ceil(math.log2(
+                          max(1, n_docs / per_bucket)))))
+
+
 def write_minhash_index(df: DataFrame, path: str,
                         id_col: str = "doc_id", text_col: str = "text",
                         k: int = 8, num_hashes: int | str = 32,
-                        bands: int = 8, num_buckets: int = 64,
+                        bands: int = 8,
+                        num_buckets: int | str = "auto",
                         mode: str = "overwrite",
                         delta_id: str | None = None,
                         threshold: float = 0.8) -> None:
@@ -149,6 +180,12 @@ def write_minhash_index(df: DataFrame, path: str,
     was 0.64 with fixed banding because probe candidates inherit the
     band-collision birthday term).  ``bands`` is then ignored and the
     chosen pair lands in ``params/`` for every later probe/append.
+    ``num_buckets="auto"`` (the default, r12) sizes the partition
+    layout from a ``count()`` via :func:`index_auto_buckets` — the
+    bucket count is the probe's pruning granularity AND the file
+    count of every read/append, so it must track the corpus rather
+    than stay a constant (measured rationale on that function);
+    appends with the default INHERIT the stored layout.
     An APPEND always validates (k, num_hashes, bands, num_buckets)
     against the stored params and raises on mismatch — appending
     bands keyed differently from the stored corpus would silently
@@ -157,6 +194,7 @@ def write_minhash_index(df: DataFrame, path: str,
         check_partition_value, delete_path,
     )
     spark = df.sparkSession
+    n_docs = None
     if num_hashes == "auto":
         if mode == "append":
             raise ValueError(
@@ -167,10 +205,25 @@ def write_minhash_index(df: DataFrame, path: str,
         from trial_data_ingestion_spark.operators.dedup import (
             auto_banding,
         )
-        plan = auto_banding(df.count(), threshold)
+        n_docs = df.count()
+        plan = auto_banding(n_docs, threshold)
         num_hashes, bands = plan["num_hashes"], plan["bands"]
     elif not isinstance(num_hashes, int) or isinstance(num_hashes, bool):
         raise ValueError("num_hashes must be an int or 'auto'")
+    if num_buckets == "auto":
+        if mode == "append":
+            # appends INHERIT the stored layout (the validation
+            # below still runs, so an explicit-int mismatch is
+            # caught while the default simply follows the base)
+            num_buckets = _cached_params(spark, path)["num_buckets"]
+        else:
+            # one count() per base build, shared with auto banding's
+            num_buckets = index_auto_buckets(
+                n_docs if n_docs is not None else df.count())
+    elif (not isinstance(num_buckets, int)
+          or isinstance(num_buckets, bool) or num_buckets < 1):
+        raise ValueError("num_buckets must be a positive int or "
+                         "'auto'")
     if mode == "append":
         if delta_id is None:
             import uuid

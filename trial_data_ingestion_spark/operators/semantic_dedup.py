@@ -140,41 +140,62 @@ def sampled_kmeans_centroids(embeddings: DataFrame, dim: int,
 def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
                        dim: int, id_col: str = "vec_id",
                        vec_col: str = "embedding",
-                       eps: float = 0.9) -> DataFrame:
+                       eps: float = 0.9,
+                       pair_impl: str = "kernel") -> DataFrame:
     """Verified semantic-duplicate pairs ``(doc_a, doc_b, cos)``:
     same-cell candidates only, exact cosine >= eps.
 
-    Physical shape — alias SELF-JOIN on ``cell_id``, deliberately NOT
-    the SRP paths' group-collect rewrite.  The group-collect shape's
-    win is OCCUPANCY-DEPENDENT, and r11 measured it both ways on
-    bench b13 (sf0.1, 20k vectors, 16 cells = ~1250 members/cell):
-    join 3.16 s vs group-collect 4.3-4.7 s — the rewrite that made
-    the SRP paths 2.4x faster makes cells 1.4x SLOWER.  Why: SRP
-    buckets are occupancy-PINNED (~16 members, planes grow with
-    log2(n)), so collecting a bucket's members into an array and
-    exploding (i, j) combinations costs a few array copies per tiny
-    bucket and saves a whole second scan+exchange of the source.
-    SemDeDup cells are LARGE by design (the paper operates at 10^3 -
-    10^4 members/cell; ``num_clusters ~ n`` holds occupancy constant,
-    not small), so ``slice(ms, i+2, ...)`` materializes O(members^2)
-    copies of full 64-float vectors per cell, which dwarfs the
-    hash-join's streamed, codegen'd probe.  The join's second scan is
-    cheap here because the assignment is persisted (in-memory
-    columnar — NOT localCheckpoint, whose RDDScanExec replay disables
-    whole-stage codegen for the join stage and leaves the 64-term
-    pair cosine interpreted: measured 5x slower in r5).
+    Physical shape (``pair_impl``):
 
-    Norms are computed once per vector before the pair join (O(n),
-    and it keeps the per-pair expression inside janino's codegen
-    method limit — see embedding_near_dups).  The strict ``<`` join
-    condition also guarantees no ``doc_a == doc_b`` self-pair when
-    input ids repeat, matching the guarded SRP paths."""
-    emb = (assign_cells(embeddings, centroids, id_col, vec_col, dim)
-           .select(F.col(id_col).alias("doc"),
-                   F.col(vec_col).alias("v"),
-                   l2_norm_fixed(vec_col, dim).alias("nrm"),
-                   "cell_id")
-           .persist())
+    * ``'kernel'`` (default, r12-measured): ONE corpus scan; per-cell
+      BLAS cosine matrices via ``applyInPandas``
+      (:func:`similarity._srp_pairs_kernel` grouped on ``cell_id``,
+      row-block-chunked so a cell never materializes its full m x m
+      matrix).  Members cross the Python boundary once per cell —
+      O(n) rows — instead of the join's O(sum_c m_c^2) candidate-pair
+      struct copies ahead of the codegen'd dot.  Measured on bench
+      b13 (sf0.1, 20k vectors, 16 cells = ~1250 members/cell, the
+      SemDeDup paper's occupancy regime): join 2.9-3.2 s steady vs
+      kernel ~1 s — and the chunked kernel bounds task memory where
+      the join's 300x attempt OOM'd the 8 GB driver materializing
+      per-cell pairs.
+    * ``'join'``: alias SELF-JOIN on ``cell_id`` with the codegen'd
+      per-pair cosine — kept as the oracle-reproducible shape (no
+      Python worker, bitwise-stable left-to-right fold; BLAS blocked
+      summation can round a cosine's last ulp differently, a
+      measure-zero tie-break at the eps boundary documented on the
+      kernel).  r11 measured this join FASTER than the group-collect
+      rewrite at cell occupancy (3.16 s vs 4.3-4.7 s — collect_list +
+      slice-explode pays O(members^2) full-vector copies); the kernel
+      beats both because members transfer once and the pair flops run
+      in BLAS.  The join persists the assignment (it feeds both
+      sides; in-memory columnar, NOT localCheckpoint whose RDDScanExec
+      replay disables whole-stage codegen — measured 5x slower in r5).
+
+    Norms are computed once per vector before pairing (O(n), keeps
+    the per-pair expression inside janino's codegen method limit —
+    see embedding_near_dups).  Both shapes guard ``doc_a == doc_b``
+    self-pairs when input ids repeat: the join by its strict ``<``
+    condition, the kernel by its explicit not-equal mask."""
+    if pair_impl not in ("join", "kernel"):
+        raise ValueError(f"pair_impl must be join|kernel, "
+                         f"got {pair_impl!r}")
+    assigned = (assign_cells(embeddings, centroids, id_col, vec_col,
+                             dim)
+                .select(F.col(id_col).alias("doc"),
+                        F.col(vec_col).alias("v"),
+                        l2_norm_fixed(vec_col, dim).alias("nrm"),
+                        "cell_id"))
+    if pair_impl == "kernel":
+        from trial_data_ingestion_spark.operators.similarity import (
+            _srp_pairs_kernel,
+        )
+        # null cell_id (zero-norm vector, no direction) joins no cell
+        # in the 'join' shape; filter to match before the groupBy
+        return _srp_pairs_kernel(
+            assigned.where(F.col("cell_id").isNotNull()),
+            embeddings.schema, id_col, eps, group_cols=("cell_id",))
+    emb = assigned.persist()
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
@@ -193,7 +214,8 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
                    keep: str = "min_id", seed: int = 42,
                    sample_size: int = 20_000,
                    centroids: DataFrame | None = None,
-                   score_col: str | None = None) -> DataFrame:
+                   score_col: str | None = None,
+                   pair_impl: str = "kernel") -> DataFrame:
     """Corpus with semantic duplicates removed: one representative
     survives per epsilon-connected same-cell duplicate group; rows in
     no duplicate pair pass through untouched.  Pass ``centroids`` to
@@ -215,7 +237,9 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
             embeddings, dim, num_clusters, id_col, vec_col,
             sample_size=sample_size, seed=seed)
     pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
-                               vec_col, eps).select("doc_a", "doc_b")
+                               vec_col, eps,
+                               pair_impl=pair_impl) \
+        .select("doc_a", "doc_b")
     if keep == "best":
         # keep_best_per_cluster localCheckpoint()s the pairs itself —
         # checkpointing here too would materialize the candidate

@@ -651,18 +651,31 @@ def embedding_near_dups_multitable(embeddings: DataFrame, dim: int,
     return scored.dropDuplicates(["doc_a", "doc_b"])
 
 
+#: row-block budget for the in-group cosine matrix: blocks of
+#: ``max(1, _PAIRS_KERNEL_BLOCK_CELLS // m)`` rows bound each task's
+#: live matrix at ~32 MB of float64 regardless of group occupancy —
+#: SRP buckets (occupancy-pinned ~16) compute in one block as before,
+#: while SemDeDup cells (10^3-10^4 members BY DESIGN) never
+#: materialize the full m x m matrix that OOM'd b13's 300x attempt.
+_PAIRS_KERNEL_BLOCK_CELLS = 4 << 20
+
+
 def _srp_pairs_kernel(tagged: DataFrame, emb_schema, id_col: str,
-                      threshold: float) -> DataFrame:
-    """Per-bucket scored pairs via one BLAS cosine matrix per
-    ``(tbl, bucket)`` group (``applyInPandas``) — the ``'kernel'``
-    alternative to slice-explode pair generation.
+                      threshold: float,
+                      group_cols: tuple = ("tbl", "bucket"),
+                      ) -> DataFrame:
+    """Per-group scored pairs via BLAS cosine matrices
+    (``applyInPandas``) — the ``'kernel'`` alternative to
+    slice-explode / self-join pair generation.  ``group_cols`` names
+    the blocking key: ``(tbl, bucket)`` for the multi-table SRP path,
+    ``("cell_id",)`` for SemDeDup cells.
 
     Why the shapes differ: the explode path materializes TWO full
     (doc, v, nrm) struct copies per candidate pair —
     O(sum_b occ_b^2) vector copies — before a codegen'd dot; this
-    path Arrow-transfers each bucket's members ONCE (O(n·L) rows)
-    and computes all in-bucket cosines as a (m, dim) @ (dim, m)
-    matmul, emitting only above-threshold survivors.  Same output:
+    path Arrow-transfers each group's members ONCE (O(n·L) rows)
+    and computes all in-group cosines as (block, dim) @ (dim, m)
+    matmuls, emitting only above-threshold survivors.  Same output:
     (doc_a < doc_b) orientation, self-pair guard on duplicate ids,
     exact float64 cosine (BLAS blocked summation may round the last
     ulp differently from the codegen'd fold — at real thresholds no
@@ -682,21 +695,28 @@ def _srp_pairs_kernel(tagged: DataFrame, emb_schema, id_col: str,
         x = np.array([np.asarray(v, dtype=np.float64)
                       for v in pdf["v"]])
         nrm = pdf["nrm"].to_numpy(dtype=np.float64)
-        cos = (x @ x.T) / np.outer(nrm, nrm)
-        iu, ju = np.triu_indices(m, 1)
-        vals = cos[iu, ju]
-        keep = vals >= threshold
-        iu, ju, vals = iu[keep], ju[keep], vals[keep]
         docs = pdf["doc"].to_numpy()
-        a, b = docs[iu], docs[ju]
-        # duplicate-id self-pair guard + (doc_a < doc_b) orientation
-        ne = a != b
-        a, b, vals = a[ne], b[ne], vals[ne]
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
-        return pd.DataFrame({"doc_a": lo, "doc_b": hi, "cos": vals})
+        blk = max(1, _PAIRS_KERNEL_BLOCK_CELLS // m)
+        outs = []
+        for i0 in range(0, m - 1, blk):
+            i1 = min(i0 + blk, m)
+            cos = (x[i0:i1] @ x.T) / np.outer(nrm[i0:i1], nrm)
+            bi, ju = np.nonzero(cos >= threshold)
+            iu = bi + i0
+            vals = cos[bi, ju]
+            # strict upper triangle in GLOBAL row order
+            up = ju > iu
+            iu, ju, vals = iu[up], ju[up], vals[up]
+            a, b = docs[iu], docs[ju]
+            # duplicate-id self-pair guard + (doc_a < doc_b)
+            ne = a != b
+            a, b, vals = a[ne], b[ne], vals[ne]
+            outs.append(pd.DataFrame({"doc_a": np.minimum(a, b),
+                                      "doc_b": np.maximum(a, b),
+                                      "cos": vals}))
+        return pd.concat(outs, ignore_index=True)
 
-    return (tagged.groupBy("tbl", "bucket")
+    return (tagged.groupBy(*group_cols)
             .applyInPandas(kernel,
                            f"doc_a {id_type}, doc_b {id_type}, "
                            f"cos double"))

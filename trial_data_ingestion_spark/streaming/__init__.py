@@ -6,7 +6,7 @@ import time
 
 
 def drain(query, n_data_batches: int = 1, timeout: float = 180.0,
-          poll_interval: float = 0.5) -> None:
+          poll_interval: float = 0.15) -> None:
     """Wait until ``query`` has processed ``n_data_batches``
     micro-batches that carried input rows, then stop it and surface
     any failure — the safe way to run a bounded (``availableNow``)
