@@ -679,12 +679,20 @@ def _bench_extra():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .select(F.col("doc_id").alias("vec_id"), "text")
+        # assign on vectors ONLY and attach text to the one branch
+        # that reads it (r12, guide §4/§8): cluster_documents is a
+        # mapInPandas kernel over ALL its input columns, so joining
+        # text first shipped ~2 KB/row through the Python boundary
+        # BOTH ways for three consumers that never read it (A/B'd
+        # interleaved at sf0.1: med -9%, identical results; the win
+        # grows with payload width at scale)
         assigned = cluster_documents(
-            emb.join(docs, "vec_id"), dim=64, num_clusters=16).persist()
+            emb, dim=64, num_clusters=16).persist()
         prof = cluster_profile(assigned).agg(
             F.count(F.lit(1)).alias("n_cells"),
             F.sum("n_docs").alias("n_assigned"))
-        kw = cluster_keywords(assigned, text_col="text", top_k=10) \
+        kw = cluster_keywords(assigned.join(docs, "vec_id"),
+                              text_col="text", top_k=10) \
             .agg(F.count(F.lit(1)).alias("n_keywords"))
         pruned = prune_prototypicality(assigned, drop_low_frac=0.05,
                                        drop_high_frac=0.05)

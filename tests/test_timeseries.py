@@ -201,3 +201,27 @@ def test_series_motifs_mode_guard(spark):
                                "user_id long, ts timestamp, value double")
     with pytest.raises(ValueError, match="motif"):
         series_motifs(df, m=8, mode="weird")
+
+
+def test_grouped_kernel_exchange_is_pinned_full_width(spark):
+    """r12 fan-out pin: the grouped Arrow kernel's exchange must be
+    the explicit full-parallelism keyed repartition — AQE coalesces
+    shuffles by BYTES and starved the compute-bound scoring stage (2
+    tasks on a 32-core master before the fix).  Exactly ONE exchange
+    on __key (the groupBy reuses the repartition's partitioning), at
+    max(defaultParallelism, spark.sql.shuffle.partitions)."""
+    import re
+
+    from trial_data_ingestion_spark.operators.timeseries import (
+        subsequence_topk,
+    )
+    from tests.conftest import SF_DIR_ORACLE
+    from trial_data_ingestion_spark.plans.library import _events
+    ev = _events(spark, SF_DIR_ORACLE)
+    plan = subsequence_topk(ev, [0.0, 1.0, 0.0, -1.0], k=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    n = max(spark.sparkContext.defaultParallelism,
+            int(spark.conf.get("spark.sql.shuffle.partitions")))
+    keyed = re.findall(r"hashpartitioning\(__key#\d+L?, (\d+)\)", plan)
+    assert keyed and all(int(x) == n for x in keyed), (n, keyed, plan[:800])
+    assert plan.count("Exchange hashpartitioning(__key") == 1, plan[:800]

@@ -716,7 +716,16 @@ def _srp_pairs_kernel(tagged: DataFrame, emb_schema, id_col: str,
                                       "cos": vals}))
         return pd.concat(outs, ignore_index=True)
 
-    return (tagged.groupBy(*group_cols)
+    from trial_data_ingestion_spark.session import keyed_parallelism
+
+    # keyed_parallelism pins the grouped kernel's fan-out: AQE sizes
+    # the groupBy exchange by BYTES and a bucket layout that is small
+    # on disk but heavy per group (BLAS matmuls) gets coalesced onto
+    # a couple of tasks (see session.keyed_parallelism; measured on
+    # b20's sibling kernel: 2 tasks on 32 cores).  groupBy on the
+    # same columns reuses this exchange — no extra shuffle.
+    return (keyed_parallelism(tagged, *group_cols)
+            .groupBy(*group_cols)
             .applyInPandas(kernel,
                            f"doc_a {id_type}, doc_b {id_type}, "
                            f"cos double"))

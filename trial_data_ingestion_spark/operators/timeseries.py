@@ -34,7 +34,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from trial_data_ingestion_spark.session import ensure_parallelism
+from trial_data_ingestion_spark.session import keyed_parallelism
 
 
 #: pattern length above which the FFT sliding dot product wins over
@@ -135,10 +135,16 @@ def subsequence_topk(events: DataFrame, query: list,
             "start_ts": ts[idx],
             "dist": np.round(d[idx], 9)})
 
-    src = ensure_parallelism(
+    # keyed_parallelism, not ensure_parallelism (r12): the grouped
+    # kernel's OWN shuffle is what needs the fan-out — a round-robin
+    # pre-shuffle still leaves groupBy's exchange AQE-coalesced by
+    # bytes (measured: the scoring stage ran as 2 tasks on 32 cores;
+    # pinning the keyed exchange cut b20 3.49 -> measured below),
+    # while the keyed repartition IS the grouping exchange.
+    src = keyed_parallelism(
         events.select(F.col(key_col).alias("__key"),
                       F.col(ts_col).alias("__ts"),
-                      F.col(value_col).alias("__v")))
+                      F.col(value_col).alias("__v")), "__key")
     ts_type = dict(src.dtypes)["__ts"]
     out = src.groupBy("__key").applyInPandas(
         score,
@@ -224,10 +230,11 @@ def series_motifs(events: DataFrame, m: int,
             "start_ts": ts[take],
             "dist": np.round(prof[take], 9)})
 
-    src = ensure_parallelism(
+    # same keyed fan-out rationale as subsequence_topk above
+    src = keyed_parallelism(
         events.select(F.col(key_col).alias("__key"),
                       F.col(ts_col).alias("__ts"),
-                      F.col(value_col).alias("__v")))
+                      F.col(value_col).alias("__v")), "__key")
     ts_type = dict(src.dtypes)["__ts"]
     out = src.groupBy("__key").applyInPandas(
         score, f"key long, start_pos long, neighbor_pos long, "

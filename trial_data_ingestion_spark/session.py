@@ -77,6 +77,34 @@ def ensure_parallelism(df):
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
+def keyed_parallelism(df, *cols: str):
+    """Explicit hash repartition on ``cols`` at the session's full
+    parallelism, placed in FRONT of grouped Arrow kernels
+    (``groupBy(cols).applyInPandas``).
+
+    Why: AQE coalesces shuffle partitions by BYTES
+    (advisoryPartitionSizeInBytes), which is right for codegen'd
+    stages and wrong for a compute-bound Python kernel — a grouped
+    kernel whose input is small in bytes but heavy in per-group work
+    gets coalesced onto a handful of tasks and starves the box
+    (measured r12: b20's per-series distance kernel ran its grouped
+    stage as 2 tasks on a 32-core local master; the keyed repartition
+    restored full fan-out).  The explicit repartition is exempt from
+    AQE coalescing, and the downstream ``groupBy`` on the SAME columns
+    reuses its hash partitioning, so the exchange count is unchanged —
+    this pins the stage's partition count, it does not add a shuffle.
+
+    Partition count = max(defaultParallelism, the session's
+    spark.sql.shuffle.partitions): cores bound the useful fan-out of
+    a compute-bound stage locally, and on a real cluster both values
+    scale with the deployment instead of being tuned here."""
+    sess = df.sparkSession
+    n = max(sess.sparkContext.defaultParallelism,
+            int(sess.conf.get("spark.sql.shuffle.partitions", "0")
+                or 0))
+    return df.repartition(n, *cols)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 tables: tuple[str, ...] = (
                     "region", "nation", "customer", "supplier", "part",
