@@ -264,6 +264,64 @@ def test_semantic_dedup_kernel_plan_shape(spark):
         assert join_on_cell not in plan
 
 
+def test_assign_cells_impls_agree(spark):
+    """BLAS-argmin kernel vs crossJoin+window: identical assignments
+    on the real corpus AND on the zero-vector edge (null unit
+    projection takes the smallest cell_id — the window shape's
+    nulls-first ordering, pinned so the r12 kernel can't drift)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        assign_cells, sampled_kmeans_centroids,
+    )
+    emb = spark.read.parquet(f"{SF_DIR_ORACLE}/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    dim = len(emb.first()["embedding"])
+    cents = spark.createDataFrame(
+        sampled_kmeans_centroids(emb, dim, 8, seed=7).collect(),
+        "cell_id int, centroid array<double>")
+    got = {}
+    for impl in ("window", "kernel"):
+        got[impl] = {r["vec_id"]: r["cell_id"] for r in
+                     assign_cells(emb, cents, dim=dim,
+                                  impl=impl).collect()}
+    assert got["window"] == got["kernel"] and len(got["kernel"]) > 0
+    # zero-vector edge: both shapes give it the smallest cell_id
+    z = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.0, 2.0])],
+        "vec_id bigint, embedding array<float>")
+    zc = spark.createDataFrame([(5, [0.9, 0.1]), (7, [0.1, 0.9])],
+                               "cell_id int, centroid array<double>")
+    for impl in ("window", "kernel"):
+        cells = {r["vec_id"]: r["cell_id"] for r in
+                 assign_cells(z, zc, dim=2, impl=impl).collect()}
+        assert cells == {1: 5, 2: 5, 3: 7}, (impl, cells)
+
+
+def test_assign_cells_auto_picks_shape_by_cell_count(spark):
+    """``impl='auto'`` (the default): window below the measured
+    256-cell crossover, BLAS kernel above it — SemDeDup sizes cells
+    ~ n, so deployments land on the kernel while small sweeps keep
+    the all-codegen shape (and the join pair variant keeps passing
+    'window' explicitly, pinned by test_semantic_dedup_plan_shape)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        assign_cells,
+    )
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(8)],
+        "vec_id bigint, embedding array<float>")
+    small = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(4)],
+        "cell_id int, centroid array<double>")
+    big = spark.createDataFrame(
+        [(i, [float(i), 0.5]) for i in range(300)],
+        "cell_id int, centroid array<double>")
+    plan_small = assign_cells(emb, small, dim=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    plan_big = assign_cells(emb, big, dim=2) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan_small
+    assert "ArrowEvalPython" in plan_big
+
+
 def test_semantic_dup_pairs_impl_variants_agree(spark):
     """join and kernel must produce the identical pair set on the
     real corpus (the BLAS ulp caveat documented on the kernel is

@@ -21,13 +21,16 @@ difference is the point:
     usable recall).
 
 Pipeline: assign each vector to its nearest trained centroid
-(broadcast crossJoin against k centers — the corpus never shuffles
-for assignment); self-join within each cell (equi-join on cell_id,
-``id_a < id_b`` — measured FASTER than the SRP paths' group-collect
-shape at SemDeDup's large cell occupancy, see
-:func:`semantic_dup_pairs`); exact cosine >= eps; connected
-components over the verified pairs (driver union-find for realistic
-dup-graph sizes); keep one representative per component.
+(auto by cell count: an Arrow-batched BLAS argmin against the
+closure-held centroid matrix once the codebook crosses the measured
+crossover, the broadcast-crossJoin + window shape below it — either
+way the corpus never shuffles for assignment, see
+:func:`assign_cells`); pair within each cell (default: per-cell BLAS
+cosine kernel; ``pair_impl='join'`` keeps the equi-join on cell_id,
+``id_a < id_b`` — see :func:`semantic_dup_pairs`); exact cosine >=
+eps; connected components over the verified pairs (driver union-find
+for realistic dup-graph sizes); keep one representative per
+component.
 
 Representative rules:
   * ``keep="min_id"`` (default): the lowest id — deterministic and
@@ -49,6 +52,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -88,16 +92,95 @@ def _with_unit(df: DataFrame, vec_col: str, dim: int,
             .drop(nrm))
 
 
+#: assignment-shape crossover, measured r12 (sf0.1, 20k x 64 vectors,
+#: assignment isolated behind an agg, min of 2 after warm-up):
+#: window/kernel sec = 1.14/0.98 at 16 cells, 1.10/1.18 at 128,
+#: 1.86/0.99 at 512, 4.64/1.37 at 2048 — the window shape's
+#: crossJoin explode is n*cells rows so its wall grows linearly in
+#: the cell count while the BLAS argmin's matmul rides memory
+#: bandwidth.  In the FULL b13 pipeline at 16 cells the kernel LOSES
+#: ~1 s (two chained Python stages), so the cut sits between the
+#: 128-cell wash and the 512-cell 1.9x win.
+_ASSIGN_KERNEL_MIN_CELLS = 256
+
+
 def assign_cells(embeddings: DataFrame, centroids: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding",
-                 dim: int = 0) -> DataFrame:
-    """Each row with its nearest ``cell_id`` attached (broadcast
-    centroid crossJoin + per-row argmin over the unit-normalized
-    vector; no corpus shuffle)."""
-    assigned = _nearest_cells(
-        _with_unit(embeddings, vec_col, dim),
-        centroids, "__u", id_col, n_keep=1, dim=dim)
-    return assigned.drop("__u")
+                 dim: int = 0, impl: str = "auto") -> DataFrame:
+    """Each row with its nearest ``cell_id`` attached; no corpus
+    shuffle in any shape.
+
+    ``impl`` picks the physical shape (r12, guide §2.4/§4.2):
+
+    * ``'auto'`` (default): ``'kernel'`` when the codebook exceeds
+      :data:`_ASSIGN_KERNEL_MIN_CELLS` cells, else ``'window'`` —
+      the measured crossover (see the constant).  SemDeDup sizes
+      cells ~ n, so deployments land on the kernel and small sweeps
+      keep the all-codegen shape.
+    * ``'kernel'``: one Arrow-batched pandas_udf holding the centroid
+      matrix in its closure; per batch the L2 argmin over the unit
+      projection is one ``||c||^2 - 2 x @ c.T`` BLAS product,
+      row-chunked so a task never holds the full B x cells distance
+      matrix.  Zero row multiplication, zero exchange — the window
+      shape's crossJoin explodes every row x cells BEFORE its
+      ``row_number`` window shuffles and sorts the exploded frame,
+      which is n*cells rows when cells grow with the corpus (2.9B
+      rows at the 300x tier, the measured OOM-before-time wall of
+      b13's 300x attempts).
+    * ``'window'``: the crossJoin+window shape (r5-r11), kept as the
+      oracle-reproducible variant: its per-cell distance is the SAME
+      codegen'd ``l2_distance_fixed`` a DuckDB oracle re-derives,
+      while BLAS blocked summation can round a distance's last ulp
+      differently — a measure-zero argmin tie-break at cell
+      boundaries, same caveat as ``srp_buckets_batched``.
+
+    Parity (pinned by test_assign_cells_impls_agree): identical
+    assignments on real corpora, including the zero-vector edge — a
+    null unit projection takes the smallest cell_id, matching the
+    window shape's nulls-first ordering."""
+    if impl not in ("auto", "kernel", "window"):
+        raise ValueError(f"impl must be auto|kernel|window, "
+                         f"got {impl!r}")
+    if impl == "auto":
+        cut = _ASSIGN_KERNEL_MIN_CELLS
+        impl = ("kernel" if centroids.limit(cut + 1).count() > cut
+                else "window")
+    unit = _with_unit(embeddings, vec_col, dim)
+    if impl == "window":
+        assigned = _nearest_cells(unit, centroids, "__u", id_col,
+                                  n_keep=1, dim=dim)
+        return assigned.drop("__u")
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    crows = centroids.select("cell_id", "centroid") \
+                     .orderBy("cell_id").collect()
+    cent_t = np.array([r["centroid"] for r in crows],
+                      dtype=np.float64).T            # (dim, cells)
+    c2 = (cent_t * cent_t).sum(axis=0)               # (cells,)
+    cids = np.array([r["cell_id"] for r in crows], dtype=np.int64)
+    null_cell = int(cids[0]) if len(cids) else None
+
+    @pandas_udf("int")
+    def nearest(col: pd.Series) -> pd.Series:
+        out = np.full(len(col), null_cell, dtype=object)
+        live = [i for i, v in enumerate(col) if v is not None]
+        # row-chunked: bounds the transient distance matrix at
+        # 512 x cells doubles per task regardless of batch size
+        for s in range(0, len(live), 512):
+            idx = live[s:s + 512]
+            x = np.array([np.asarray(col.iloc[i], dtype=np.float64)
+                          for i in idx])
+            d2 = c2 - 2.0 * (x @ cent_t)             # (chunk, cells)
+            # np.argmin keeps the FIRST minimum: rows are sorted by
+            # cell_id, so ties resolve to the smallest cell_id like
+            # the window shape's (__d asc, cell_id asc)
+            picks = cids[np.argmin(d2, axis=1)]
+            for j, i in enumerate(idx):
+                out[i] = int(picks[j])
+        return pd.Series(out)
+
+    return unit.withColumn("cell_id", nearest("__u")).drop("__u")
 
 
 def sampled_kmeans_centroids(embeddings: DataFrame, dim: int,
@@ -141,9 +224,17 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
                        dim: int, id_col: str = "vec_id",
                        vec_col: str = "embedding",
                        eps: float = 0.9,
-                       pair_impl: str = "kernel") -> DataFrame:
+                       pair_impl: str = "kernel",
+                       assign_impl: str | None = None) -> DataFrame:
     """Verified semantic-duplicate pairs ``(doc_a, doc_b, cos)``:
     same-cell candidates only, exact cosine >= eps.
+
+    ``assign_impl`` (default: follows ``pair_impl``) picks the
+    :func:`assign_cells` shape — ``'auto'`` (cell-count crossover to
+    the BLAS argmin) with the kernel pair stage, ``'window'``
+    crossJoin+window with the join pair stage so the
+    oracle-reproducible variant stays free of Python nodes end to
+    end.
 
     Physical shape (``pair_impl``):
 
@@ -180,8 +271,10 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
     if pair_impl not in ("join", "kernel"):
         raise ValueError(f"pair_impl must be join|kernel, "
                          f"got {pair_impl!r}")
+    if assign_impl is None:
+        assign_impl = "auto" if pair_impl == "kernel" else "window"
     assigned = (assign_cells(embeddings, centroids, id_col, vec_col,
-                             dim)
+                             dim, impl=assign_impl)
                 .select(F.col(id_col).alias("doc"),
                         F.col(vec_col).alias("v"),
                         l2_norm_fixed(vec_col, dim).alias("nrm"),
@@ -259,7 +352,9 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
         # representative = lexicographic min of (cos, id) — the least
         # prototypical member, deterministic under ties
         member = (assign_cells(embeddings, centroids, id_col, vec_col,
-                               dim)
+                               dim, impl=("auto" if
+                                          pair_impl == "kernel"
+                                          else "window"))
                   .join(labels.withColumnRenamed("doc", id_col),
                         id_col)
                   .join(centroids.select("cell_id",
