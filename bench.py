@@ -1934,11 +1934,38 @@ def run_scale() -> None:
         out = semantic_dedup(emb, dim=64, eps=0.4, centroids=cents)
         return out.agg(F.count(F.lit(1)).alias("survivors"))
 
+    # b16's bench entry derives its benchmark as doc_id % 100 = 7 —
+    # 1% OF THE CORPUS, which at the tiers makes the benchmark grow
+    # with the factor (50 -> 5k -> 15k items) and the band-collision
+    # candidate volume pick up a quadratic-in-factor birthday term
+    # (n_corpus x n_bench collisions, both sides scaling).  The 300x
+    # marginal gate CAUGHT it: 3.7-3.9x measured vs the 3.6 bound,
+    # reproducibly, on an idle box.  A real decontamination benchmark
+    # is a fixed external suite, so the tier pins the benchmark at
+    # the base 50 items: scaled ids are base_id*factor + rep, so
+    # doc_id % (100*factor) == 7*factor selects exactly the rep-0
+    # (byte-identical original) docs with base_id % 100 == 7 — the
+    # SAME 50 texts at every tier, input degeneracy fixed the b12 way.
+    def b16_scaled(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from trial_data_ingestion_spark.operators.decontam import (
+            decontaminate_fuzzy,
+        )
+        docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .select("doc_id", "text"))
+        bench_df = (docs.where(f"doc_id % {100 * factor} = "
+                               f"{7 * factor}")
+                    .select("text"))
+        out = decontaminate_fuzzy(docs, bench_df, threshold=0.8)
+        return out.agg(F.count(F.lit(1)).alias("survivors"),
+                       F.sum(F.length("text")).alias("chars"))
+
     scaled_overrides = {"q48_embedding_dups_blocked": q48_scaled,
                         "b09_incremental_dedup": b09_scaled,
                         "b11_ivfpq_topk": b11_scaled,
                         "b12_fuzzy_join": b12_scaled,
                         "b13_semantic_dedup": b13_scaled,
+                        "b16_fuzzy_decontam": b16_scaled,
                         "q19_minhash_dedup": q19_scaled}
 
     def measure(fn, sf_dir):
@@ -2063,6 +2090,18 @@ def run_scale() -> None:
         "tier by design: past ~100x at this window/distance the "
         "blocking family itself is the limit (use longer windows or "
         "deletion-neighborhood keys), not the q knob")
+    rec["scale_knobs"]["b16_fuzzy_decontam"] = (
+        "benchmark side PINNED at the base 50 items "
+        "(doc_id % (100*factor) == 7*factor selects the same rep-0 "
+        "texts at every tier) — the bench entry's 1%-of-corpus slice "
+        "would grow the benchmark with the factor and the "
+        "corpus-bands x benchmark-bands collision volume picks up a "
+        "quadratic-in-factor birthday term (the r12 300x marginal "
+        "gate caught it at 3.7-3.9x measured vs the 3.6 bound, "
+        "reproducible on an idle box).  A deployment's benchmark is "
+        "a fixed external suite; with it pinned the candidate volume "
+        "is linear in the corpus.  Input construction, not plan "
+        "cost — the same class as b12's gen-1 replica cliques")
     rec["scale_knobs"]["b09_incremental_dedup"] = (
         "index built with write_minhash_index(num_hashes='auto', "
         "threshold=0.6) — the index-side twin of q19's banding knob: "
