@@ -28,14 +28,37 @@ def test_headline_has_no_duplicates():
 def test_incomparable_entries_excluded_from_rolling_best():
     """b02's pre-r5 recorded time measured a Catalyst-pruned subset
     of the work (see bench.INCOMPARABLE_BEFORE); the rolling-best
-    loader must not use it as a regression floor."""
+    loader must not use it as a regression floor.
+
+    Tested hermetically against a directory holding ONLY the r4
+    artifact: the loader must parse the file (other entries load)
+    yet produce NO b02 floor.  The previous form asserted the live
+    repo floor stayed above the r4 artifact's 0.253 s, which broke
+    the moment a fast driver machine legitimately recorded 0.291 s
+    in a post-cutoff round (r12) — a machine-speed heuristic, not a
+    mechanism test."""
+    import json
+    import os
+    import tempfile
+
     import bench
-    best, _cal, rounds, _mem = bench._load_rolling_baseline()
-    assert "BENCH_r04.json" in rounds          # r4 data still loads
-    b02 = best.get("b02_decontam_report")
-    # either no post-cutoff round exists yet (no floor at all) or the
-    # floor comes from a post-r5 file — never the 0.253 r4 artifact
-    assert b02 is None or b02 > 0.3
+    assert bench.INCOMPARABLE_BEFORE["b02_decontam_report"] == 5
+    record = {
+        "queries": {"b02_decontam_report": 0.01,
+                    "q01_pricing_summary": 0.5},
+        "calibration_sec": 0.6,
+        "calibration_version": bench.CALIBRATION_VERSION,
+        "calibration_mem_sec": 0.6,
+        "calibration_mem_version": bench.CALIBRATION_MEM_VERSION,
+    }
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(os.path.join(tmp, "BENCH_LOCAL_r04.json"), "w") as f:
+            json.dump(record, f)
+        best, _cal, rounds, _mem = bench._load_rolling_baseline(
+            here=tmp)
+        assert "BENCH_LOCAL_r04.json" in rounds   # the record loads,
+        assert "q01_pricing_summary" in best      # sets normal floors,
+        assert "b02_decontam_report" not in best  # but never a b02 one
 
 
 def test_loader_tolerates_parsed_null_round():
