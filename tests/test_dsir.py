@@ -150,12 +150,13 @@ def test_score_plan_broadcasts_model_and_select_avoids_full_sort(spark):
     plan = scored._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode
         .fromString("formatted"))
-    # the live scoring subtree is everything above the cached model
-    # (InMemoryTableScan); the fit-time full-outer inside the cache
-    # is a one-time join of two <=n_buckets-row aggregates.
-    live = plan.split("InMemoryTableScan")[0]
-    assert "BroadcastHashJoin" in live
-    assert "SortMergeJoin" not in live
+    # the model is a driver-local count table since r13 (the fused
+    # single-aggregate fit), so the WHOLE scoring plan must be
+    # join-light: the model attaches as a broadcast of a local
+    # relation, never a shuffled join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" not in plan   # no cached fit subtree
     sel = dsir_select(_docs(spark, RAW), model, k=3)
     splan = sel._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode

@@ -103,24 +103,39 @@ def fit_dsir(target: DataFrame, raw: DataFrame, text_col: str = "text",
         raise ValueError("smoothing must be > 0 (unseen buckets need "
                          "probability mass on both sides)")
 
-    def counts(df: DataFrame, name: str) -> DataFrame:
-        # cached: each corpus is scanned ONCE for the fit — the
-        # totals aggregate below and the ratio join both reuse the
-        # (<= n_buckets)-row count table, not the gram stream
-        return (hashed_grams(df, text_col, n_buckets)
-                .groupBy("bucket")
-                .agg(F.count(F.lit(1)).alias(name)).cache())
-
-    tc = counts(target, "__ct")
-    rc = counts(raw, "__cr")
-    totals = (tc.agg(F.sum("__ct")).collect()[0][0] or 0,
-              rc.agg(F.sum("__cr")).collect()[0][0] or 0)
-    t_total, r_total = int(totals[0]), int(totals[1])
+    # ONE fused aggregate over a side-tagged union of the two gram
+    # streams (r13, guide §2.3/§2.4): the r12 shape ran two groupBy
+    # shuffles, a full-outer join of the count tables and three
+    # driver actions (two totals collects + a cache-materializing
+    # count).  Tagging each occurrence with its side and counting
+    # both sides in one groupBy(bucket) yields the identical count
+    # table — a bucket unseen on one side counts 0 there, which is
+    # exactly what the old full-outer join's null coalesced to — in
+    # one shuffle and ONE collect.  The collect is bounded by the
+    # model contract itself: the count table is at most ``n_buckets``
+    # rows and the model is broadcast at score time, so driver-
+    # holding it is the budget the API already spends.
+    tg = (hashed_grams(target, text_col, n_buckets)
+          .withColumn("__s", F.lit(1)))
+    rg = (hashed_grams(raw, text_col, n_buckets)
+          .withColumn("__s", F.lit(0)))
+    counts = (tg.unionByName(rg)
+              .groupBy("bucket")
+              .agg(F.sum("__s").alias("__ct"),
+                   F.sum(F.lit(1) - F.col("__s")).alias("__cr"))
+              .collect())
+    t_total = int(sum(r["__ct"] for r in counts))
+    r_total = int(sum(r["__cr"] for r in counts))
     if t_total == 0 or r_total == 0:
         raise ValueError(
             f"fit_dsir: empty gram stream (target={t_total}, "
             f"raw={r_total}) — nothing to fit")
     a, m = float(smoothing), n_buckets
+    # same Spark expressions as the r12 shape (F.log over the same
+    # integer counts and totals) so every log_ratio double is
+    # bit-identical; the frame is a LocalTableScan, so downstream
+    # broadcasts ship driver-local rows instead of re-running the fit
+    spark = target.sparkSession
     log_p = F.log((F.coalesce(F.col("__ct"), F.lit(0)) + a)
                   / (t_total + a * m))
     log_q = F.log((F.coalesce(F.col("__cr"), F.lit(0)) + a)
@@ -128,12 +143,10 @@ def fit_dsir(target: DataFrame, raw: DataFrame, text_col: str = "text",
     import math
     default = (math.log(a / (t_total + a * m))
                - math.log(a / (r_total + a * m)))
-    ratio = (tc.join(rc, "bucket", "full_outer")
-             .select("bucket", (log_p - log_q).alias("log_ratio"))
-             .cache())
-    ratio.count()      # materialize so the count caches can drop
-    tc.unpersist()
-    rc.unpersist()
+    ratio = (spark.createDataFrame(
+                 [(r["bucket"], r["__ct"], r["__cr"]) for r in counts],
+                 "bucket long, __ct long, __cr long")
+             .select("bucket", (log_p - log_q).alias("log_ratio")))
     return DSIRModel(log_ratio=ratio, n_buckets=n_buckets,
                      target_total=t_total, raw_total=r_total,
                      smoothing=a, default_log_ratio=default)
