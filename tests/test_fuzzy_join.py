@@ -94,3 +94,38 @@ def test_short_string_path_is_equi_join(spark):
     assert (0, 7, 0) in got        # 't0' ~ 't0' (ids 0 and 7)
     assert (0, 1, 1) in got        # 't0' ~ 't1'
     assert all(d <= 2 for _, _, d in got)
+
+
+def test_q_sweep_is_lossless_and_auto_derives_the_dial(spark, sf_dir):
+    """The gram-length dial moves ONLY the path split, never the
+    output: identical pair sets at q=4/6/9 and q='auto' on real
+    text, and 'auto' lands on the pigeonhole-margin optimum
+    ((p5 - d) // (d + 1) = 9 for 40-char windows at d=3) instead of
+    the r12 bench-side constant."""
+    from trial_data_ingestion_spark.operators.fuzzy_join import _auto_q
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    left = (docs.where("doc_id % 2 = 0")
+            .select("doc_id", F.substring("text", 1, 40).alias("t")))
+    right = (docs.where("doc_id % 2 = 1")
+             .select("doc_id", F.substring("text", 1, 40).alias("t")))
+    base = _pairs(fuzzy_join_pairs(left, right, "doc_id", "t",
+                                   "doc_id", "t", max_distance=3,
+                                   q=4))
+    for q in (6, 9, "auto"):
+        got = _pairs(fuzzy_join_pairs(left, right, "doc_id", "t",
+                                      "doc_id", "t", max_distance=3,
+                                      q=q))
+        assert got == base, f"pair set changed at q={q}"
+    lt = left.select(F.col("doc_id").alias("l_id"),
+                     F.col("t").alias("l_t"))
+    rt = right.select(F.col("doc_id").alias("r_id"),
+                      F.col("t").alias("r_t"))
+    assert _auto_q(lt, rt, 3) == 9
+    # degenerate corpora clamp to the classic default, never below
+    tiny = spark.createDataFrame([(1, "ab")], "id long, t string")
+    tl = tiny.select(F.col("id").alias("l_id"), F.col("t").alias("l_t"))
+    tr = tiny.select(F.col("id").alias("r_id"), F.col("t").alias("r_t"))
+    assert _auto_q(tl, tr, 2) == 4
+    with pytest.raises(ValueError, match="positive int or 'auto'"):
+        fuzzy_join_pairs(tiny, tiny, "id", "t", "id", "t", q=0)

@@ -71,10 +71,47 @@ def _grams(df: DataFrame, id_col: str, text_col: str, q: int,
                        .alias("pb"))
 
 
+#: rows sampled PER SIDE by ``q="auto"``'s length probe: a bounded
+#: ``limit()`` reads a handful of parquet row groups — O(1) at any
+#: corpus size — and 5k lengths pin a 5th percentile far tighter
+#: than the dial needs (q only moves in integer steps).
+_AUTO_Q_SAMPLE_ROWS = 5_000
+
+
+def _auto_q(lt: DataFrame, rt: DataFrame, d: int) -> int:
+    """Occupancy-derived gram length: the largest ``q`` that keeps
+    (almost) every string on the gram path, from a bounded sample.
+
+    Rationale (r12/r13, measured): collision volume decays ~0.6x per
+    +1 of ``q`` while the blocking stays lossless, so the optimum is
+    the largest ``q`` for which strings still satisfy the pigeonhole
+    length ``len >= (d+1)*q`` WITH the window-sliver margin ``d`` —
+    past that, the short-string fallback join absorbs the corpus and
+    its length-block quadratic takes over (the measured q=10 cliff on
+    40-char windows: 9.4 s vs 1.4-1.8 s at q=8/9).  Solving
+    ``(d+1)*q + d <= L`` at a low length percentile gives
+    ``q = (L_p5 - d) // (d + 1)``, clamped to [4, 16] (4 = the r5
+    default, right for short-title corpora where the window join is
+    tiny anyway; 16 caps gram width at hash-key size).  The probe is
+    one bounded job; the choice affects ONLY performance — the output
+    pair set is identical at every q (pinned by the q-sweep parity
+    test and the q57 oracle)."""
+    samp = (lt.select(F.length("l_t").alias("L"))
+              .limit(_AUTO_Q_SAMPLE_ROWS)
+              .unionByName(rt.select(F.length("r_t").alias("L"))
+                             .limit(_AUTO_Q_SAMPLE_ROWS)))
+    p5 = samp.agg(F.percentile_approx("L", 0.05).alias("p")) \
+             .collect()[0]["p"]
+    if p5 is None:
+        return 4
+    return max(4, min(16, int((int(p5) - d) // (d + 1))))
+
+
 def fuzzy_join_pairs(left: DataFrame, right: DataFrame,
                      left_id: str, left_col: str,
                      right_id: str, right_col: str,
-                     max_distance: int = 2, q: int = 4) -> DataFrame:
+                     max_distance: int = 2,
+                     q: int | str = "auto") -> DataFrame:
     """(left_id, right_id, distance) — fixed output names, so both
     sides may use the same id column — for every cross pair within
     ``max_distance`` Levenshtein edits: lossless blocking, exact
@@ -85,20 +122,25 @@ def fuzzy_join_pairs(left: DataFrame, right: DataFrame,
     consumes the COLLISION rows, whose volume at fixed ``q`` is the
     birthday term ``sum_g occ_L(g) * occ_R(g) ~ n^2 * p(g)^2``.
     ``q`` is therefore an occupancy knob (same law as SRP planes /
-    IVF cells): grow it with log(corpus).  Measured on 40-char text
-    windows, collision density decays ~0.6x per +1 of ``q`` (12.7M /
-    7.8M / 4.9M / 1.2M rows at q=4/5/6/8 per 5k docs), and the
-    blocking stays LOSSLESS while both sides satisfy
-    ``len >= (d+1)*q`` (shorter strings take the length-window
-    fallback; the Gravano bound must stay positive).  The bench's
-    scale tier runs q=6 at 10x and q=8 at 100x rows
-    (``bench.py --scale``, scale_knobs)."""
+    IVF cells).  ``q="auto"`` (default since r13) derives the dial
+    from the data itself — see :func:`_auto_q`; the r12 bench had to
+    pass the measured optimum (q=8 on 40-char windows, 3.9x faster
+    than the old constant default 4) at every call site, which is
+    the wrong place for a data-dependent knob.  The blocking is
+    LOSSLESS at every ``q``: strings below ``(d+1)*q`` take the
+    exact length-window fallback, so the output never changes —
+    only the path split does."""
     d = max_distance
-    min_len = (d + 1) * q
     lt = left.select(F.col(left_id).alias("l_id"),
                      F.col(left_col).alias("l_t"))
     rt = right.select(F.col(right_id).alias("r_id"),
                       F.col(right_col).alias("r_t"))
+    if q == "auto":
+        q = _auto_q(lt, rt, d)
+    elif not isinstance(q, int) or isinstance(q, bool) or q < 1:
+        raise ValueError(f"q must be a positive int or 'auto', "
+                         f"got {q!r}")
+    min_len = (d + 1) * q
 
     lg = _grams(left.where(F.length(left_col) >= min_len),
                 left_id, left_col, q, "l", d, probe=False)
