@@ -49,9 +49,14 @@ def test_cluster_documents_known_assignment(toy):
 def test_cluster_documents_zero_shuffle_and_tie_rule(toy, spark):
     df, cents = toy
     assigned = clustering.cluster_documents(df, dim=4, centroids=cents)
-    # narrow path: the assignment plan has NO exchange at all
+    # narrow path: the assignment plan has NO exchange at all, and the
+    # Python boundary is a pandas_udf over the vector column ALONE
+    # (r13, guide §4.1) — payload columns joined before assignment
+    # must stay in the JVM, never re-batch through mapInPandas
     plan = assigned._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan
+    assert "MapInPandas" not in plan
     # cosine tie (vector equidistant from both centroids) -> smaller cell
     tie = spark.createDataFrame(
         [(42, [1.0, 1.0, 0.0, 0.0], "tie text")],

