@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR_ORACLE
@@ -463,3 +464,51 @@ def test_semantic_dedup_blocked_on_planted_dups(spark):
         semantic_dedup_blocked(emb, dim=dim, num_tables=0)
     with pytest.raises(ValueError):
         semantic_dedup_blocked(emb, dim=dim, num_tables=True)
+
+
+def test_farthest_assigns_cells_exactly_once(spark, monkeypatch):
+    """keep='farthest' reuses ONE cell assignment for both the pair
+    stage and the centroid-distance election (r13) — r12 ran
+    assign_cells twice, recomputing the assignment kernel/window for
+    the election."""
+    import math
+
+    from trial_data_ingestion_spark.operators import semantic_dedup as sd
+
+    calls = []
+    real = sd.assign_cells
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(sd, "assign_cells", counting)
+    rows = [
+        (1, _vec(0.00)), (2, _vec(0.01)), (3, _vec(0.10)),
+        (10, _vec(math.pi / 2)), (11, _vec(math.pi / 2 + 0.03)),
+    ]
+    df = spark.createDataFrame(rows,
+                               "vec_id long, embedding array<float>")
+    kept = sorted(r["vec_id"] for r in
+                  sd.semantic_dedup(df, dim=DIM, num_clusters=2,
+                                    eps=0.98,
+                                    keep="farthest").collect())
+    assert kept == [3, 10]          # same election as the r12 shape
+    assert len(calls) == 1, f"assign_cells ran {len(calls)} times"
+
+
+def test_assign_cells_rejects_empty_codebook_on_driver_paths(spark):
+    """Zero centroids is always a caller bug: the auto and kernel
+    paths (which already hold the rows driver-side) must raise
+    instead of silently diverging (kernel: all-null cell_id; window:
+    all rows dropped — the advisor-flagged parity gap)."""
+    from trial_data_ingestion_spark.operators.semantic_dedup import (
+        assign_cells,
+    )
+    emb = spark.createDataFrame([(1, _vec(0.0))],
+                                "vec_id long, embedding array<float>")
+    empty = spark.createDataFrame(
+        [], "cell_id int, centroid array<double>")
+    for impl in ("auto", "kernel"):
+        with pytest.raises(ValueError, match="empty codebook"):
+            assign_cells(emb, empty, dim=DIM, impl=impl)

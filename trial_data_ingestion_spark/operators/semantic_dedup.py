@@ -141,20 +141,42 @@ def assign_cells(embeddings: DataFrame, centroids: DataFrame,
     if impl not in ("auto", "kernel", "window"):
         raise ValueError(f"impl must be auto|kernel|window, "
                          f"got {impl!r}")
+    crows = None
     if impl == "auto":
-        cut = _ASSIGN_KERNEL_MIN_CELLS
-        impl = ("kernel" if centroids.limit(cut + 1).count() > cut
+        # collect ONCE and derive both the routing decision and (when
+        # the kernel wins) the centroid matrix from the same rows —
+        # the r12 shape ran an eager limit().count() AND a collect(),
+        # evaluating a caller-supplied lazy centroids plan twice
+        # (advisor finding).  The collect is the kernel's own budget:
+        # the codebook ships in the udf closure either way.
+        crows = centroids.select("cell_id", "centroid") \
+                         .orderBy("cell_id").collect()
+        if not crows:
+            raise ValueError(
+                "assign_cells: empty codebook — zero centroids is "
+                "always a caller bug (the window shape would drop "
+                "every row, the kernel would null every cell_id)")
+        impl = ("kernel" if len(crows) > _ASSIGN_KERNEL_MIN_CELLS
                 else "window")
     unit = _with_unit(embeddings, vec_col, dim)
     if impl == "window":
+        # NOTE: an explicitly-requested window shape stays lazy end
+        # to end (no driver job here), so an empty codebook is only
+        # caught on the auto/kernel paths where the rows are already
+        # driver-side
         assigned = _nearest_cells(unit, centroids, "__u", id_col,
                                   n_keep=1, dim=dim)
         return assigned.drop("__u")
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
-    crows = centroids.select("cell_id", "centroid") \
-                     .orderBy("cell_id").collect()
+    if crows is None:
+        crows = centroids.select("cell_id", "centroid") \
+                         .orderBy("cell_id").collect()
+    if not crows:
+        raise ValueError(
+            "assign_cells: empty codebook — zero centroids is "
+            "always a caller bug")
     cent_t = np.array([r["centroid"] for r in crows],
                       dtype=np.float64).T            # (dim, cells)
     c2 = (cent_t * cent_t).sum(axis=0)               # (cells,)
@@ -273,12 +295,29 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
                          f"got {pair_impl!r}")
     if assign_impl is None:
         assign_impl = "auto" if pair_impl == "kernel" else "window"
-    assigned = (assign_cells(embeddings, centroids, id_col, vec_col,
-                             dim, impl=assign_impl)
-                .select(F.col(id_col).alias("doc"),
-                        F.col(vec_col).alias("v"),
-                        l2_norm_fixed(vec_col, dim).alias("nrm"),
-                        "cell_id"))
+    assigned = assign_cells(embeddings, centroids, id_col, vec_col,
+                            dim, impl=assign_impl)
+    return _pairs_from_assigned(assigned, embeddings.schema, dim,
+                                id_col, vec_col, eps, pair_impl)
+
+
+def _pairs_from_assigned(assigned: DataFrame, emb_schema, dim: int,
+                         id_col: str, vec_col: str, eps: float,
+                         pair_impl: str,
+                         persist_join_input: bool = True) -> DataFrame:
+    """Pair stage of :func:`semantic_dup_pairs` over an ALREADY
+    cell-assigned frame — split out (r13) so ``semantic_dedup``'s
+    ``keep='farthest'`` rule can reuse its one assignment for both
+    the pair stage and the centroid-distance election instead of
+    running :func:`assign_cells` twice.  ``persist_join_input=False``
+    skips the join shape's self-join persist when the CALLER already
+    persisted the assignment (persisting a child of a persisted
+    parent would double-cache the same rows)."""
+    sel = (assigned
+           .select(F.col(id_col).alias("doc"),
+                   F.col(vec_col).alias("v"),
+                   l2_norm_fixed(vec_col, dim).alias("nrm"),
+                   "cell_id"))
     if pair_impl == "kernel":
         from trial_data_ingestion_spark.operators.similarity import (
             _srp_pairs_kernel,
@@ -286,9 +325,9 @@ def semantic_dup_pairs(embeddings: DataFrame, centroids: DataFrame,
         # null cell_id (zero-norm vector, no direction) joins no cell
         # in the 'join' shape; filter to match before the groupBy
         return _srp_pairs_kernel(
-            assigned.where(F.col("cell_id").isNotNull()),
-            embeddings.schema, id_col, eps, group_cols=("cell_id",))
-    emb = assigned.persist()
+            sel.where(F.col("cell_id").isNotNull()),
+            emb_schema, id_col, eps, group_cols=("cell_id",))
+    emb = sel.persist() if persist_join_input else sel
     a, b = emb.alias("a"), emb.alias("b")
     return (
         a.join(b, on=[F.col("a.cell_id") == F.col("b.cell_id"),
@@ -329,10 +368,28 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
         centroids = sampled_kmeans_centroids(
             embeddings, dim, num_clusters, id_col, vec_col,
             sample_size=sample_size, seed=seed)
-    pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
-                               vec_col, eps,
-                               pair_impl=pair_impl) \
-        .select("doc_a", "doc_b")
+    assigned = None
+    if keep == "farthest":
+        # ONE assignment for both consumers (r13): the pair stage and
+        # the centroid-distance election below read the same
+        # cell-assigned frame, where r12 ran assign_cells twice —
+        # once inside semantic_dup_pairs and once for the election
+        # (the second Python-kernel/crossJoin pass was pure rework).
+        # Persisted because both consumers action it independently.
+        assigned = assign_cells(
+            embeddings, centroids, id_col, vec_col, dim,
+            impl=("auto" if pair_impl == "kernel" else "window")) \
+            .persist()
+        pairs = _pairs_from_assigned(assigned, embeddings.schema,
+                                     dim, id_col, vec_col, eps,
+                                     pair_impl,
+                                     persist_join_input=False) \
+            .select("doc_a", "doc_b")
+    else:
+        pairs = semantic_dup_pairs(embeddings, centroids, dim, id_col,
+                                   vec_col, eps,
+                                   pair_impl=pair_impl) \
+            .select("doc_a", "doc_b")
     if keep == "best":
         # keep_best_per_cluster localCheckpoint()s the pairs itself —
         # checkpointing here too would materialize the candidate
@@ -351,10 +408,7 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
         # cosine of each component member to its OWN cell centroid;
         # representative = lexicographic min of (cos, id) — the least
         # prototypical member, deterministic under ties
-        member = (assign_cells(embeddings, centroids, id_col, vec_col,
-                               dim, impl=("auto" if
-                                          pair_impl == "kernel"
-                                          else "window"))
+        member = (assigned
                   .join(labels.withColumnRenamed("doc", id_col),
                         id_col)
                   .join(centroids.select("cell_id",
@@ -367,10 +421,15 @@ def semantic_dedup(embeddings: DataFrame, dim: int,
         reps = (member.groupBy("label")
                 .agg(F.min(F.struct("cc", id_col)).alias("__rep"))
                 .select(F.col(f"__rep.{id_col}").alias("__keep_id")))
+        # the drop set is bounded by the duplicate components; pinning
+        # it releases the assignment persist before return (the
+        # survivor plan then never re-reads the cached assignment)
         drops = (member.join(reps,
                              member[id_col] == reps["__keep_id"],
                              "left_anti")
-                 .select(id_col))
+                 .select(id_col)
+                 .localCheckpoint())
+        assigned.unpersist()
     return embeddings.join(drops, id_col, "left_anti")
 
 
