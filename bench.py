@@ -308,18 +308,14 @@ def _bench_extra():
         blocked + levenshtein verify over 40-char text prefixes,
         even ids vs odd ids, d <= 3.
 
-        q=8, not the function default 4 (r12, measured): the gram
-        length is the blocking's occupancy dial and the collision
-        birthday term dominates ALREADY at base scale — 2.82M
-        collision rows at q=4 vs the same 120 output pairs at every
-        q (the blocking is lossless while (d+1)*q <= 40).  Measured
-        at sf0.1: 5.54/4.83/3.66/1.41/1.60/9.39 s for
-        q=4/5/6/8/9/10 — q=10 hits the window bound (min_len = 40
-        pushes most strings into the short-sliver length-window
-        join), so the dial sits at its measured optimum q=8 from
-        base scale on; the scale tiers run the same value (the dial
-        has no headroom left to grow with the corpus — the r12
-        300x straggler finding)."""
+        Bare operator call (r13): the r12 entry passed the measured
+        optimum q=8 from bench.py — a harness-side knob the r12
+        verdict flagged — and the dial now lives in the operator as
+        ``q="auto"`` (occupancy-derived from a bounded length
+        sample; picks 9 on these 40-char windows, within noise of
+        the measured 8/9 plateau and 3.5x+ faster than the old
+        constant default 4).  Output pairs are identical at every q
+        (lossless blocking; q57's oracle hash is the proof)."""
         from trial_data_ingestion_spark.operators.fuzzy_join import (
             fuzzy_join_pairs,
         )
@@ -329,7 +325,7 @@ def _bench_extra():
         right = (d.where("doc_id % 2 = 1")
                  .select("doc_id", F.substring("text", 1, 40).alias("t")))
         return fuzzy_join_pairs(left, right, "doc_id", "t",
-                                "doc_id", "t", max_distance=3, q=8)
+                                "doc_id", "t", max_distance=3)
 
     _cents_cache: dict = {}
 
@@ -679,13 +675,16 @@ def _bench_extra():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
             .select(F.col("doc_id").alias("vec_id"), "text")
-        # assign on vectors ONLY and attach text to the one branch
-        # that reads it (r12, guide §4/§8): cluster_documents is a
-        # mapInPandas kernel over ALL its input columns, so joining
-        # text first shipped ~2 KB/row through the Python boundary
-        # BOTH ways for three consumers that never read it (A/B'd
-        # interleaved at sf0.1: med -9%, identical results; the win
-        # grows with payload width at scale)
+        # r13: cluster_documents' kernel is now a pandas_udf over the
+        # vector column alone, so a text payload joined BEFORE
+        # assignment no longer crosses the Python boundary (the r12
+        # boundary workaround is gone from the operator).  The entry
+        # still assigns on vectors and joins text into the one branch
+        # that reads it — but for a different, measured reason:
+        # persisting the assignment WITH the 2 KB/row payload for
+        # four consumers that never read it is cache pressure, not
+        # boundary cost (guide §5; interleaved A/B at sf0.1: natural
+        # call 3.40 s vs narrow persist 3.16 s, identical results)
         assigned = cluster_documents(
             emb, dim=64, num_clusters=16).persist()
         prof = cluster_profile(assigned).agg(
@@ -1806,17 +1805,15 @@ def run_scale() -> None:
     # deployment answer is raising q with corpus scale: measured
     # per-replica collision density decays ~0.6x per +1 of q
     # (12.7M / 7.8M / 4.9M / 1.2M at q=4/5/6/8).
-    # r12: the dial sits AT its measured optimum q=8 from base scale
-    # on (the bench entry now runs q=8 too — see b12_fuzzy_join:
-    # 5.54/1.41/9.39 s at q=4/8/10, identical 120 output pairs; q=10
-    # hits the window bound and inflates the short-sliver join), so
-    # the tiers have no q headroom left to grow with the corpus —
-    # exactly the saturation that keeps b12 out of the 300x tier.
-    # The pigeonhole bound stays LOSSLESS for b12's fixed 40-char
-    # windows (needs (d+1)*q <= 40; the Gravano count lower bound
-    # stays positive: 40 - (q-1) - 3q = 9 at q=8).
-    b12_q = 8
-
+    # r12: the dial sits AT the top of its measured 8/9 plateau from
+    # base scale on (5.54/1.41/9.39 s at q=4/8/10, identical 120
+    # output pairs; q=10 hits the window bound and inflates the
+    # short-sliver join), so the tiers have no q headroom left to
+    # grow with the corpus — exactly the saturation that keeps b12
+    # out of the 300x tier.  r13: the dial moved into the operator
+    # (q="auto" derives 9 from the 40-char windows via the pigeonhole
+    # margin (d+1)*q + d <= L), so the tier runs the bare call like
+    # the HEADLINE entry.
     def b12_scaled(spark, sf_dir):
         from pyspark.sql import functions as F
         from trial_data_ingestion_spark.operators.fuzzy_join import (
@@ -1828,8 +1825,7 @@ def run_scale() -> None:
         right = (d.where("doc_id % 2 = 1")
                  .select("doc_id", F.substring("text", 1, 40).alias("t")))
         return fuzzy_join_pairs(left, right, "doc_id", "t",
-                                "doc_id", "t", max_distance=3,
-                                q=b12_q)
+                                "doc_id", "t", max_distance=3)
 
     # q19's banding is the third occupancy knob: with FIXED (b=4,
     # r=4), LSH candidate pairs grow superlinearly in corpus size —
