@@ -494,3 +494,57 @@ def test_index_auto_banding_and_append_guard(spark, docs, split,
     with pytest.raises(ValueError, match="int or 'auto'"):
         write_minhash_index(batch, str(tmp_path / "idx_bad"),
                             num_hashes=True)
+
+
+def test_prebanded_append_writes_identical_band_rows(spark, docs,
+                                                     split, tmp_path):
+    """write_minhash_index(_prebanded=...) — the r13 probe's
+    no-rebanding append — must land byte-identical band and doc rows
+    to the re-banding append."""
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        _banded, _pbkt, read_minhash_params,
+    )
+    corpus, batch = split
+    paths = {}
+    for tag in ("rebanded", "prebanded"):
+        path = str(tmp_path / f"idx_{tag}")
+        write_minhash_index(corpus, path, num_buckets=16)
+        p = read_minhash_params(spark, path)
+        pre = None
+        if tag == "prebanded":
+            pre = (_banded(batch, "doc_id", "text", p["k"],
+                           p["num_hashes"], p["bands"])
+                   .withColumn("pbkt", _pbkt(p["num_buckets"])))
+        write_minhash_index(batch, path, mode="append",
+                            delta_id="d-test", _prebanded=pre)
+        paths[tag] = path
+
+    def rows(path, sub, cols):
+        return {tuple(r) for r in
+                spark.read.parquet(path + sub).select(*cols).collect()}
+
+    band_cols = ["doc", "band", "bucket", "dbkt", "pbkt", "delta"]
+    assert rows(paths["rebanded"], "/bands", band_cols) \
+        == rows(paths["prebanded"], "/bands", band_cols)
+    doc_cols = ["doc", "text", "dbkt", "delta"]
+    assert rows(paths["rebanded"], "/docs", doc_cols) \
+        == rows(paths["prebanded"], "/docs", doc_cols)
+
+
+def test_probe_job_count_stays_fused(spark, split, index_path):
+    """The r13 probe pays 4 driver actions (~18 Spark jobs counting
+    limit/broadcast sub-jobs on this plan); the r12 shape paid 6
+    actions / 24 jobs.  Guard against the fusion silently
+    regressing — threshold sits between the two."""
+    _, batch = split
+    sc = spark.sparkContext
+    dedup_minhash_incremental(spark, batch, index_path,
+                              threshold=THRESH).count()   # warm cache
+    sc.setJobGroup("fused-probe", "fused-probe")
+    try:
+        dedup_minhash_incremental(spark, batch, index_path,
+                                  threshold=THRESH).count()
+        jobs = sc.statusTracker().getJobIdsForGroup("fused-probe")
+    finally:
+        sc.setJobGroup(None, None)
+    assert len(jobs) <= 21, f"probe ran {len(jobs)} Spark jobs"

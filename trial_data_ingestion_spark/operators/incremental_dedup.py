@@ -152,7 +152,8 @@ def write_minhash_index(df: DataFrame, path: str,
                         num_buckets: int | str = "auto",
                         mode: str = "overwrite",
                         delta_id: str | None = None,
-                        threshold: float = 0.8) -> None:
+                        threshold: float = 0.8,
+                        _prebanded: DataFrame | None = None) -> None:
     """Persist the banded-signature store for ``df`` (one shuffle —
     the signature groupBy; the band fan-out and partitioned write are
     narrow).  ``mode='append'`` extends an existing index (the layout
@@ -189,7 +190,18 @@ def write_minhash_index(df: DataFrame, path: str,
     An APPEND always validates (k, num_hashes, bands, num_buckets)
     against the stored params and raises on mismatch — appending
     bands keyed differently from the stored corpus would silently
-    corrupt every later probe."""
+    corrupt every later probe.
+
+    ``_prebanded`` (internal, r13): a (doc, band, bucket, [pbkt])
+    frame to write INSTEAD of re-banding ``df`` — the incremental
+    probe already computed and driver-collected the delta's banding,
+    so its append re-enters those rows as a local table rather than
+    paying the MinHash kernel a second time (guide §8: compute the
+    proxy once, move it once).  Values are identical by construction
+    (the probe's own rows); the caller is responsible for passing
+    the banding of exactly ``df``'s rows under the index's stored
+    params — which ``dedup_minhash_incremental`` guarantees by
+    construction, having read those params itself."""
     from trial_data_ingestion_spark.operators.sketches import (
         check_partition_value, delete_path,
     )
@@ -243,7 +255,10 @@ def write_minhash_index(df: DataFrame, path: str,
     else:
         delta_id = "base" if delta_id is None \
             else check_partition_value(delta_id, what="delta_id")
-    banded = (_banded(df, id_col, text_col, k, num_hashes, bands)
+    src = (_prebanded.select("doc", "band", "bucket")
+           if _prebanded is not None
+           else _banded(df, id_col, text_col, k, num_hashes, bands))
+    banded = (src
               .withColumn("dbkt", F.pmod(F.xxhash64(F.col("doc")),
                                          F.lit(num_buckets)))
               .withColumn("pbkt", _pbkt(num_buckets))
@@ -400,6 +415,19 @@ def _local_id_frame(spark, ids, template: DataFrame, id_col: str):
     return spark.createDataFrame([(i,) for i in sorted(ids)], schema)
 
 
+def _local_probe_frame(spark, rows, template: DataFrame, id_col: str):
+    """(doc, band, bucket, pbkt) DataFrame from driver-side banded
+    probe rows, typed like the Spark-computed probe — a
+    LocalTableScan, so re-using the already-collected banding as the
+    cross join's broadcast side costs no recompute and no job."""
+    schema = T.StructType([
+        T.StructField("doc", template.schema[id_col].dataType, True),
+        T.StructField("band", T.IntegerType(), True),
+        T.StructField("bucket", T.StringType(), True),
+        T.StructField("pbkt", T.LongType(), True)])
+    return spark.createDataFrame(rows, schema)
+
+
 def _verify_pairs_local(spark, pairs: list, texts: dict, id_type,
                         k: int, threshold: float) -> list:
     """Exact Jaccard over a COLLECTED candidate set: one zero-shuffle
@@ -457,25 +485,41 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
     with ``delta_id=X, exclude_delta=X`` and reproduces its original
     decision exactly (the streaming-sink contract).
 
-    Execution shape (round 9): the steady cost of a delta probe is
+    Execution shape (round 13): the steady cost of a delta probe is
     job-SCHEDULING latency, not data — the r8 formulation paid ~9
-    sequential jobs per call, ~10 shuffle stages of them inside the
-    exploded-shingle verify.  This one pays 6 cheap jobs + the
-    caller's action: every driver-side set in play (batch ids, seen
-    ids, candidate pairs + corpus ids, in-pair texts, the drop set)
-    is bounded by the delta or the candidate set — and the call
-    ALREADY broadcast delta-sized frames, so driver-holding them is
-    the same budget class.  Candidate pairs are Jaccard-verified on a
-    local zero-shuffle frame (:func:`_verify_pairs_local`, Spark's
-    own shingle kernel) and the corpus-wins decision runs as
-    union-find on the driver (:func:`_corpus_wins_drops`); candidate
-    sets past :data:`LOCAL_VERIFY_MAX_PAIRS` — or touching more than
-    :data:`LOCAL_VERIFY_MAX_DOCS` docs (the text-payload bound) —
-    fall back to the fully distributed r8 formulation.  The returned plan is the caller's
-    own input anti-joined against a LOCAL excluded-id table — it
-    reads neither the index nor any cache, so every pin is released
-    before return (:class:`~.pins.PinScope`) and an append can't be
-    observed by the result."""
+    sequential jobs per call and the r9 rework 6.  This one pays 4:
+
+    1. ONE bounded collect of the batch ids + doc-bucket hashes AND
+       the banded probe rows (the r12 shape ALREADY round-tripped the
+       banded probe through the driver as the cross join's broadcast
+       side, so driver-holding it is the same budget class).  With
+       the probe driver-side, its partition hashes AND the in-batch
+       band-bucket candidate pairs are plain Python — the r12 pbkt
+       job and the probe pin/self-join disappear.
+    2. ONE collect unioning the seen-id scan (resume semantics) with
+       the cross-candidate join — both partition-pruned index reads,
+       the probe re-entering as a broadcast LOCAL table, so the
+       corpus never shuffles and the probe is never recomputed.
+       Seen docs are excluded from the pair set driver-side (the
+       banding of a seen doc is wasted minhash work, but seen docs
+       are rare — resume/replay only — and the fused job saves a
+       full scheduling round-trip on every probe).
+    3. Texts of in-pair docs only (pruned corpus read + the pinned
+       fresh batch, semi-joined against the local in-pair-id table).
+    4. The zero-shuffle local Jaccard verify
+       (:func:`_verify_pairs_local`, Spark's own shingle kernel);
+       the corpus-wins decision is driver union-find
+       (:func:`_corpus_wins_drops`).
+
+    Candidate sets past :data:`LOCAL_VERIFY_MAX_PAIRS` — or touching
+    more than :data:`LOCAL_VERIFY_MAX_DOCS` docs (the text-payload
+    bound) — fall back to the fully distributed r8 formulation (the
+    in-batch self-join then runs over the broadcast local probe
+    table instead of driver enumeration).  The returned plan is the
+    caller's own input anti-joined against a LOCAL excluded-id table
+    — it reads neither the index nor any cache, so every pin is
+    released before return (:class:`~.pins.PinScope`) and an append
+    can't be observed by the result."""
     p = _cached_params(spark, index_path)
     k, num_hashes, bands = p["k"], p["num_hashes"], p["bands"]
     num_buckets = p["num_buckets"]
@@ -486,39 +530,108 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
             t = t.where(F.col("delta") != F.lit(exclude_delta))
         return t
 
-    # job 1: batch ids AND their doc-bucket hashes in one bounded
-    # collect (the decision below broadcasts delta-sized sets anyway,
-    # so driver-holding the id list is the same budget class)
-    id_rows = (new_docs
-               .select(F.col(id_col).alias("doc"),
-                       F.pmod(F.xxhash64(F.col(id_col)),
-                              F.lit(num_buckets)).alias("dbkt"))
-               .distinct().collect())
+    # job 1: batch ids + doc-bucket hashes AND the banded probe in
+    # one bounded collect (id rows ride with null band so docs whose
+    # text normalizes to zero shingles still register as batch ids)
+    j1 = (new_docs
+          .select(F.col(id_col).alias("doc"),
+                  F.pmod(F.xxhash64(F.col(id_col)),
+                         F.lit(num_buckets)).alias("dbkt"),
+                  F.lit(None).cast("int").alias("band"),
+                  F.lit(None).cast("string").alias("bucket"),
+                  F.lit(None).cast("bigint").alias("pbkt"))
+          .distinct()
+          .unionByName(
+              _banded(new_docs, id_col, text_col, k, num_hashes,
+                      bands)
+              .withColumn("pbkt", _pbkt(num_buckets))
+              .select("doc",
+                      F.lit(None).cast("bigint").alias("dbkt"),
+                      "band", "bucket", "pbkt"))
+          .collect())
+    id_rows = [r for r in j1 if r["band"] is None]
+    probe_rows = [(r["doc"], r["band"], r["bucket"], r["pbkt"])
+                  for r in j1 if r["band"] is not None]
     if not id_rows:
         return new_docs
     batch_bkts = sorted({r["dbkt"] for r in id_rows})
+    pbkts = sorted({r[3] for r in probe_rows})
 
-    # job 2: resume semantics — ids the index has already seen are not
-    # "new" (re-running a batch is a no-op, and append stays
-    # duplicate-free).  Partition-pruned scan, semi-joined against the
-    # local batch-id table, collected (bounded by the batch).
+    id_type = new_docs.schema[id_col].dataType
     batch_ids_df = _local_id_frame(
         spark, (r["doc"] for r in id_rows), new_docs, id_col)
-    seen_ids = {
-        r["doc"] for r in
+    probe_local = _local_probe_frame(spark, probe_rows, new_docs,
+                                     id_col)
+
+    # job 2: seen ids (resume semantics — ids the index has already
+    # stored are not "new") and cross candidates in ONE collect; both
+    # branches are partition-pruned index scans against broadcast
+    # local tables.  The cross side is limit-bounded: past the local
+    # cap the distributed fallback recomputes it exactly anyway.
+    seen_branch = (
         _idx("/docs")
-             .where(F.col("dbkt").isin(batch_bkts))
-             .select("doc")
-             .join(F.broadcast(batch_ids_df.withColumnRenamed(
-                 id_col, "doc")), "doc", "left_semi")
-             .collect()}
+        .where(F.col("dbkt").isin(batch_bkts))
+        .select("doc")
+        .join(F.broadcast(batch_ids_df.withColumnRenamed(
+            id_col, "doc")), "doc", "left_semi")
+        .select(F.col("doc").alias("doc_a"),
+                F.lit(None).cast(id_type).alias("doc_b"),
+                F.lit(None).cast("bigint").alias("dbkt_a"),
+                F.lit(0).alias("__k")))
+    cross_branch = (
+        _idx("/bands")
+        .where(F.col("pbkt").isin(pbkts))
+        .join(F.broadcast(probe_local.withColumnRenamed(
+            "doc", "doc_b")), ["band", "bucket", "pbkt"])
+        .where(F.col("doc") != F.col("doc_b"))
+        .select(F.col("doc").alias("doc_a"), "doc_b",
+                F.col("dbkt").alias("dbkt_a"))
+        .distinct()
+        .limit(LOCAL_VERIFY_MAX_PAIRS + 1)
+        .withColumn("__k", F.lit(1)))
+    j2 = seen_branch.unionByName(cross_branch).collect()
+    seen_ids = {r["doc_a"] for r in j2 if r["__k"] == 0}
+    cross_rows = [r for r in j2 if r["__k"] == 1]
+    # a seen doc's bands are already IN the index, so its cross pairs
+    # (corpus doc vs itself-as-batch-doc) and in-batch pairs are the
+    # r12 shape's excluded-before-banding rows — dropped here instead
+    cross_pairs = [(r["doc_a"], r["doc_b"], r["dbkt_a"])
+                   for r in cross_rows if r["doc_b"] not in seen_ids]
+    cross_overflow = len(cross_rows) > LOCAL_VERIFY_MAX_PAIRS
+
+    # in-batch candidates: plain Python over the driver-held probe —
+    # group by (band, bucket), all (a < b) pairs, capped at the local
+    # bound (past it the decision falls to the distributed path,
+    # which re-derives the full set)
+    groups: dict = {}
+    for doc, band, bucket, _ in probe_rows:
+        if doc not in seen_ids:
+            groups.setdefault((band, bucket), set()).add(doc)
+    batch_pairs: set = set()
+    batch_overflow = False
+    pair_budget = LOCAL_VERIFY_MAX_PAIRS + 1
+    for g in groups.values():
+        if batch_overflow or len(g) < 2:
+            continue
+        gs = sorted(g)
+        for i in range(len(gs)):
+            for j in range(i + 1, len(gs)):
+                batch_pairs.add((gs[i], gs[j]))
+                if len(batch_pairs) >= pair_budget:
+                    batch_overflow = True
+                    break
+            if batch_overflow:
+                break
+
+    pairs = list({(a, b) for a, b, _ in cross_pairs} | batch_pairs)
+    in_pair_ids = {d for pr in pairs for d in pr}
 
     orig = new_docs
     kept_frame = None
     with PinScope() as pins:
-        # the fresh batch feeds the banding kernel and the verify
-        # union; its seen-filter is a broadcast anti against the LOCAL
-        # id table (no index read in the plan)
+        # the fresh batch feeds the verify text union and the append
+        # write; its seen-filter is a broadcast anti against the
+        # LOCAL id table (no index read in the plan)
         fresh = orig
         if seen_ids:
             fresh = orig.join(
@@ -527,55 +640,12 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                 id_col, "left_anti")
         fresh = pins.pin(fresh)
 
-        probe = pins.pin(
-            _banded(fresh, id_col, text_col, k, num_hashes, bands)
-            .withColumn("pbkt", _pbkt(num_buckets)))
-        # job 3: the probe's partition hashes (fills the probe cache)
-        pbkts = sorted(r["pbkt"] for r in
-                       probe.select("pbkt").distinct().collect())
-
-        # in-batch candidates: band-bucket self-join, (a < b) pairs
-        a, b = probe.alias("a"), probe.alias("b")
-        batch_cands = (
-            a.join(b, on=[F.col("a.band") == F.col("b.band"),
-                          F.col("a.bucket") == F.col("b.bucket"),
-                          F.col("a.doc") < F.col("b.doc")])
-             .select(F.col("a.doc").alias("doc_a"),
-                     F.col("b.doc").alias("doc_b"))
-             .distinct())
-        # cross candidates: stored bands scanned only in the batch's
-        # own pbkt partitions, batch side broadcast — the corpus never
-        # shuffles (same plan as cross_candidates, inlined so the pbkt
-        # collect above is the one that fills the probe cache)
-        idx = (_idx("/bands")
-               .where(F.col("pbkt").isin(pbkts)))
-        cross = (idx.join(F.broadcast(probe.withColumnRenamed(
-                     "doc", "doc_b")), ["band", "bucket", "pbkt"])
-                    .where(F.col("doc") != F.col("doc_b"))
-                    .select(F.col("doc").alias("doc_a"), "doc_b",
-                            F.col("dbkt").alias("dbkt_a"))
-                    .distinct())
-        # the candidate pair set, corpus-side partition tags riding
-        # along (dbkt_a is functionally dependent on doc_a, so the
-        # distinct is still per-pair; batch-batch pairs carry null)
-        all_cands = (cross.unionByName(
-                        batch_cands.withColumn(
-                            "dbkt_a", F.lit(None).cast("bigint")))
-                     .distinct())
-        # job 4: one bounded collect gets the pairs, the candidate
-        # corpus ids AND their doc partitions
-        pair_rows = all_cands.limit(LOCAL_VERIFY_MAX_PAIRS + 1) \
-                             .collect()
-        in_pair_ids = ({r["doc_a"] for r in pair_rows}
-                       | {r["doc_b"] for r in pair_rows})
-        if (len(pair_rows) <= LOCAL_VERIFY_MAX_PAIRS
+        if (not cross_overflow and not batch_overflow
+                and len(pairs) <= LOCAL_VERIFY_MAX_PAIRS
                 and len(in_pair_ids) <= LOCAL_VERIFY_MAX_DOCS):
-            pairs = [(r["doc_a"], r["doc_b"]) for r in pair_rows]
-            cand_ids = {r["doc_a"] for r in pair_rows
-                        if r["dbkt_a"] is not None}
-            dbkts = sorted({r["dbkt_a"] for r in pair_rows
-                            if r["dbkt_a"] is not None})
-            # job 5: texts of in-pair docs only — pruned corpus read
+            cand_ids = {a for a, b, _ in cross_pairs}
+            dbkts = sorted({d for _, _, d in cross_pairs})
+            # job 3: texts of in-pair docs only — pruned corpus read
             # plus the cached batch, semi-joined against the local id
             # table
             if in_pair_ids:
@@ -594,16 +664,46 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
                     .collect()}
             else:
                 texts = {}
-            # job 6 (zero-shuffle): exact Jaccard on the local pair
+            # job 4 (zero-shuffle): exact Jaccard on the local pair
             # frame; decision via driver union-find
             confirmed_pairs = _verify_pairs_local(
-                spark, pairs, texts, orig.schema[id_col].dataType,
-                k, threshold)
+                spark, pairs, texts, id_type, k, threshold)
             drops = _corpus_wins_drops(confirmed_pairs, cand_ids)
         else:
             # distributed fallback for a pathological candidate set:
             # the r8 formulation (exploded-shingle verify, label
-            # propagation, survivor-id pin)
+            # propagation, survivor-id pin).  The probe re-enters as
+            # the broadcast LOCAL table on both the in-batch
+            # self-join and the cross join — still no banding
+            # recompute, no corpus shuffle.
+            fresh_probe = probe_local
+            if seen_ids:
+                fresh_probe = probe_local.join(
+                    F.broadcast(_local_id_frame(
+                        spark, seen_ids, orig,
+                        id_col).withColumnRenamed(id_col, "doc")),
+                    "doc", "left_anti")
+            a, b = fresh_probe.alias("a"), fresh_probe.alias("b")
+            batch_cands = (
+                a.join(b, on=[F.col("a.band") == F.col("b.band"),
+                              F.col("a.bucket") == F.col("b.bucket"),
+                              F.col("a.doc") < F.col("b.doc")])
+                 .select(F.col("a.doc").alias("doc_a"),
+                         F.col("b.doc").alias("doc_b"))
+                 .distinct())
+            cross = (
+                _idx("/bands")
+                .where(F.col("pbkt").isin(pbkts))
+                .join(F.broadcast(fresh_probe.withColumnRenamed(
+                    "doc", "doc_b")), ["band", "bucket", "pbkt"])
+                .where(F.col("doc") != F.col("doc_b"))
+                .select(F.col("doc").alias("doc_a"), "doc_b",
+                        F.col("dbkt").alias("dbkt_a"))
+                .distinct())
+            all_cands = (cross.unionByName(
+                            batch_cands.withColumn(
+                                "dbkt_a", F.lit(None).cast("bigint")))
+                         .distinct())
             cross = pins.pin(cross)
             cand_corpus = (cross.select(F.col("doc_a").alias("doc"),
                                         "dbkt_a").distinct())
@@ -630,11 +730,21 @@ def dedup_minhash_incremental(spark, new_docs: DataFrame,
         if append:
             # fresh's plan reads only the caller's input and a local
             # id table — never the index — so the append can write
-            # straight from the pinned frame
+            # straight from the pinned frame; the band rows re-enter
+            # as the already-collected probe (fresh docs only), so
+            # the append never re-runs the MinHash kernel
+            fresh_banded = probe_local
+            if seen_ids:
+                fresh_banded = probe_local.join(
+                    F.broadcast(_local_id_frame(
+                        spark, seen_ids, orig,
+                        id_col).withColumnRenamed(id_col, "doc")),
+                    "doc", "left_anti")
             write_minhash_index(fresh, index_path, id_col, text_col,
                                 k=k, num_hashes=num_hashes,
                                 bands=bands, num_buckets=num_buckets,
-                                mode="append", delta_id=delta_id)
+                                mode="append", delta_id=delta_id,
+                                _prebanded=fresh_banded)
     if kept_frame is not None:
         return orig.join(F.broadcast(kept_frame), id_col, "left_semi")
     excluded = seen_ids | drops
