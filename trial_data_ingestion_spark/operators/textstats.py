@@ -231,16 +231,34 @@ def detect_language_ngram_arrow(text: Column,
     it equal to.  (Precedent: the C4 token chunker and multimodal
     kernels make the same native-reference / Arrow-scale split.)"""
     import re as _re
+    from collections import Counter
 
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     from trial_data_ingestion_spark.operators import lid_profiles as lp
 
-    packed = {n: dict(t) for n, t in lp.PACKED.items()}
+    # gram -> row index + a (vocab, nlangs) weight matrix per order:
+    # scoring a doc is then one gram Counter + one tiny matmul per
+    # order (r13, guide §4.2) instead of an interpreted 6-float loop
+    # per gram OCCURRENCE (~507 x 6 Python float ops per doc — the
+    # measured dominant term of the funnel's hygiene sweep, 1.26 s of
+    # b22's 4.0 s at sf0.1).  The gram/hit counting stays exact
+    # integers; only the weighted-sum ORDER changes (count*w*inv via
+    # BLAS instead of count sequential adds), a last-ulp rounding
+    # class at argmax ties — the same measure-zero caveat the shipped
+    # BLAS pair kernels carry, and the arrow-vs-native equality test
+    # plus a full-corpus label check pin it empirically.
     orders = lp.NGRAM_ORDERS
     langs = lp.LANGS
     nlangs = len(langs)
     miss = lp.MISS_LOGP
+    tables = {}
+    for n, t in lp.PACKED.items():
+        items = list(dict(t).items())
+        tables[n] = ({g: i for i, (g, _) in enumerate(items)},
+                     np.array([ws for _, ws in items],
+                              dtype=np.float64))
     nonletter = _re.compile(r"[\W\d_]+", _re.UNICODE)
     spaces = _re.compile(r"\s+")
 
@@ -256,28 +274,35 @@ def detect_language_ngram_arrow(text: Column,
             if len(s) < 5:
                 out.append("und")
                 continue
-            scores = [0.0] * nlangs
+            scores = np.zeros(nlangs)
             hits = 0
             n3 = len(s) - 2
             for n in orders:
-                table = packed[n]
+                idx, W = tables[n]
                 count = len(s) - (n - 1)
                 inv = 1.0 / count
-                for i in range(count):
-                    ws = table.get(s[i:i + n])
-                    if ws is None:
-                        for j in range(nlangs):
-                            scores[j] += miss * inv
-                    else:
-                        if n == 3:
-                            hits += 1
-                        for j in range(nlangs):
-                            scores[j] += ws[j] * inv
+                cnt = Counter(s[i:i + n] for i in range(count))
+                rows = []
+                wts = []
+                present = 0
+                for g, c in cnt.items():
+                    j = idx.get(g)
+                    if j is not None:
+                        rows.append(j)
+                        wts.append(c)
+                        present += c
+                if n == 3:
+                    hits = present
+                if rows:
+                    scores += (np.asarray(wts, dtype=np.float64)
+                               @ W[rows]) * inv
+                misses = count - present
+                if misses:
+                    scores += miss * (misses * inv)
             if hits / n3 < 0.12:
                 out.append("und")
                 continue
-            out.append(langs[max(range(nlangs),
-                                 key=lambda j: scores[j])])
+            out.append(langs[int(np.argmax(scores))])
         return pd.Series(out)
 
     return _lid(text)
