@@ -120,3 +120,35 @@ def test_split_leakage_report(spark):
     plan = split_leakage_report(df, n=8)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "EvalPython" not in plan
+
+
+def test_index_probe_matches_direct_sweep(spark, tmp_path):
+    """decontaminate_fuzzy(corpus_index=...) — the r13 persisted-
+    signature probe — must return the identical survivor set to the
+    direct signature pass, and must refuse an index built with
+    different banding params."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from trial_data_ingestion_spark.operators.decontam import (
+        decontaminate_fuzzy,
+    )
+    from trial_data_ingestion_spark.operators.incremental_dedup import (
+        write_minhash_index,
+    )
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text"))
+    bench = docs.where("doc_id % 20 = 7").select("text")
+    path = str(tmp_path / "sigidx")
+    write_minhash_index(docs, path, k=8, num_hashes=64, bands=16)
+    direct = {r["doc_id"] for r in
+              decontaminate_fuzzy(docs, bench, threshold=0.8)
+              .select("doc_id").collect()}
+    probed = {r["doc_id"] for r in
+              decontaminate_fuzzy(docs, bench, threshold=0.8,
+                                  corpus_index=path)
+              .select("doc_id").collect()}
+    assert direct == probed and len(direct) > 0
+    with pytest.raises(ValueError, match="keyed differently"):
+        decontaminate_fuzzy(docs, bench, threshold=0.8, bands=8,
+                            num_hashes=32, corpus_index=path)

@@ -322,7 +322,9 @@ def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
                            bench_text_col: str = "text",
                            threshold: float = 0.5, k: int = 8,
                            num_hashes: int = 64,
-                           bands: int = 16) -> DataFrame:
+                           bands: int = 16,
+                           corpus_index: str | None = None
+                           ) -> DataFrame:
     """Corpus ids whose char-shingle Jaccard similarity to ANY
     benchmark item reaches ``threshold`` — the NEAR-duplicate
     contamination the exact n-gram sweep misses (paraphrases, light
@@ -336,7 +338,26 @@ def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
     candidate join never exchanges the corpus; exact Jaccard then
     verifies only the bucket-collision pairs.  At low thresholds
     raise ``bands`` per dedup.lsh_plan so the S-curve keeps
-    recall."""
+    recall.
+
+    ``corpus_index`` (r13): path of a persisted
+    :func:`~.incremental_dedup.write_minhash_index` store built over
+    the SAME corpus with the SAME (k, num_hashes, bands) — its
+    ``bands/`` rows are byte-identical to the signature pass this
+    function would re-derive (same ``minhash_signatures`` kernel,
+    same comma-joined bucket strings), so decontam sweeps against a
+    fixed corpus become an INDEX PROBE: the stored bands are scanned
+    only in the partitions the benchmark's own bucket hashes name
+    (the ``pbkt`` pruning that bounds b09's delta probes), and the
+    corpus-wide signature shuffle disappears from every sweep after
+    the first.  A deployment sweeping one corpus against many
+    benchmarks — the release-pipeline shape — amortizes the build
+    exactly like the b09/b11 index tiers.  Params are validated
+    against the stored ``params/`` table; a mismatch raises rather
+    than probing buckets keyed differently.  Candidate set and
+    verdicts are identical to the direct pass by construction; the
+    corpus texts for exact verification still come from ``corpus``
+    (the caller's frame), never the index."""
     from trial_data_ingestion_spark.operators.dedup import (
         jaccard_verify,
         minhash_signatures,
@@ -368,9 +389,45 @@ def fuzzy_contaminated_ids(corpus: DataFrame, bench: DataFrame,
 
     bench_ids = bench.select(
         F.monotonically_increasing_id().alias("__bid"), bench_text_col)
-    c_named, c_banded = banded(corpus, id_col, text_col, "c|")
     b_named, b_banded = banded(bench_ids, "__bid", bench_text_col,
                                "b|")
+    if corpus_index is not None:
+        from trial_data_ingestion_spark.operators.incremental_dedup \
+            import _cached_params, _pbkt
+        spark = corpus.sparkSession
+        stored = _cached_params(spark, corpus_index)
+        got = {"k": k, "num_hashes": num_hashes, "bands": bands}
+        if {kk: stored[kk] for kk in got} != got:
+            raise ValueError(
+                f"corpus_index at {corpus_index!r} was built with "
+                f"{ {kk: stored[kk] for kk in got} }, probe wants "
+                f"{got}; signatures keyed differently cannot collide")
+        probe = b_banded.withColumn(
+            "pbkt", _pbkt(stored["num_buckets"]))
+        pbkts = sorted(r["pbkt"] for r in
+                       probe.select("pbkt").distinct().collect())
+        c_banded = (spark.read.parquet(corpus_index + "/bands")
+                    .where(F.col("pbkt").isin(pbkts))
+                    .select(F.concat(F.lit("c|"),
+                                     F.col("doc").cast("string"))
+                            .alias("doc_id"), "band", "bucket",
+                            "pbkt"))
+        cross = (c_banded.join(
+                    F.broadcast(probe
+                                .withColumnRenamed("doc_id", "doc_b")),
+                    ["band", "bucket", "pbkt"])
+                 .select(F.col("doc_id").alias("doc_a"), "doc_b")
+                 .distinct())
+        c_named = corpus.select(
+            F.concat(F.lit("c|"), F.col(id_col).cast("string"))
+            .alias("doc_id"), F.col(text_col).alias("text"))
+        both = c_named.unionByName(b_named)
+        verified = jaccard_verify(both, cross, "doc_id", "text", k=k,
+                                  threshold=threshold)
+        return (verified.select(
+                    F.expr("substring(doc_a, 3)").alias(id_col))
+                .distinct())
+    c_named, c_banded = banded(corpus, id_col, text_col, "c|")
     # No cut point here ON PURPOSE (r12, measured): jaccard_verify
     # consumes ``candidates`` twice, but the subtree ends in the
     # distinct's exchange and Spark's ReuseExchange dedupes it inside
@@ -397,16 +454,20 @@ def decontaminate_fuzzy(corpus: DataFrame, bench: DataFrame,
                         bench_text_col: str = "text",
                         threshold: float = 0.5, k: int = 8,
                         num_hashes: int = 64,
-                        bands: int = 16) -> DataFrame:
+                        bands: int = 16,
+                        corpus_index: str | None = None) -> DataFrame:
     """Corpus minus near-duplicate-contaminated docs (original
     columns preserved): :func:`fuzzy_contaminated_ids` + one
     left-anti join.  Complements the exact sweep — run both: exact
     catches verbatim spans inside long documents (where whole-doc
     Jaccard is low), fuzzy catches whole-item paraphrases (where no
-    8-gram survives verbatim)."""
+    8-gram survives verbatim).  ``corpus_index`` amortizes the
+    corpus signature pass across sweeps — see
+    :func:`fuzzy_contaminated_ids`."""
     bad = fuzzy_contaminated_ids(corpus, bench, id_col, text_col,
                                  bench_text_col, threshold, k,
-                                 num_hashes, bands)
+                                 num_hashes, bands,
+                                 corpus_index=corpus_index)
     return corpus.join(
         bad.select(F.col(id_col).cast(dict(corpus.dtypes)[id_col])
                    .alias(id_col)),
