@@ -97,7 +97,12 @@ def main() -> int:
         env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
         cwd = tempfile.mkdtemp(prefix=f"shard{i}-",
                                dir=tempfile.gettempdir())
+        # "-m 'slow or not slow'" overrides pytest.ini's default
+        # exclusion: the sharded runner is the FULL gate — every test
+        # including the slow e2e/restart tier runs here, while the
+        # driver's plain `pytest tests/` runs the in-window tier
         cmd = [sys.executable, "-m", "pytest", "-q",
+               "-m", "slow or not slow",
                "--durations=0", "--durations-min=0.1",
                "-p", "no:cacheprovider"] \
             + (["-k", args.k] if args.k else []) + shard
@@ -123,8 +128,12 @@ def main() -> int:
             if m:
                 summary[key] += int(m.group(1))
         # roll per-test durations up to per-file for the next LPT
+        # (r13 fix: workers run from a temp cwd, so durations print
+        # bare file names — the old `tests/\S+` pattern never
+        # matched and the book was never written)
         for dur, _, testid in re.findall(
-                r"([0-9.]+)s (call|setup|teardown)\s+(tests/\S+)", text):
+                r"([0-9.]+)s (call|setup|teardown)\s+(\S+?::\S+)",
+                text):
             fname = testid.split("::")[0].split("/")[-1]
             file_secs[fname] = file_secs.get(fname, 0.0) + float(dur)
 

@@ -31,6 +31,7 @@ def fixture_file(tmp_path):
     return str(path)
 
 
+@pytest.mark.slow
 def test_cli_fulltext_then_chunk_fulltext(spark, tmp_path, fixture_file,
                                           capsys):
     csv = tmp_path / "worklist.csv"

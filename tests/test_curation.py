@@ -5,6 +5,8 @@ is deterministic."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -27,6 +29,7 @@ def _rows():
     return rows
 
 
+@pytest.mark.slow
 def test_curate_tolerates_signal_name_collisions(spark):
     """documents.parquet itself carries a `lang` column; curate must
     drop the input's copy and attach its own signals without producing
@@ -79,6 +82,7 @@ def test_curate_composed_plan_census(spark):
     assert len(re.findall(r"FileScan parquet", plan)) == 3
 
 
+@pytest.mark.slow
 def test_curate_with_substring_dedup_stage(spark):
     """The optional within-corpus substring stage: boilerplate shared
     across surviving docs is removed from all but its first
@@ -108,6 +112,7 @@ def test_curate_with_substring_dedup_stage(spark):
                if r["doc_id"] != with_boiler[0]["doc_id"])
 
 
+@pytest.mark.slow
 def test_curate_end_to_end(spark):
     from trial_data_ingestion_spark.pipelines.curation import (
         CurationConfig, curate,
@@ -145,6 +150,7 @@ def test_curate_end_to_end(spark):
     assert again == ids
 
 
+@pytest.mark.slow
 def test_curate_redact_pii_stage(spark):
     """redact_pii=True: placeholders in every surviving text, the
     raw values gone, and two docs differing ONLY in the redacted
@@ -210,6 +216,7 @@ def test_curate_leakage_safe_split(spark):
         assert got[i] == plain[i]
 
 
+@pytest.mark.slow
 def test_curate_incremental_matches_full(spark, tmp_path):
     """curate(A ∪ B) must equal curate(A) ∪ curate_incremental(B)
     row-for-row when batch ids sort after corpus ids: the delta path
@@ -415,6 +422,7 @@ def test_curate_with_url_filter_stage(spark):
     assert "url" in cols and "url_keep" not in cols
 
 
+@pytest.mark.slow
 def test_curate_with_trained_quality_model_stage(spark):
     """A fitted fastText-recipe classifier slots into curate(): spam-
     vocabulary docs that pass every hygiene gate are dropped by the
@@ -569,6 +577,7 @@ def test_curate_kitchen_sink_plan_census(spark):
     assert out.where("url like '%s3-ex.com%'").count() == 0
 
 
+@pytest.mark.slow
 def test_curate_scrub_policy(spark):
     """decontam_policy='scrub': the contaminated doc SURVIVES with
     its benchmark-matching run rewritten away (n_scrubbed_tokens
@@ -797,6 +806,7 @@ def test_rejection_audit_model_stages_parity(spark):
     assert "perplexity" in reasons and "dsir" in reasons
 
 
+@pytest.mark.slow
 def test_rejection_audit_unscored_docs_are_not_survivors(spark):
     """ADVICE round 5: a doc whose text normalizes to ZERO scoreable
     tokens (all punctuation/symbols) is silently dropped by curate()'s

@@ -18,6 +18,7 @@ def embeddings_df(spark):
     return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
 
 
+@pytest.mark.slow
 def test_ngram_jaccard_known_answer(spark):
     # docs 1 and 2 share 2 of their 4 distinct 3-grams -> J = 1/2;
     # doc 3 is disjoint.
@@ -79,6 +80,7 @@ def test_cw_hash_family_is_selective(spark):
     assert n < 50, f"candidate explosion: {n} pairs from 50 distinct docs"
 
 
+@pytest.mark.slow
 def test_ivf_matches_bruteforce_when_probing_all_cells(spark, embeddings_df):
     qs = (embeddings_df.where(F.col("vec_id") < 2)
           .select(F.col("vec_id").alias("query_id"),
@@ -206,6 +208,7 @@ def test_multitable_srp_containment_sf001(spark):
     assert len(multi) > len(single)
 
 
+@pytest.mark.slow
 def test_multitable_srp_impl_variants_agree(spark):
     """The r12 physical-shape knobs (hash_impl='arrow' — one numpy
     matmul per Arrow batch instead of L*p codegen'd sign-dots;
@@ -258,6 +261,7 @@ def test_connected_components_min_label_chain(spark):
     assert labels == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+@pytest.mark.slow
 def test_connected_components_regimes_agree(spark):
     """The driver union-find (small-graph regime) and the distributed
     min-label loop (forced via driver_threshold=0) must label
@@ -356,6 +360,7 @@ def test_keep_best_ties_and_nulls_match_min_id(spark):
                                     prefer="highest")
 
 
+@pytest.mark.slow
 def test_dedup_minhash_keep_best_end_to_end(spark):
     # Three byte-near-identical docs (one char apart) form one cluster;
     # the longest (here: highest `quality`) survives instead of min id.
@@ -443,6 +448,7 @@ def test_srp_auto_planes_occupancy():
         assert n / 2 ** p <= 8.0001
 
 
+@pytest.mark.slow
 def test_embedding_near_dups_auto_planes(spark):
     """auto == explicit p at the size auto resolves to (2k vectors ->
     p=8, the graded configuration), so the opt-in costs one count()
@@ -550,6 +556,7 @@ def test_auto_banding_holds_recall_at_callers_threshold():
         auto_banding(10_000, threshold=1.5)
 
 
+@pytest.mark.slow
 def test_dedup_minhash_auto_matches_explicit(spark, sf_dir):
     """num_hashes="auto" below the anchor resolves to the anchor
     banding — survivors must equal the explicit (16, 4) run; a

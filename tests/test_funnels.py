@@ -61,6 +61,7 @@ def test_funnel_depths_match_python_twin(spark, within):
     assert got == ref and len(got) >= 10
 
 
+@pytest.mark.slow
 def test_funnel_no_window_matches_duckdb(spark):
     """Without a window the greedy chain is exact subsequence
     matching: progressive per-user min-ts in plain SQL must agree."""

@@ -5,6 +5,8 @@ docs survive; the corpus-side plan never shuffles on bench buckets
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -36,6 +38,7 @@ def _docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_fuzzy_catches_paraphrase_exact_misses(spark):
     from trial_data_ingestion_spark.operators.decontam import (
         decontaminate,

@@ -43,6 +43,7 @@ def test_params_round_trip(spark, index_path):
                  "num_buckets": 16}
 
 
+@pytest.mark.slow
 def test_incremental_matches_full_corpus_dedup(spark, docs, split,
                                                index_path):
     """Survivors of (index corpus A, then incremental batch B) must
@@ -149,6 +150,7 @@ def test_embedding_incremental_matches_full(spark, emb, tmp_path):
     assert len(inc_ids) < batch.count()
 
 
+@pytest.mark.slow
 def test_embedding_incremental_append_then_rerun_is_noop(spark, emb,
                                                          tmp_path):
     from trial_data_ingestion_spark.operators.incremental_dedup import (
@@ -170,6 +172,7 @@ def test_embedding_incremental_append_then_rerun_is_noop(spark, emb,
     assert rerun.count() == 0
 
 
+@pytest.mark.slow
 def test_compact_minhash_index(spark, docs, split, tmp_path):
     """After appends fragment the partitions, compaction to a new
     root must preserve answers exactly and leave one file per
@@ -229,6 +232,7 @@ def test_compact_minhash_index(spark, docs, split, tmp_path):
         compact_minhash_index(spark, out, out)
 
 
+@pytest.mark.slow
 def test_embedding_incremental_append_preserves_corpus(spark, emb,
                                                        tmp_path):
     """Round-8 bug fix: append=True must APPEND the batch into the

@@ -7,11 +7,14 @@ full-batch run over everything would have produced."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR_ORACLE
 
 
+@pytest.mark.slow
 def test_incremental_pipeline_end_to_end(spark, tmp_path):
     from trial_data_ingestion_spark.operators.bpe import (
         encode_ids, train_bpe, vocab_table, word_frequencies,

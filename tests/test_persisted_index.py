@@ -13,6 +13,8 @@ scan at 100 TB:
 
 from __future__ import annotations
 
+import pytest
+
 import re
 
 from pyspark.sql import functions as F
@@ -53,6 +55,7 @@ def _touched_partitions(scan_df, key):
     return vals
 
 
+@pytest.mark.slow
 def test_ivf_index_matches_q31_oracle(spark, tmp_path):
     """The q31-shaped query over the persisted layout must hash-match
     the same DuckDB oracle as the on-the-fly q31 (same placeholder
@@ -75,6 +78,7 @@ def test_ivf_index_matches_q31_oracle(spark, tmp_path):
     assert not problems, "; ".join(problems)
 
 
+@pytest.mark.slow
 def test_ivf_index_append_matches_full_rebuild(spark, tmp_path):
     """Index built from half the corpus + append_to_ivf_index of the
     other half must answer queries IDENTICALLY to a one-shot build

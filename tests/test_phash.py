@@ -229,6 +229,7 @@ def _image_items(prefix, specs):
     return [(f"{prefix}{s}", px) for s, px in specs]
 
 
+@pytest.mark.slow
 def test_dedup_media_incremental_parity_and_resume(spark, tmp_path):
     """Incremental media dedup against a persisted fingerprint index
     must EXACTLY match the batch slice of a full-corpus dedup over

@@ -3,6 +3,8 @@ upsert (§3.2), upsert idempotency (SURVEY.md §5 items 4-5)."""
 
 from __future__ import annotations
 
+import pytest
+
 from tests import fixtures as FX
 
 
@@ -32,6 +34,7 @@ def _input(spark):
         "doi string, journal string")
 
 
+@pytest.mark.slow
 def test_fulltext_pipeline(spark):
     from trial_data_ingestion_spark.pipelines.fulltext import (
         run_fulltext, summarize,
@@ -56,6 +59,7 @@ def test_fulltext_pipeline(spark):
                  "skipped_existing": 0, "failures": 2}
 
 
+@pytest.mark.slow
 def test_batch_workers_bounds_connector_partitions(spark):
     """--batch-workers twin (reference cli.py:17): num_partitions
     repartitions the connector worklist, so the mapInPandas output —
@@ -98,6 +102,7 @@ def test_fulltext_resume_antijoin(spark):
     assert s["appended"] == 0
 
 
+@pytest.mark.slow
 def test_ingest_embed_upsert_idempotent(spark, tmp_path):
     from trial_data_ingestion_spark.pipelines.fulltext import run_fulltext
     from trial_data_ingestion_spark.pipelines.ingest_embed import (

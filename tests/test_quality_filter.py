@@ -4,6 +4,8 @@ trail, and the scoring plan stays JVM-side."""
 
 from __future__ import annotations
 
+import pytest
+
 import random
 
 from pyspark.sql import functions as F
@@ -62,6 +64,7 @@ def test_quality_filter_learns_and_generalizes(spark):
     assert all(0.0 <= r["keep_prob"] <= 1.0 for r in got)
 
 
+@pytest.mark.slow
 def test_fitted_models_carry_no_training_summary(spark):
     """Regression: the LR trainingSummary pins the SparkSession, and
     transform's prediction UDF captures the model — with the summary

@@ -192,6 +192,7 @@ def test_hash_sample_is_a_pure_pushed_filter(spark):
     assert "Exchange" not in plan
     assert "Filter" in plan
 
+@pytest.mark.slow
 def test_mixture_with_epochs_upsamples_and_downsamples(spark):
     """Scarce source repeats (~2.5 epochs), abundant source
     downsamples, realized composition lands near the target, copies

@@ -33,6 +33,7 @@ def _toy(spark):
                                  "vec_id long, embedding array<float>")
 
 
+@pytest.mark.slow
 def test_semantic_dedup_known_answers(spark):
     from trial_data_ingestion_spark.operators.semantic_dedup import (
         semantic_dedup,
@@ -85,6 +86,7 @@ def test_semantic_dup_pairs_cosine_values(spark):
     assert abs(pairs[(10, 11)] - math.cos(0.03)) < 1e-6
 
 
+@pytest.mark.slow
 def test_semantic_dedup_exact_over_blocked_pairs_on_corpus(spark):
     """Real embeddings at the corpus's own (loose, cosine ~0.4)
     neighbor structure: the removal set must EQUAL connected
@@ -405,6 +407,7 @@ def test_srp_recall_planning_math():
         srp_tables_for_recall(0.9, 8, target=1.5)
 
 
+@pytest.mark.slow
 def test_semantic_dedup_blocked_on_planted_dups(spark):
     """The linear-path operator must reproduce the GLOBAL exact
     graph's removal set in the paper's operating regime (tight dup

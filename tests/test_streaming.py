@@ -31,6 +31,7 @@ def _run_stream(df, tmp_path, name):
     return q
 
 
+@pytest.mark.slow
 def test_tumbling_counts_match_batch(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.streaming.events import (
         read_event_stream, tumbling_counts,
@@ -48,6 +49,7 @@ def test_tumbling_counts_match_batch(spark, event_dir, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sliding_counts_match_batch(spark, event_dir, tmp_path):
     from trial_data_ingestion_spark.streaming.events import (
         read_event_stream, sliding_counts,
@@ -102,6 +104,7 @@ def test_streaming_dedup(spark, event_dir, tmp_path):
     assert n[0]["c"] == total[0]["c"]  # one row per user survived
 
 
+@pytest.mark.slow
 def test_user_running_stats_stateful(spark, event_dir, tmp_path):
     """applyInPandasWithState keeps per-user state across micro-batches
     AND stream restarts: run availableNow over half the data, add the
@@ -500,6 +503,7 @@ def doc_dir(spark, tmp_path_factory):
     return path
 
 
+@pytest.mark.slow
 def test_streaming_curation_matches_batch_sweep(spark, doc_dir, tmp_path):
     """The streaming curation slice (VERDICT r4 #6): hygiene gates +
     exact dedup as ONE availableNow stream over a document ingest
@@ -536,6 +540,7 @@ def test_streaming_curation_matches_batch_sweep(spark, doc_dir, tmp_path):
     assert len(skey) == len(srows)
 
 
+@pytest.mark.slow
 def test_streaming_scrub_matches_batch(spark, doc_dir, tmp_path):
     """Streaming surgical scrub == batch scrub_contaminated_spans
     (hash_grams=False twin) per document, over a REAL availableNow
@@ -570,6 +575,7 @@ def test_streaming_scrub_matches_batch(spark, doc_dir, tmp_path):
     assert all(v[1] > 0 for d, v in got.items() if d % 97 == 3)
 
 
+@pytest.mark.slow
 def test_streaming_curation_watermarked_dedup(spark, doc_dir, tmp_path):
     """The bounded-state variant: with an ingest-time column the
     fingerprint state is watermark-bounded via
@@ -746,6 +752,7 @@ def test_streaming_line_dedup_across_batches(spark, tmp_path):
                     if len(l.strip()) >= 10], r["doc_id"]
 
 
+@pytest.mark.slow
 def test_streaming_media_dedup_across_batches(spark, tmp_path):
     """Perceptual media dedup as a stream (the persisted fingerprint
     store IS the state): BMP payloads arrive across micro-batches
@@ -915,6 +922,7 @@ def test_funnel_event_time_ttl_diverges_on_replay(spark, tmp_path):
     assert ev[3] == 1 and pr[3] == 1
 
 
+@pytest.mark.slow
 def test_transitions_event_time_ttl_diverges_on_replay(spark,
                                                        tmp_path):
     """Same replay divergence for the transition operator: the pair
@@ -1024,6 +1032,7 @@ def test_drain_wraps_failed_query_as_runtimeerror(spark, event_dir,
     assert not q.isActive
 
 
+@pytest.mark.slow
 def test_streaming_minhash_dedup_matches_batch_loop(spark, tmp_path):
     """VERDICT r9 item 5: the foreachBatch streaming twin of
     dedup_minhash_incremental.  Survivors of a 3-micro-batch stream
@@ -1117,6 +1126,7 @@ def test_streaming_minhash_dedup_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(idx + "/docs").count() == docs_n
 
 
+@pytest.mark.slow
 def test_streaming_embedding_dedup_matches_batch_loop(spark, tmp_path):
     """Streaming twin of the SRP incremental path: foreachBatch over a
     3-file vector stream must keep exactly the survivors a batch loop

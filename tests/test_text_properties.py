@@ -4,6 +4,8 @@ adversarial corpus, evaluated in one Spark job per test."""
 
 from __future__ import annotations
 
+import pytest
+
 import html
 import random
 import string
@@ -147,6 +149,7 @@ def _entity_soup(n: int = 500) -> list:
     return out
 
 
+@pytest.mark.slow
 def test_html_multi_unescape_matches_stdlib_on_supported_grammar(spark):
     """Property gate (VERDICT r2 #6): over the supported grammar the
     native Column decode must equal the connector kernel
@@ -169,6 +172,7 @@ def test_html_multi_unescape_matches_stdlib_on_supported_grammar(spark):
     assert not bad, f"{len(bad)} divergences, first: {bad[0]!r}"
 
 
+@pytest.mark.slow
 def test_html_multi_unescape_former_divergences_now_exact(spark):
     """Round 3 pinned a divergence set (long-tail named entities and
     semicolon-less legacy forms passed through).  Round 4 ships the

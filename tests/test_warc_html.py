@@ -105,6 +105,7 @@ def test_extract_text_hostile_input():
     assert "unclosed" in x
 
 
+@pytest.mark.slow
 def test_crawl_to_curation_composition(spark, warc_dir):
     """The headline web flow: WARC -> HTML -> text -> hygiene gate.
     The extracted pages flow through the SAME curation entry point as
@@ -311,6 +312,7 @@ def test_extract_links_with_anchor_text(spark):
     assert [(r["url"], r["anchor"]) for r in out] == pairs
 
 
+@pytest.mark.slow
 def test_html_links_to_domain_pagerank(spark):
     """The crawl loop end-to-end: html -> links -> registrable-domain
     edges -> pagerank.  The most-cited domain ranks first."""
